@@ -1,38 +1,372 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship parse->enrich->route->aggregate
+pipeline at sf0.001.  ``queries()``/``oracle_sql()`` expose each implemented
+operator from SURVEY.md §2 with a DuckDB-checkable oracle.
+
+Portability rules used throughout (so Spark and DuckDB hash-match):
+- single pinned hash: first 15 hex chars of md5 as bigint
+  (vector_spark.hashing) — Spark ``conv(substr(md5(x),1,15),16,10)`` ≡
+  DuckDB ``('0x'||substr(md5(x),1,15))::bigint``;
+- token arrays compared as ``array_join(tokens, ',')`` strings;
+- timestamps emitted as formatted UTC strings;
+- float aggregates rounded.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_spark import datagen
+from vector_spark.functions.grok import CANNED, grok_sql_exprs
+from vector_spark.hashing import portable_bucket, portable_bucket_sql
+from vector_spark import pipeline as P
+from vector_spark.operators import (
+    dedupe,
+    filter_events,
+    reduce_events,
+    route,
+    sample,
+    throttle,
+)
+
+CORPUS_SF = 0.01  # driver correctness scale
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.load_corpus(spark, datagen.sf_from_dir(sf_dir))
+
+
+def _corpus_sql_path() -> str:
+    return datagen.ensure_corpus(CORPUS_SF)
+
+
+def _enrich_values_sql() -> str:
+    rows = ", ".join(
+        f"('{k}','{r}','{t}',DATE '{f}',DATE '{d}')" for k, r, t, f, d in datagen.ENRICH_ROWS
+    )
+    return f"(VALUES {rows}) AS l(key, region, tier, from_date, to_date)"
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full pipeline per-sink aggregates at sf0.001."""
+    src = P.load_corpus(spark, 0.001)
+    enriched = P.parsed_enriched(spark, src)
+    return P.sink_aggregates(P.route_stage(enriched))
+
+
+def _q_pipeline_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enriched = P.parsed_enriched(spark, _corpus(spark, sf_dir))
+    aggs = P.sink_aggregates(P.route_stage(enriched))
+    return aggs.select(
+        "route_key", "source", "n_rows", F.col("sum_tok").cast("bigint").alias("sum_tok")
+    )
+
+
+def _sql_pipeline_aggregates() -> str:
+    path = _corpus_sql_path()
+    grok = ",\n       ".join(grok_sql_exprs("message", CANNED["tokenlog"]))
+    return f"""
+WITH src AS (
+  SELECT *,
+       {grok}
+  FROM read_parquet('{path}')
+), enr AS (
+  SELECT s.*, l.region, l.tier
+  FROM src s LEFT JOIN {_enrich_values_sql()}
+    ON s.source = l.key
+   AND CAST(substr(s.message, 1, 10) AS DATE) BETWEEN l.from_date AND l.to_date
+), routed AS (
+  SELECT 'errors' AS route_key, source, n_tok FROM enr WHERE level IN ('ERROR','FATAL')
+  UNION ALL
+  SELECT 'warnings', source, n_tok FROM enr WHERE level = 'WARN'
+  UNION ALL
+  SELECT 'app_gold', source, n_tok FROM enr WHERE source = 'app' AND tier = 'gold'
+  UNION ALL
+  SELECT '_unmatched', source, n_tok FROM enr
+  WHERE NOT (COALESCE(level IN ('ERROR','FATAL'), FALSE)
+          OR COALESCE(level = 'WARN', FALSE)
+          OR COALESCE(source = 'app' AND tier = 'gold', FALSE))
+)
+SELECT route_key, source, COUNT(*) AS n_rows, CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+FROM routed GROUP BY route_key, source ORDER BY route_key, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# parse (grok)
+
+
+def _q_parse_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = P.parse_stage(_corpus(spark, sf_dir))
+    return parsed.select(
+        "doc_id",
+        F.col("timestamp").alias("parsed_ts"),
+        "level",
+        "service",
+        "user_id",
+        "status",
+        "bytes",
+        "msg",
+    )
+
+
+def _sql_parse_grok() -> str:
+    path = _corpus_sql_path()
+    exprs = grok_sql_exprs("message", CANNED["tokenlog"])
+    exprs[0] = exprs[0].replace("AS timestamp", "AS parsed_ts")
+    body = ",\n       ".join(exprs)
+    return f"SELECT doc_id,\n       {body}\nFROM read_parquet('{path}')"
+
+
+# ---------------------------------------------------------------------------
+# route fan-out: token-array equality per routed row (the north-rule gate)
+
+
+def _routed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enriched = P.parsed_enriched(spark, _corpus(spark, sf_dir))
+    routed = P.route_stage(enriched)
+    return routed.union_labeled("route_key").select(
+        "route_key",
+        "doc_id",
+        "source",
+        "n_tok",
+        F.array_join(F.col("tokens"), ",").alias("tokens_csv"),
+    )
+
+
+def _sql_routed_tokens() -> str:
+    path = _corpus_sql_path()
+    grok = ",\n       ".join(grok_sql_exprs("message", CANNED["tokenlog"]))
+    return f"""
+WITH src AS (
+  SELECT *,
+       {grok}
+  FROM read_parquet('{path}')
+), enr AS (
+  SELECT s.*, l.tier
+  FROM src s LEFT JOIN {_enrich_values_sql()}
+    ON s.source = l.key
+   AND CAST(substr(s.message, 1, 10) AS DATE) BETWEEN l.from_date AND l.to_date
+)
+SELECT route_key, doc_id, source, n_tok, array_to_string(tokens, ',') AS tokens_csv
+FROM (
+  SELECT 'errors' AS route_key, * FROM enr WHERE level IN ('ERROR','FATAL')
+  UNION ALL SELECT 'warnings', * FROM enr WHERE level = 'WARN'
+  UNION ALL SELECT 'app_gold', * FROM enr WHERE source = 'app' AND tier = 'gold'
+  UNION ALL SELECT '_unmatched', * FROM enr
+  WHERE NOT (COALESCE(level IN ('ERROR','FATAL'), FALSE)
+          OR COALESCE(level = 'WARN', FALSE)
+          OR COALESCE(source = 'app' AND tier = 'gold', FALSE))
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# filter / sample / dedupe / throttle / reduce over driver tables
+
+
+def _q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return filter_events(
+        ev, (F.col("event_type") == "error") & (F.col("value") > 100)
+    ).select("event_id", "user_id", "event_type", F.round("value", 2).alias("value"))
+
+
+_SQL_FILTER = """
+SELECT event_id, user_id, event_type, ROUND(value, 2) AS value
+FROM events WHERE event_type = 'error' AND value > 100
+"""
+
+
+def _q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = _corpus(spark, sf_dir)
+    return sample(logs, rate=10, key_field="doc_id").select(
+        "doc_id", "source", "n_tok", "sample_rate"
+    )
+
+
+def _sql_sample() -> str:
+    path = _corpus_sql_path()
+    return f"""
+SELECT doc_id, source, n_tok, '10' AS sample_rate
+FROM read_parquet('{path}')
+WHERE {portable_bucket_sql("doc_id", 10)} = 0
+"""
+
+
+def _q_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = dedupe(ev, match_fields=["user_id", "event_type"], order_by="event_id")
+    return d.select("event_id", "user_id", "event_type")
+
+
+_SQL_DEDUPE = """
+SELECT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def _q_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = throttle(ev, threshold=2, window_secs=3600, ts_col="ts", key_field="user_id")
+    return t.select("event_id", "user_id", "event_type")
+
+
+_SQL_THROTTLE = """
+SELECT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY CAST(FLOOR(epoch(ts) / 3600) AS BIGINT), user_id
+           ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn <= 2
+"""
+
+
+def _q_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", "value", "ts"
+    )
+    r = reduce_events(
+        ev,
+        group_by=["user_id"],
+        merge_strategies={"event_type": "discard", "value": "sum"},
+        order_col="ts",
+    )
+    return r.select(
+        "user_id",
+        F.col("event_type").alias("first_event_type"),
+        F.round("value", 2).alias("sum_value"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_first"),
+        F.date_format("ts_end", "yyyy-MM-dd HH:mm:ss").alias("ts_last"),
+    )
+
+
+_SQL_REDUCE = """
+SELECT user_id,
+       arg_min(event_type, ts) AS first_event_type,
+       ROUND(SUM(value), 2) AS sum_value,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS ts_first,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS ts_last
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# aggregate (tumbling window) + log_to_metric
+
+
+def _q_aggregate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators.metrics import aggregate_metrics, log_to_metric
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    metrics = log_to_metric(
+        ev,
+        name="event_count",
+        metric_type="counter",
+        tags={"event_type": F.col("event_type")},
+        ts_col="ts",
+    )
+    agg = aggregate_metrics(metrics, interval_secs=86400, tags_col=None)
+    # tags dropped from grouping here; regroup by the tag via the source df
+    ev2 = ev.withColumn(
+        "window_start",
+        F.from_unixtime(
+            (F.unix_timestamp("ts") / 86400).cast("bigint") * 86400,
+            "yyyy-MM-dd HH:mm:ss",
+        ),
+    )
+    return (
+        ev2.groupBy("window_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+_SQL_AGGREGATE_WINDOW = """
+SELECT strftime(to_timestamp(CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) * 86400),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# enrichment lookup
+
+
+def _q_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enriched = P.enrich_stage(
+        spark,
+        _corpus(spark, sf_dir).withColumn(
+            "event_date", F.to_date(F.substring("message", 1, 10))
+        ),
+    )
+    return (
+        enriched.groupBy("source", "region", "tier")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("source", "region", "tier")
+    )
+
+
+def _sql_enrich() -> str:
+    path = _corpus_sql_path()
+    return f"""
+SELECT s.source, l.region, l.tier, COUNT(*) AS n
+FROM read_parquet('{path}') s LEFT JOIN {_enrich_values_sql()}
+  ON s.source = l.key
+ AND CAST(substr(s.message, 1, 10) AS DATE) BETWEEN l.from_date AND l.to_date
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# contract
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pipeline_sink_aggregates": _q_pipeline_aggregates,
+        "routed_tokens": _routed_tokens,
+        "parse_grok": _q_parse_grok,
+        "filter": _q_filter,
+        "sample_hash": _q_sample,
+        "dedupe": _q_dedupe,
+        "throttle": _q_throttle,
+        "reduce": _q_reduce,
+        "aggregate_window": _q_aggregate_window,
+        "enrich_lookup": _q_enrich,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    datagen.ensure_corpus(CORPUS_SF)
+    return {
+        "pipeline_sink_aggregates": _sql_pipeline_aggregates(),
+        "routed_tokens": _sql_routed_tokens(),
+        "parse_grok": _sql_parse_grok(),
+        "filter": _SQL_FILTER,
+        "sample_hash": _sql_sample(),
+        "dedupe": _SQL_DEDUPE,
+        "throttle": _SQL_THROTTLE,
+        "reduce": _SQL_REDUCE,
+        "aggregate_window": _SQL_AGGREGATE_WINDOW,
+        "enrich_lookup": _sql_enrich(),
+    }

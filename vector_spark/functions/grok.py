@@ -1,0 +1,199 @@
+"""Grok -> regex compilation, executed vectorized.
+
+Vector's ``parse_grok``/``parse_groks`` delegate to the VRL crate's grok
+engine (reference website/cue/reference/remap/functions/parse_grok.cue,
+parse_groks.cue; canonical example parse_grok.cue:37-49).  The rebuild
+compiles the grok pattern to a plain regex ONCE on the driver, then runs it
+as JVM ``regexp_extract`` inside whole-stage codegen — no per-row Python
+(north-rule requirement).  For patterns with many capture fields a
+single-pass Arrow/pandas UDF is available (one Python regex scan per batch
+instead of K JVM scans), but the JVM path is the default: the regexes are
+short and stay in codegen.
+
+The pattern set covers the core grok library used by the reference's docs
+and fixtures; patterns are kept inside the RE2 ∩ java.util.regex common
+subset so the DuckDB oracle can run the SAME compiled regex.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Core grok pattern library (regex bodies only, no anchors).  Common
+# RE2/Java subset: no lookbehind, no atomic groups, no possessive
+# quantifiers.
+GROK_PATTERNS: dict[str, str] = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NONNEGINT": r"\d+",
+    "BASE10NUM": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "NUMBER": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "POSINT": r"[1-9]\d*",
+    "YEAR": r"\d{4}",
+    "MONTHNUM": r"0?[1-9]|1[0-2]",
+    "MONTHDAY": r"(?:0[1-9]|[12]\d|3[01]|[1-9])",
+    "HOUR": r"(?:2[0123]|[01]?\d)",
+    "MINUTE": r"[0-5]\d",
+    "SECOND": r"(?:[0-5]?\d)(?:\.\d+)?",
+    "TIME": r"(?:2[0123]|[01]?\d):[0-5]\d:(?:[0-5]?\d)(?:\.\d+)?",
+    "DATE_EU": r"\d{1,2}[./-]\d{1,2}[./-]\d{4}",
+    "DATE_US": r"\d{1,2}[/-]\d{1,2}[/-]\d{4}",
+    "ISO8601_TIMEZONE": r"(?:Z|[+-]\d{2}:?\d{2})",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "LOGLEVEL": r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo|INFO|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"[a-zA-Z0-9._-]+",
+    "IPV4": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "HOSTNAME": r"\b[0-9A-Za-z][0-9A-Za-z-]{0,62}(?:\.[0-9A-Za-z][0-9A-Za-z-]{0,62})*\.?\b",
+    "IPORHOST": r"\S+",
+    "HOSTPORT": r"\S+:\d+",
+    "PATH": r"(?:/[\w.-]*)+",
+    "URIPATH": r"(?:/[\w.;:@&=+$,%~-]*)+",
+    "QS": r"\"[^\"]*\"",
+    "QUOTEDSTRING": r"\"[^\"]*\"",
+    "UUID": r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+    "SYSLOGTIMESTAMP": r"(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) +\d{1,2} \d{2}:\d{2}:\d{2}",
+    "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
+    "COMBINEDAPACHELOG": r".*",  # composite; prefer APACHE_COMMON below
+}
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]]+))?(?::(int|float))?\}")
+
+# Canned full-line patterns, the analogue of parse_apache_log /
+# parse_common_log / parse_syslog (reference parse_apache_log.cue,
+# parse_syslog.cue).
+CANNED = {
+    "apache_common": (
+        "%{IPORHOST:host} %{USER:identity} %{USER:user} "
+        r"\[%{HTTPDATE:timestamp}\] "
+        r'"%{WORD:method} %{NOTSPACE:path} HTTP/%{NUMBER:protocol}" '
+        "%{NONNEGINT:status:int} %{NONNEGINT:size:int}"
+    ),
+    "syslog_5424ish": (
+        r"<%{NONNEGINT:priority:int}>%{NONNEGINT:version:int} "
+        "%{TIMESTAMP_ISO8601:timestamp} %{HOSTNAME:hostname} "
+        "%{NOTSPACE:appname} %{NOTSPACE:procid} %{NOTSPACE:msgid} "
+        "%{GREEDYDATA:message}"
+    ),
+    # The corpus line format from datagen.py.
+    "tokenlog": (
+        "%{TIMESTAMP_ISO8601:timestamp} %{LOGLEVEL:level} "
+        r"\[%{WORD:service}\] user=%{NONNEGINT:user_id:int} "
+        "status=%{NONNEGINT:status:int} bytes=%{NONNEGINT:bytes:int} "
+        "msg=%{GREEDYDATA:msg}"
+    ),
+}
+
+
+@dataclass(frozen=True)
+class CompiledGrok:
+    regex: str                      # numbered-group regex, fully expanded
+    fields: tuple[str, ...]         # capture field names in group order
+    types: tuple[str, ...]          # 'string' | 'int' | 'float' per field
+
+
+def compile_grok(pattern: str, anchored: bool = True) -> CompiledGrok:
+    """Expand ``%{NAME:field:type}`` references into one numbered-group regex.
+
+    Unnamed references (``%{NAME}``) become non-capturing groups.  Nested
+    pattern definitions are expanded recursively (the library above is
+    flat, so one pass suffices).
+    """
+    fields: list[str] = []
+    types: list[str] = []
+
+    def sub(m: re.Match) -> str:
+        name, field, typ = m.group(1), m.group(2), m.group(3)
+        body = GROK_PATTERNS.get(name)
+        if body is None:
+            raise KeyError(f"unknown grok pattern %{{{name}}}")
+        body = _GROK_REF.sub(sub_inner, body)
+        if field:
+            fields.append(field.replace(".", "_").replace("[", "_").replace("]", ""))
+            types.append(typ or "string")
+            return f"({body})"
+        return f"(?:{body})"
+
+    def sub_inner(m: re.Match) -> str:
+        body = GROK_PATTERNS[m.group(1)]
+        return f"(?:{body})"
+
+    regex = _GROK_REF.sub(sub, pattern)
+    if anchored:
+        regex = f"^{regex}$"
+    re.compile(regex)  # fail fast on the driver
+    return CompiledGrok(regex, tuple(fields), tuple(types))
+
+
+def _cast(col: Column, typ: str) -> Column:
+    if typ == "int":
+        return col.cast("long")
+    if typ == "float":
+        return col.cast("double")
+    return col
+
+
+def grok_columns(src: Column | str, pattern: str, prefix: str = "") -> list[Column]:
+    """Compile ``pattern`` and return one aliased Column per capture field.
+
+    JVM path: K ``regexp_extract`` calls over the same compiled regex; stays
+    inside whole-stage codegen.  Non-matching rows yield empty string ->
+    surfaced as NULL (grok parse failure ≙ VRL fallible-call error; pair
+    with :func:`grok_matched` for the remap ``dropped`` port).
+    """
+    g = compile_grok(pattern)
+    c = F.col(src) if isinstance(src, str) else src
+    out = []
+    for i, (name, typ) in enumerate(zip(g.fields, g.types), start=1):
+        raw = F.regexp_extract(c, g.regex, i)
+        col = F.when(c.rlike(g.regex), raw).otherwise(F.lit(None))
+        out.append(_cast(col, typ).alias(prefix + name))
+    return out
+
+
+def grok_matched(src: Column | str, pattern: str) -> Column:
+    g = compile_grok(pattern)
+    c = F.col(src) if isinstance(src, str) else src
+    return c.rlike(g.regex)
+
+
+def grok_parse(df: DataFrame, src: str, pattern: str, keep_unparsed: bool = True) -> DataFrame:
+    """``parse_grok``-style stage: add one column per capture field.
+
+    ``keep_unparsed=False`` drops rows that fail the pattern (the
+    ``drop_on_error`` behavior of remap, reference src/transforms/remap.rs:41).
+    """
+    cols = grok_columns(df[src], pattern)
+    out = df.select("*", *cols)
+    if not keep_unparsed:
+        out = out.filter(grok_matched(df[src], pattern))
+    return out
+
+
+def grok_sql_exprs(expr: str, pattern: str, prefix: str = "") -> list[str]:
+    """DuckDB oracle rendering: the same compiled regex via
+    ``regexp_extract(x, re, i)`` with identical NULL-on-miss + cast
+    semantics."""
+    g = compile_grok(pattern)
+    out = []
+    for i, (name, typ) in enumerate(zip(g.fields, g.types), start=1):
+        re_lit = g.regex.replace("'", "''")
+        base = (
+            f"CASE WHEN regexp_matches({expr}, '{re_lit}') "
+            f"THEN regexp_extract({expr}, '{re_lit}', {i}) END"
+        )
+        if typ == "int":
+            base = f"CAST({base} AS BIGINT)"
+        elif typ == "float":
+            base = f"CAST({base} AS DOUBLE)"
+        out.append(f"{base} AS {prefix}{name}")
+    return out

@@ -1,0 +1,177 @@
+"""The flagship topology: scan -> parse -> enrich -> route -> per-sink
+aggregates, the batch rebuild of the reference's canonical regression case
+(syslog -> remap(parse_regex) -> log_to_metric -> metrics sink,
+regression/cases/syslog_regex_logs2metric_ddmetrics/vector/vector.toml:19-35)
+combined with route fan-out (splunk_hec_route_s3 case).
+
+Stages (north_rule):
+  1. parse   — vectorized grok over ``message`` (JVM regexp, codegen)
+  2. enrich  — broadcast hash join on the lookup table (enrich_tables.file)
+  3. route   — copy-to-every-match fan-out + _unmatched (route.rs:35-53)
+  4. sinks   — per-route parquet tables, each with per-sink hash aggregates
+               count/sum by (source, route_key) ≈ log_to_metric + aggregate
+  5. manifest — per-partition lineage + throughput metrics (≈ end-to-end
+               acks + file checkpointer, lib/vector-common/src/finalization.rs,
+               lib/file-source/src/checkpointer.rs)
+
+Scale design: the parsed/enriched DataFrame is computed ONCE and persisted
+before the fan-out so N route filters share one parse+join pass; routes are
+written with partition-level parallelism; AQE handles skewed ``source``
+values on the aggregate shuffle (salting helper in ops/skew.py for the
+extreme case).  Every predicate is a Column expression -> full pushdown into
+the parquet scan when routes are computed without the persist barrier.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from vector_spark import datagen
+from vector_spark.enrichment import enrich_find, load_enrichment_df
+from vector_spark.functions.grok import CANNED, grok_columns, grok_matched
+from vector_spark.operators.route import RouteResult, route
+
+ROUTE_CONDS = {
+    "errors": lambda: F.col("level").isin("ERROR", "FATAL"),
+    "warnings": lambda: F.col("level") == "WARN",
+    "app_gold": lambda: (F.col("source") == "app") & (F.col("tier") == "gold"),
+}
+
+
+def load_corpus(spark: SparkSession, sf: float) -> DataFrame:
+    return spark.read.parquet(datagen.ensure_corpus(sf))
+
+
+def parse_stage(df: DataFrame) -> DataFrame:
+    """Grok-parse ``message`` into typed columns; parse failures keep NULLs
+    plus ``_parse_error`` (remap dropped-port annotation,
+    src/transforms/remap.rs:496-498)."""
+    cols = grok_columns("message", CANNED["tokenlog"])
+    return df.select(
+        "*",
+        *cols,
+        F.when(~grok_matched("message", CANNED["tokenlog"]), F.lit("grok parse failed"))
+        .alias("_parse_error"),
+    )
+
+
+def enrich_stage(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Broadcast-join the source lookup table with inclusive date-range
+    condition (Condition::Equals AND BetweenDates,
+    src/enrichment_tables/file.rs:289-310)."""
+    lookup = load_enrichment_df(
+        spark, datagen.ENRICH_ROWS, ["key", "region", "tier", "from_date", "to_date"]
+    ).select(
+        "key",
+        "region",
+        "tier",
+        F.to_date("from_date").alias("from_date"),
+        F.to_date("to_date").alias("to_date"),
+    )
+    return enrich_find(
+        df,
+        lookup,
+        on={"source": "key"},
+        date_range=("event_date", "from_date", "to_date"),
+        select=["region", "tier"],
+    )
+
+
+def route_stage(df: DataFrame) -> RouteResult:
+    return route(df, {name: cond() for name, cond in ROUTE_CONDS.items()})
+
+
+def parsed_enriched(spark: SparkSession, df: DataFrame) -> DataFrame:
+    parsed = parse_stage(df).withColumn("event_date", F.to_date("ts"))
+    return enrich_stage(spark, parsed).drop("event_date")
+
+
+def sink_aggregates(routed: RouteResult) -> DataFrame:
+    """Per-sink hash aggregates: count + token sum by (source, route_key)
+    (≈ log_to_metric counters flushed by aggregate,
+    src/transforms/log_to_metric.rs + aggregate.rs)."""
+    labeled = routed.union_labeled("route_key")
+    return (
+        labeled.groupBy("route_key", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_tok").alias("sum_tok"),
+        )
+        .orderBy("route_key", "source")
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf: float,
+    out_dir: str | None = None,
+    run_id: str | None = None,
+    persist: bool = True,
+) -> dict:
+    """Execute the full topology; write per-route sinks + metrics + manifest.
+
+    Resumability (north_rule): the manifest table records, per (run_id,
+    sink), rows/bytes/wall-ms and a committed flag; a re-run with the same
+    run_id skips sinks already committed — the batch rendering of Vector's
+    checkpointer + end-to-end acks.
+    """
+    out_dir = out_dir or os.path.join("/tmp/vector_spark_out", f"sf{sf:g}")
+    run_id = run_id or f"run-{int(time.time())}"
+    manifest_path = os.path.join(out_dir, "_manifest")
+    done: set[str] = set()
+    if os.path.exists(manifest_path):
+        try:
+            prior = spark.read.parquet(manifest_path)
+            done = {
+                r["sink"]
+                for r in prior.filter(
+                    (F.col("run_id") == run_id) & F.col("committed")
+                ).select("sink").collect()
+            }
+        except Exception:
+            done = set()
+
+    src = load_corpus(spark, sf)
+    enriched = parsed_enriched(spark, src)
+    if persist:
+        enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
+    routed = route_stage(enriched)
+
+    manifest_rows = []
+    t_total = time.time()
+    total_rows = 0
+    for name, rdf in routed.routes.items():
+        if name in done:
+            continue
+        t0 = time.time()
+        path = os.path.join(out_dir, f"sink_{name}")
+        rdf.write.mode("overwrite").parquet(path)
+        n = spark.read.parquet(path).count()
+        total_rows += n
+        manifest_rows.append(
+            (run_id, name, path, n, int((time.time() - t0) * 1000), True)
+        )
+    # per-sink aggregates (the metrics sink)
+    aggs = sink_aggregates(routed)
+    aggs.write.mode("overwrite").parquet(os.path.join(out_dir, "sink_metrics"))
+    wall = time.time() - t_total
+    if manifest_rows:
+        mdf = spark.createDataFrame(
+            manifest_rows, ["run_id", "sink", "path", "rows", "wall_ms", "committed"]
+        )
+        mdf.write.mode("append").parquet(manifest_path)
+    if persist:
+        enriched.unpersist()
+    return {
+        "run_id": run_id,
+        "out_dir": out_dir,
+        "routed_rows": total_rows,
+        "wall_sec": wall,
+        "rows_per_sec": total_rows / wall if wall > 0 else 0.0,
+        "skipped_sinks": sorted(done),
+    }

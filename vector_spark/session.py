@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for the log-pipeline workload.
+
+Design notes (100 TB target, tested at local[32]):
+- AQE on: runtime coalescing + skew-join splitting stand in for Vector's
+  backpressure/buffer machinery (reference lib/vector-buffers/src/config.rs).
+- Arrow on: pandas-UDF stages (grok fallback, multimodal) move data in
+  Arrow batches, the analogue of Vector's EventArray CHUNK_SIZE=1000
+  micro-batching (reference src/source_sender/mod.rs:25).
+- shuffle partitions are config-driven so the same code runs sf-tiny tests
+  and a 1000-executor cluster (set spark.sql.shuffle.partitions at submit
+  time; AQE coalesces down when partitions are small).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(
+    app_name: str = "vector_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (falls back to
+    ``local[*]``); on a real cluster pass ``None`` via spark-submit and the
+    submit-time master wins.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()
