@@ -5,7 +5,7 @@ the deliberate deltas (batch vs processing-time, hash vs stream-order) per
 SURVEY.md §7 risk register.
 """
 
-from vector_spark.operators.route import route, RouteResult  # noqa: F401
+from vector_spark.operators.route import route, route_labeled, RouteResult  # noqa: F401
 from vector_spark.operators.core import (  # noqa: F401
     filter_events,
     sample,

@@ -33,7 +33,7 @@ from pyspark.storagelevel import StorageLevel
 
 from vector_spark import datagen
 from vector_spark.enrichment import enrich_find, load_enrichment_df
-from vector_spark.functions.grok import CANNED, grok_columns, grok_matched
+from vector_spark.functions.grok import CANNED, grok_parts
 from vector_spark.operators.route import RouteResult, route
 
 ROUTE_CONDS = {
@@ -51,12 +51,20 @@ def parse_stage(df: DataFrame) -> DataFrame:
     """Grok-parse ``message`` into typed columns; parse failures keep NULLs
     plus ``_parse_error`` (remap dropped-port annotation,
     src/transforms/remap.rs:496-498)."""
-    cols = grok_columns("message", CANNED["tokenlog"])
+    parts, g = grok_parts("message", CANNED["tokenlog"])
+    cols = []
+    for i, (name, typ) in enumerate(zip(g.fields, g.types)):
+        c = parts.getItem(i + 1)
+        if typ == "int":
+            c = c.cast("long")
+        elif typ == "float":
+            c = c.cast("double")
+        cols.append(c.alias(name))
+    # matched ⇔ the one-pass split produced K+1 parts (see grok_parts)
     return df.select(
         "*",
         *cols,
-        F.when(~grok_matched("message", CANNED["tokenlog"]), F.lit("grok parse failed"))
-        .alias("_parse_error"),
+        F.when(F.size(parts) == 1, F.lit("grok parse failed")).alias("_parse_error"),
     )
 
 
@@ -91,11 +99,15 @@ def parsed_enriched(spark: SparkSession, df: DataFrame) -> DataFrame:
     return enrich_stage(spark, parsed).drop("event_date")
 
 
-def sink_aggregates(routed: RouteResult) -> DataFrame:
+def sink_aggregates(routed: RouteResult | DataFrame) -> DataFrame:
     """Per-sink hash aggregates: count + token sum by (source, route_key)
     (≈ log_to_metric counters flushed by aggregate,
-    src/transforms/log_to_metric.rs + aggregate.rs)."""
-    labeled = routed.union_labeled("route_key")
+    src/transforms/log_to_metric.rs + aggregate.rs).
+
+    Accepts either a RouteResult (uses its one-pass labeled plan) or an
+    already-labeled DataFrame.  One hash aggregate; map-side partial
+    aggregation keeps the shuffle at |routes|x|sources| rows."""
+    labeled = routed if isinstance(routed, DataFrame) else routed.union_labeled("route_key")
     return (
         labeled.groupBy("route_key", "source")
         .agg(
@@ -111,14 +123,26 @@ def run_pipeline(
     sf: float,
     out_dir: str | None = None,
     run_id: str | None = None,
-    persist: bool = True,
+    mode: str = "partitioned",
 ) -> dict:
     """Execute the full topology; write per-route sinks + metrics + manifest.
 
+    ``mode='partitioned'`` (default, the scale path): ONE pass — the labeled
+    explode plan is written with ``partitionBy(route_key)``, so parse+enrich
+    run exactly once and each route lands in its own sink directory (the
+    batch rendering of Vector's Fanout + per-sink partitioned batcher,
+    lib/vector-core/src/fanout.rs + stream/partitioned_batcher.rs).
+
+    ``mode='per_route'``: independent write per route over a persisted
+    upstream — for topologies where sinks need different schemas/formats.
+
     Resumability (north_rule): the manifest table records, per (run_id,
-    sink), rows/bytes/wall-ms and a committed flag; a re-run with the same
-    run_id skips sinks already committed — the batch rendering of Vector's
-    checkpointer + end-to-end acks.
+    sink), rows/wall-ms and a committed flag; a re-run with the same run_id
+    skips sinks already committed — the batch rendering of Vector's
+    checkpointer + end-to-end acks (lib/file-source/src/checkpointer.rs,
+    lib/vector-common/src/finalization.rs).  Per-sink aggregates are
+    computed from the WRITTEN data read back, so parity checks catch
+    write-path bugs.
     """
     out_dir = out_dir or os.path.join("/tmp/vector_spark_out", f"sf{sf:g}")
     run_id = run_id or f"run-{int(time.time())}"
@@ -138,26 +162,48 @@ def run_pipeline(
 
     src = load_corpus(spark, sf)
     enriched = parsed_enriched(spark, src)
-    if persist:
-        enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
     routed = route_stage(enriched)
 
     manifest_rows = []
     t_total = time.time()
     total_rows = 0
-    for name, rdf in routed.routes.items():
-        if name in done:
-            continue
-        t0 = time.time()
-        path = os.path.join(out_dir, f"sink_{name}")
-        rdf.write.mode("overwrite").parquet(path)
-        n = spark.read.parquet(path).count()
-        total_rows += n
-        manifest_rows.append(
-            (run_id, name, path, n, int((time.time() - t0) * 1000), True)
-        )
-    # per-sink aggregates (the metrics sink)
-    aggs = sink_aggregates(routed)
+    if mode == "partitioned":
+        sinks_path = os.path.join(out_dir, "sinks")
+        if "sinks" not in done:
+            t0 = time.time()
+            routed.labeled.write.mode("overwrite").partitionBy("route_key").parquet(
+                sinks_path
+            )
+            written = spark.read.parquet(sinks_path)
+            per_route = {
+                r["route_key"]: r["n"]
+                for r in written.groupBy("route_key").count().withColumnRenamed(
+                    "count", "n"
+                ).collect()
+            }
+            wall_ms = int((time.time() - t0) * 1000)
+            for name, n in sorted(per_route.items()):
+                total_rows += n
+                manifest_rows.append((run_id, name, sinks_path, n, wall_ms, True))
+            # commit marker for the single-pass write (resume key)
+            manifest_rows.append((run_id, "sinks", sinks_path, total_rows, wall_ms, True))
+        aggs_src = spark.read.parquet(sinks_path)
+        aggs = sink_aggregates(aggs_src)
+    else:
+        persisted = enriched.persist(StorageLevel.MEMORY_AND_DISK)
+        routed = route_stage(persisted)
+        for name, rdf in routed.routes.items():
+            if name in done:
+                continue
+            t0 = time.time()
+            path = os.path.join(out_dir, f"sink_{name}")
+            rdf.write.mode("overwrite").parquet(path)
+            n = spark.read.parquet(path).count()
+            total_rows += n
+            manifest_rows.append(
+                (run_id, name, path, n, int((time.time() - t0) * 1000), True)
+            )
+        aggs = sink_aggregates(routed)
     aggs.write.mode("overwrite").parquet(os.path.join(out_dir, "sink_metrics"))
     wall = time.time() - t_total
     if manifest_rows:
@@ -165,8 +211,8 @@ def run_pipeline(
             manifest_rows, ["run_id", "sink", "path", "rows", "wall_ms", "committed"]
         )
         mdf.write.mode("append").parquet(manifest_path)
-    if persist:
-        enriched.unpersist()
+    if mode != "partitioned":
+        persisted.unpersist()
     return {
         "run_id": run_id,
         "out_dir": out_dir,
