@@ -338,6 +338,197 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 
 
 # ---------------------------------------------------------------------------
+# training-data ops: text analysis / dedup / similarity (documents, embeddings)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark import textstats as T
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        T.token_count_ws("text").alias("n_ws"),
+        T.token_count_bpe("text").alias("n_bpe"),
+        F.round(T.quality_score("text"), 6).alias("quality"),
+        T.fingerprint("text").alias("fp"),
+    )
+
+
+def _sql_text_stats() -> str:
+    from vector_spark import textstats as T
+
+    return f"""
+SELECT doc_id,
+       len({T.sql_words("text")}) AS n_ws,
+       {T.sql_token_count_bpe("text")} AS n_bpe,
+       ROUND({T.sql_quality_score("text")}, 6) AS quality,
+       {T.sql_fingerprint("text")} AS fp
+FROM documents
+"""
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark import textstats as T
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", "lang", T.lang_id("text").alias("lang_pred")
+    )
+
+
+def _sql_lang_id() -> str:
+    from vector_spark import textstats as T
+
+    return f"SELECT doc_id, lang, {T.sql_lang_id('text')} AS lang_pred FROM documents"
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.dedup import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir)).select("doc_id", "lang", "source", "n_chars")
+
+
+def _sql_dedup_exact() -> str:
+    from vector_spark.dedup import sql_dedup_exact
+
+    return (
+        "SELECT doc_id, lang, source, n_chars FROM ("
+        + sql_dedup_exact("documents")
+        + ")"
+    )
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def _sql_minhash_pairs() -> str:
+    from vector_spark.dedup import sql_minhash_lsh_pairs
+
+    return sql_minhash_lsh_pairs("documents")
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.dedup import simhash
+
+    return _docs(spark, sf_dir).select("doc_id", simhash("text").alias("sh16"))
+
+
+def _sql_simhash() -> str:
+    from vector_spark.dedup import sql_simhash
+
+    return f"SELECT doc_id, {sql_simhash('text')} AS sh16 FROM documents"
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.1)
+
+
+def _sql_ngram_jaccard() -> str:
+    from vector_spark.dedup import sql_ngram_jaccard_pairs
+
+    return sql_ngram_jaccard_pairs("documents", threshold=0.1)
+
+
+_COS_DOT = (
+    "list_reduce(list_transform(range(1, 65), i -> "
+    "CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    dot = _COS_DOT.format(a=a, b=b)
+    na = "sqrt(" + _COS_DOT.format(a=a, b=a) + ")"
+    nb = "sqrt(" + _COS_DOT.format(a=b, b=b) + ")"
+    return f"({dot}) / ({na} * {nb})"
+
+
+def _q_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(_embs(spark, sf_dir), threshold=0.5)
+
+
+def _sql_embedding_dup() -> str:
+    cs = _sql_cosine("a.embedding", "b.embedding")
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({cs}, 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {cs} >= 0.5
+"""
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.similarity import topk_cosine
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return topk_cosine(embs, queries_df, k=5)
+
+
+def _sql_ann_topk() -> str:
+    cs = _sql_cosine("c.embedding", "q.embedding")
+    return f"""
+SELECT query_id, vec_id, cos FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, ROUND({cs}, 6) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY ROUND({cs}, 6) DESC, c.vec_id ASC) AS rk
+  FROM embeddings c JOIN embeddings q ON q.vec_id < 3
+) WHERE rk <= 5
+"""
+
+
+def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.similarity import topk_cosine_lsh
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return topk_cosine_lsh(embs, queries_df, k=5, n_planes=4, dim=64)
+
+
+def _sql_ann_topk_lsh() -> str:
+    from vector_spark.similarity import hyperplanes, sql_lsh_bucket
+
+    planes = hyperplanes(64, 4)
+    bkt = sql_lsh_bucket("embedding", planes)
+    cs = _sql_cosine("c.embedding", "q.embedding")
+    return f"""
+WITH bucketed AS (SELECT vec_id, embedding, {bkt} AS _b FROM embeddings)
+SELECT query_id, vec_id, cos FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, ROUND({cs}, 6) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY ROUND({cs}, 6) DESC, c.vec_id ASC) AS rk
+  FROM bucketed c JOIN bucketed q ON q.vec_id < 3 AND c._b = q._b
+) WHERE rk <= 5
+"""
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (rows-only check: payloads live only in Spark).
+
+    Deterministic: synth media + content-hash-seeded fake decode."""
+    from vector_spark.multimodal import extract_features, synth_media
+
+    feats = extract_features(synth_media(spark, 64), dim=8, fake=True)
+    return feats.select("media_id", "kind", "n_bytes", "content_sha")
+
+
+# ---------------------------------------------------------------------------
 # contract
 
 
@@ -353,6 +544,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reduce": _q_reduce,
         "aggregate_window": _q_aggregate_window,
         "enrich_lookup": _q_enrich,
+        "text_stats": _q_text_stats,
+        "lang_id": _q_lang_id,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_lsh_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "embedding_dup": _q_embedding_dup,
+        "ann_topk": _q_ann_topk,
+        "ann_topk_lsh": _q_ann_topk_lsh,
+        "media_features": _q_media_features,
     }
 
 
@@ -369,4 +570,14 @@ def oracle_sql() -> dict[str, str]:
         "reduce": _SQL_REDUCE,
         "aggregate_window": _SQL_AGGREGATE_WINDOW,
         "enrich_lookup": _sql_enrich(),
+        "text_stats": _sql_text_stats(),
+        "lang_id": _sql_lang_id(),
+        "dedup_exact": _sql_dedup_exact(),
+        "minhash_lsh_pairs": _sql_minhash_pairs(),
+        "simhash": _sql_simhash(),
+        "ngram_jaccard": _sql_ngram_jaccard(),
+        "embedding_dup": _sql_embedding_dup(),
+        "ann_topk": _sql_ann_topk(),
+        "ann_topk_lsh": _sql_ann_topk_lsh(),
+        # media_features: payloads exist only in Spark -> rows-only check
     }

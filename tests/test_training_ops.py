@@ -1,0 +1,154 @@
+"""Unit tests for the training-data operators (dedup / similarity /
+multimodal / textstats) beyond the DuckDB oracle gate.
+
+Model: the reference's behavior-fixture pattern (tests/behavior/transforms)
+— deterministic synthetic inputs, assertions on semantic invariants.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "a"),
+        (2, "the quick brown fox jumps over the lazy dog", "en", "b"),  # exact dup of 1
+        (3, "The quick  brown fox jumps over the lazy dog ", "en", "c"),  # ws/case dup
+        (4, "the quick brown fox jumps over the sleepy dog", "en", "d"),  # near dup
+        (5, "der schnelle braune fuchs und der faule hund ist nicht da", "de", "e"),
+        (6, "completely different text about spark query engines", "en", "f"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+def test_dedup_exact_normalized(docs):
+    from vector_spark.dedup import dedup_exact
+
+    kept = sorted(r["doc_id"] for r in dedup_exact(docs).collect())
+    # 1,2,3 collapse (normalization folds case + whitespace); lowest id wins
+    assert kept == [1, 4, 5, 6]
+
+    kept_raw = sorted(r["doc_id"] for r in dedup_exact(docs, normalize=False).collect())
+    assert kept_raw == [1, 3, 4, 5, 6]  # only the byte-identical pair collapses
+
+
+def test_minhash_finds_near_dup(docs):
+    from vector_spark.dedup import minhash_lsh_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, num_hashes=8, bands=4).collect()
+    }
+    assert (1, 2) in pairs  # identical docs always collide
+    assert (1, 4) in pairs  # 1-word-different doc shares most shingles
+    assert all(6 not in p or p == (6, 6) for p in pairs)  # unrelated doc stays out
+
+
+def test_simhash_near_dup_property(docs):
+    from vector_spark.dedup import simhash
+
+    out = {r["doc_id"]: r["sh"] for r in docs.select("doc_id", simhash("text").alias("sh")).collect()}
+    assert out[1] == out[2] == out[3]  # token sets identical after lower/ws fold
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(out[1], out[4]) <= 6          # near dup: small hamming distance
+    assert ham(out[1], out[6]) > ham(out[1], out[4])  # unrelated is farther
+
+
+def test_ngram_jaccard_ordering(docs):
+    from vector_spark.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 4)] > pairs[(1, 6)]
+
+
+def test_lsh_candidates_feed_jaccard(docs):
+    from vector_spark.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    cand = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    verified = ngram_jaccard_pairs(docs, threshold=0.5, candidates=cand)
+    got = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    assert (1, 2) in got and (1, 4) in got
+
+
+def test_topk_cosine_self_is_nearest(spark):
+    from vector_spark.similarity import topk_cosine
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = embs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = topk_cosine(embs, q, k=3).orderBy(F.col("cos").desc()).collect()
+    assert top[0]["vec_id"] == 0 and abs(top[0]["cos"] - 1.0) < 1e-6
+    assert len(top) == 3
+    assert top[0]["cos"] >= top[1]["cos"] >= top[2]["cos"]
+
+
+def test_lsh_topk_subset_of_exact_scores(spark):
+    from vector_spark.similarity import topk_cosine, topk_cosine_lsh
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = embs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {r["vec_id"]: r["cos"] for r in topk_cosine(embs, q, k=50).collect()}
+    approx = topk_cosine_lsh(embs, q, k=5, n_planes=4, dim=64).collect()
+    assert approx, "query must at least find itself in its own bucket"
+    for r in approx:  # every ANN score must equal the exact cosine
+        if r["vec_id"] in exact:
+            assert abs(r["cos"] - exact[r["vec_id"]]) < 1e-6
+
+
+def test_multimodal_plumbing(spark):
+    from vector_spark.multimodal import extract_features, media_stats, synth_media
+
+    media = synth_media(spark, 48)
+    feats = extract_features(media, dim=8, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 48
+    assert all(len(r["features"]) == 8 for r in rows)
+    # deterministic: same content -> same sha + features on a re-run
+    again = {r["media_id"]: (r["content_sha"], r["features"]) for r in extract_features(
+        synth_media(spark, 48), dim=8, fake=True
+    ).collect()}
+    for r in rows:
+        sha, fv = again[r["media_id"]]
+        assert sha == r["content_sha"] and fv == r["features"]
+    stats = {r["kind"]: r["n"] for r in media_stats(media).collect()}
+    assert sum(stats.values()) == 48 and set(stats) == {"image", "audio", "video"}
+
+
+def test_decode_stub_raises():
+    from vector_spark.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG", fake=False)
+
+
+def test_textstats_basics(spark):
+    from vector_spark import textstats as T
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog, in the house!"), (2, "zzz qqq")],
+        ["id", "text"],
+    )
+    out = {r["id"]: r for r in df.select(
+        "id",
+        T.token_count_ws("text").alias("ws"),
+        T.token_count_bpe("text").alias("bpe"),
+        T.lang_id("text").alias("lang"),
+        T.fingerprint("text").alias("fp"),
+    ).collect()}
+    assert out[1]["ws"] == 8
+    assert out[1]["bpe"] == 10  # 8 words + ',' + '!'
+    assert out[1]["lang"] == "en"
+    assert out[2]["lang"] == "und"
+    assert isinstance(out[1]["fp"], int)

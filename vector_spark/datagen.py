@@ -98,22 +98,37 @@ def ensure_corpus(sf: float) -> str:
     ts_off = (np.arange(n, dtype=np.int64) * 7919) % (86400 * 30)
     word_i = rng.integers(0, len(WORDS), size=(n, 6))
 
-    doc_id = np.array([f"doc-{i:012d}" for i in range(n)])
+    # fully vectorized string assembly (6M rows must generate in seconds,
+    # not minutes — no per-row Python)
+    import pandas as pd
+
+    doc_id = np.char.add("doc-", np.char.zfill(np.arange(n).astype(str), 12))
     srcs = np.array(SOURCES)[source_idx]
     lvls = np.array(LEVELS)[level_idx]
     svcs = np.array(SERVICES)[service_idx]
     ts_epoch = BASE_TS + ts_off
-    iso = np.array(
-        [datetime.fromtimestamp(t, tz=timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ") for t in ts_epoch]
+    iso = (
+        pd.to_datetime(ts_epoch, unit="s", utc=True)
+        .strftime("%Y-%m-%dT%H:%M:%SZ")
+        .to_numpy(dtype=object)
+        .astype(str)
     )
     wl = np.array(WORDS)
-    text = np.apply_along_axis(" ".join, 1, wl[word_i])
-    message = np.array(
-        [
-            f"{iso[i]} {lvls[i]} [{svcs[i]}] user={uid[i]} status={status[i]} "
-            f"bytes={nbytes[i]} msg={text[i]}"
-            for i in range(n)
-        ]
+    cols = [wl[word_i[:, j]] for j in range(word_i.shape[1])]
+    text = cols[0]
+    for c in cols[1:]:
+        text = np.char.add(np.char.add(text, " "), c)
+
+    def cat(*parts):
+        out = parts[0]
+        for p in parts[1:]:
+            out = np.char.add(out, p)
+        return out
+
+    message = cat(
+        iso, " ", lvls, " [", svcs, "] user=", uid.astype(str),
+        " status=", status.astype(str), " bytes=", nbytes.astype(str),
+        " msg=", text,
     )
 
     table = pa.table(

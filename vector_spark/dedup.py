@@ -1,0 +1,329 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each oracle-checkable and designed for 100 TB:
+
+- exact        : hash group-by on a normalized key (one shuffle on the key;
+                 AQE-coalesced; map-side partial aggregation n/a for
+                 row_number so we use min_by winner selection)
+- minhash LSH  : word-shingle -> minhash signature -> banded bucket join;
+                 candidate pairs only within equal (band, band_signature)
+                 buckets — the standard near-dup pipeline (shuffle is on
+                 band buckets, NOT all pairs; skewed buckets are salted by
+                 construction because bucket keys include the band id)
+- simhash      : per-token hash bit-vote -> B-bit signature; near-dups =
+                 equal signature (hamming-0 buckets; hamming<=k via band
+                 rotation not needed at the fixture scale)
+- ngram jaccard: exact Jaccard on shingle sets for candidate pairs
+- embedding cosine near-dup: exact cosine over `array<float>` via
+                 zip_with/aggregate (JVM higher-order functions, no UDF)
+
+The reference's `dedupe` transform (src/transforms/dedupe.rs:124-285) is
+exact-match only; the fuzzy family is the training-data extension the
+rebuild adds (SURVEY.md scope: dedup as first-class operators).
+
+Hash discipline: every hash-gated operator uses the single portable hash
+(vector_spark.hashing) so DuckDB can verify values; swap to F.xxhash64 via
+``fast=True`` for production hot paths (same topology, cheaper hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_spark.hashing import portable_hash64, portable_hash64_sql
+
+
+def _norm(col: Column) -> Column:
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalize: bool = True
+) -> DataFrame:
+    """Exact dedup: keep the lowest-id row per (normalized) text key.
+
+    One hash-aggregate shuffle on the 60-bit content hash — at 10^12 rows
+    this is the cheapest possible exact dedup (no sort, no window); winner
+    selection is min(id) per key so the output is deterministic.
+    """
+    key = portable_hash64(_norm(F.col(text_col)) if normalize else F.col(text_col))
+    keyed = df.withColumn("_k", key)
+    winners = keyed.groupBy("_k").agg(F.min(id_col).alias(id_col))
+    return keyed.join(winners, [ "_k", id_col], "inner").drop("_k")
+
+
+def sql_dedup_exact(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    norm = f"lower(regexp_replace(trim({text_col}), '\\s+', ' ', 'g'))"
+    h = portable_hash64_sql(norm)
+    return f"""
+SELECT * EXCLUDE (_k, _rn) FROM (
+  SELECT *, {h} AS _k,
+         ROW_NUMBER() OVER (PARTITION BY {h} ORDER BY {id_col}) AS _rn
+  FROM {table}
+) WHERE _rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-shingles of ``col`` (space-joined k-grams)."""
+    c = F.col(col) if isinstance(col, str) else col
+    w = F.array_remove(F.split(F.trim(c), r"\s+"), "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(sh: Column, num_hashes: int) -> Column:
+    """Minhash signature: sig[j] = min over shingles of H(shingle || '|' || j).
+
+    Uses the portable hash so the oracle reproduces the signature.  Cost is
+    |shingles| x num_hashes hash evals inside codegen; production path
+    swaps in xxhash64(seed=j) (same structure, one JVM hash per eval).
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s: portable_hash64(F.concat(s, F.lit(f"|{j}"))))
+            )
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded minhash LSH.
+
+    rows_per_band = num_hashes/bands; two docs are candidates iff some band
+    of their signatures is identical.  Output: (id_a, id_b) with id_a <
+    id_b, distinct.  The only shuffle is the groupBy on (band, band_sig) —
+    bucket sizes are the classic LSH tradeoff; at corpus scale raise bands
+    and add a bucket-size cap (drop degenerate buckets > N, they are
+    boilerplate anyway).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sh = shingles(text_col, shingle_k)
+    sig = minhash_signature(sh, num_hashes)
+    with_sig = df.select(F.col(id_col), sig.alias("_sig"))
+    band_rows = with_sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(",", *[F.col("_sig")[b * r + i].cast("string") for i in range(r)]).alias("bsig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bsig")
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def sql_minhash_lsh_pairs(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> str:
+    r = num_hashes // bands
+    w = f"list_filter(string_split_regex(trim({text_col}), '\\s+'), x -> x <> '')"
+    grams = (
+        f"list_distinct(list_transform(range(1, GREATEST(len({w}) - {shingle_k - 1}, 1) + 1), "
+        f"i -> array_to_string({w}[i:i+{shingle_k - 1}], ' ')))"
+    )
+    sig_terms = ", ".join(
+        "list_min(list_transform(_sh, s -> "
+        + portable_hash64_sql(f"s || '|{j}'")
+        + "))"
+        for j in range(num_hashes)
+    )
+    band_structs = ", ".join(
+        "{band: "
+        + str(b)
+        + ", bsig: "
+        + " || ',' || ".join(f"CAST(_sig[{b * r + i + 1}] AS VARCHAR)" for i in range(r))
+        + "}"
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT {id_col}, {grams} AS _sh FROM {table}
+), sig AS (
+  SELECT {id_col}, [{sig_terms}] AS _sig FROM sh
+), bands AS (
+  SELECT {id_col}, unnest([{band_structs}], recursive := true) FROM sig
+)
+SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bsig = b.bsig AND a.{id_col} < b.{id_col}
+"""
+
+
+# ---------------------------------------------------------------------------
+# simhash
+
+
+def simhash(col: Column | str, bits: int = 16) -> Column:
+    """B-bit simhash over whitespace tokens: bit b is 1 iff the sum of
+    (+1/-1) votes from each distinct token's hash bit b is positive.
+
+    Expressed entirely with higher-order functions (transform/aggregate) —
+    JVM-side, no UDF.  bits<=60 (portable hash width).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.array_distinct(F.array_remove(F.split(F.trim(F.lower(c)), r"\s+"), ""))
+    hashes = F.transform(toks, lambda t: portable_hash64(t))
+    bit_cols = []
+    for b in range(bits):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        bit_cols.append(F.when(votes > 0, F.lit(2 ** b)).otherwise(F.lit(0)).cast("long"))
+    out = bit_cols[0]
+    for bc in bit_cols[1:]:
+        out = out + bc
+    return out
+
+
+def sql_simhash(expr: str, bits: int = 16) -> str:
+    toks = f"list_distinct(list_filter(string_split_regex(trim(lower({expr})), '\\s+'), x -> x <> ''))"
+    h = portable_hash64_sql("t")
+    terms = []
+    for b in range(bits):
+        vote = (
+            f"list_sum(list_transform({toks}, t -> "
+            f"CASE WHEN (({h} >> {b}) & 1) = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"CASE WHEN {vote} > 0 THEN {2 ** b} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# n-gram jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard over word k-shingle sets for candidate pairs.
+
+    ``candidates`` (id_a, id_b) restricts the comparison set (feed LSH
+    output here at scale — NEVER all pairs); defaults to all id_a < id_b
+    pairs, acceptable only at fixture scale.  Returns pairs with
+    jaccard >= threshold.
+    """
+    sh = df.select(F.col(id_col), shingles(text_col, k).alias("_sh"))
+    if candidates is None:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        joined = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        joined = (
+            candidates.alias("c")
+            .join(a, F.col(f"a.{id_col}") == F.col("c.id_a"))
+            .join(b, F.col(f"b.{id_col}") == F.col("c.id_b"))
+        )
+    inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh"))).cast("double")
+    union = F.size(F.array_union(F.col("a._sh"), F.col("b._sh"))).cast("double")
+    jac = inter / union
+    return joined.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.round(jac, 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def sql_ngram_jaccard_pairs(
+    table: str, text_col: str = "text", id_col: str = "doc_id", k: int = 3, threshold: float = 0.8
+) -> str:
+    w = f"list_filter(string_split_regex(trim({text_col}), '\\s+'), x -> x <> '')"
+    grams = (
+        f"list_distinct(list_transform(range(1, GREATEST(len({w}) - {k - 1}, 1) + 1), "
+        f"i -> array_to_string({w}[i:i+{k - 1}], ' ')))"
+    )
+    return f"""
+WITH sh AS (SELECT {id_col}, {grams} AS _sh FROM {table})
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+       ROUND(CAST(len(list_intersect(a._sh, b._sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a._sh, b._sh))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.{id_col} < b.{id_col}
+WHERE CAST(len(list_intersect(a._sh, b._sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a._sh, b._sh))) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Exact cosine similarity of two float arrays — zip_with + aggregate
+    (JVM higher-order functions; Arrow-free, UDF-free).  Math in double."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-dup pairs by exact cosine >= threshold (all-pairs; restrict via
+    LSH buckets at scale — see similarity.lsh_buckets)."""
+    a = df.select(F.col(id_col), F.col(vec_col)).alias("a")
+    b = df.select(F.col(id_col), F.col(vec_col)).alias("b")
+    joined = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    cs = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return joined.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.round(cs, 6).alias("cos"),
+    ).filter(F.col("cos") >= threshold)

@@ -1,0 +1,115 @@
+"""Similarity search over an embedding column (`array<float>`).
+
+Two tiers (SURVEY.md training-data extension):
+
+- brute-force cosine top-k — the exact baseline: broadcast the query
+  vectors, one narrow pass computing cosine via zip_with/aggregate (JVM
+  higher-order functions, no UDF), then a per-query top-k window.  At
+  10^12 rows this is a full scan but embarrassingly parallel; the shuffle
+  is only |queries| x k rows.
+- LSH-bucketed ANN — random-hyperplane signatures (sign of dot with R
+  seeded hyperplanes) bucket the corpus; candidates are scored only within
+  the query's bucket.  Deterministic: hyperplanes come from a seeded
+  numpy PCG64 and are inlined as plan literals, so the DuckDB oracle can
+  reproduce bucket assignment exactly.  This is the 100 TB path: the scan
+  prunes to matching buckets (partition the table by bucket for partition
+  pruning).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from vector_spark.dedup import cosine
+
+LSH_SEED = 1234
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = LSH_SEED) -> list[list[float]]:
+    """Deterministic random hyperplanes (rounded so SQL literals are exact)."""
+    rng = np.random.default_rng(seed)
+    return [[round(float(v), 6) for v in row] for row in rng.standard_normal((n_planes, dim))]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Signature bucket id: bit j = 1 iff dot(vec, plane_j) > 0."""
+    bits = []
+    for j, p in enumerate(planes):
+        lit = F.array(*[F.lit(v) for v in p])
+        dot = F.aggregate(
+            F.zip_with(vec, lit, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot > 0, F.lit(2 ** j)).otherwise(F.lit(0)).cast("long"))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def sql_lsh_bucket(vec_expr: str, planes: list[list[float]]) -> str:
+    terms = []
+    for j, p in enumerate(planes):
+        lit = "[" + ", ".join(f"{v!r}" for v in p) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, {len(p)} + 1), "
+            f"i -> CAST({vec_expr}[i] AS DOUBLE) * ({lit}::DOUBLE[])[i]))"
+        )
+        terms.append(f"CASE WHEN {dot} > 0 THEN {2 ** j} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """Exact brute-force top-k: for each query vector, the k most cosine-
+    similar corpus rows.  ``queries`` has (qid_col, vec_col); it is
+    broadcast (small by construction)."""
+    c = corpus.alias("c")
+    q = F.broadcast(queries).alias("q")
+    scored = c.join(q, F.lit(True)).select(
+        F.col(f"q.{qid_col}").alias(qid_col),
+        F.col(f"c.{id_col}").alias(id_col),
+        F.round(cosine(F.col(f"c.{vec_col}"), F.col(f"q.{vec_col}")), 6).alias("cos"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
+
+
+def topk_cosine_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """ANN variant: score only corpus rows sharing the query's LSH bucket.
+
+    Recall < 1 by design (single probe); production raises n_tables /
+    multi-probes.  The join key is the bucket id — with the corpus table
+    partitioned by bucket this becomes a pruned scan instead of a full one.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes)
+    c = corpus.withColumn("_b", lsh_bucket(F.col(vec_col), planes)).alias("c")
+    q = F.broadcast(queries.withColumn("_b", lsh_bucket(F.col(vec_col), planes))).alias("q")
+    scored = c.join(q, F.col("c._b") == F.col("q._b")).select(
+        F.col(f"q.{qid_col}").alias(qid_col),
+        F.col(f"c.{id_col}").alias(id_col),
+        F.round(cosine(F.col(f"c.{vec_col}"), F.col(f"q.{vec_col}")), 6).alias("cos"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
