@@ -1,0 +1,382 @@
+"""VRL standard library re-expressed as Spark Column builders.
+
+Vector's per-event expression language (VRL) has 156 stdlib functions
+(reference: website/cue/reference/remap/functions/*.cue — the in-repo doc
+corpus, each with executable examples; SURVEY.md §2.3 maps every category).
+This module implements the load-bearing subset as thin, documented wrappers
+over built-in `pyspark.sql.functions` so every call stays JVM-side inside
+whole-stage codegen — the rebuild's rule is: VRL program ≙ Column
+expression tree, compiled once on the driver, vectorized by Tungsten.
+
+Error-handling parity: VRL fallible calls (`f!()`, `?? default`) map to
+Spark's null-on-failure semantics (`to_timestamp`, `from_json`, casts all
+yield NULL on bad input); callers needing the remap `dropped` port build an
+explicit `_error` column (see pipeline.parse_stage).
+
+Functions needing per-row Python are deliberately NOT here; grok lives in
+functions/grok.py (compiled to one JVM regex pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DataType
+
+from vector_spark.hashing import portable_hash64
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ---------------------------------------------------------------------------
+# Parse (parse_json.cue, parse_key_value.cue, parse_csv.cue, parse_url.cue,
+# parse_timestamp.cue, parse_int.cue, parse_duration.cue, parse_regex.cue,
+# parse_tokens.cue, parse_query_string.cue)
+
+
+def parse_json(col: Column | str, schema: DataType | str) -> Column:
+    """parse_json: JSON string -> typed value (VRL: fallible).  Schema is
+    explicit — Spark is statically typed.  Malformed input yields a struct
+    with all-NULL fields (Spark PERMISSIVE mode); gate on a non-nullable
+    field or pair with ``F.isnull(F.get_json_object(...))`` when the error
+    must be routed (remap ``dropped`` port)."""
+    return F.from_json(_c(col), schema)
+
+
+def parse_key_value(
+    col: Column | str, field_delim: str = " ", kv_delim: str = "="
+) -> Column:
+    """parse_key_value / parse_logfmt: 'k=v k2=v2' -> map<string,string>."""
+    return F.str_to_map(_c(col), F.lit(field_delim), F.lit(kv_delim))
+
+
+parse_logfmt = parse_key_value
+
+
+def parse_query_string(col: Column | str) -> Column:
+    """parse_query_string: 'a=1&b=2' -> map (no URL-decoding of values)."""
+    return F.str_to_map(F.regexp_replace(_c(col), r"^\?", ""), F.lit("&"), F.lit("="))
+
+
+def parse_csv(col: Column | str, schema: str, sep: str = ",") -> Column:
+    """parse_csv: one CSV line -> struct (RFC-4180 quoting honored)."""
+    return F.from_csv(_c(col), F.lit(schema), {"sep": sep})
+
+
+def parse_url(col: Column | str) -> Column:
+    """parse_url: struct(scheme, host, port, path, query, fragment).
+
+    Built on parse_url()-style SQL; all parts NULL-safe."""
+    c = _c(col)
+    return F.struct(
+        F.parse_url(c, F.lit("PROTOCOL")).alias("scheme"),
+        F.parse_url(c, F.lit("HOST")).alias("host"),
+        F.parse_url(c, F.lit("QUERY")).alias("query"),
+        F.parse_url(c, F.lit("PATH")).alias("path"),
+        F.parse_url(c, F.lit("REF")).alias("fragment"),
+    )
+
+
+def parse_timestamp(col: Column | str, fmt: str) -> Column:
+    """parse_timestamp: string -> timestamp with explicit format; NULL on
+    mismatch (VRL fallible -> try_to_timestamp, never an ANSI error)."""
+    return F.try_to_timestamp(_c(col), F.lit(fmt))
+
+
+def parse_int(col: Column | str, base: int = 10) -> Column:
+    """parse_int: string -> int; supports non-10 bases via conv()."""
+    if base == 10:
+        return _c(col).cast("long")
+    return F.conv(_c(col), base, 10).cast("long")
+
+
+def parse_duration(col: Column | str, unit: str = "s") -> Column:
+    """parse_duration: '1010ms' / '2s' / '3m' / '1h' -> float in ``unit``
+    (reference parse_duration.cue; VRL parses to float seconds).  Regex
+    split of number + suffix, one pass."""
+    c = _c(col)
+    num = F.regexp_extract(c, r"^([0-9.]+)\s*([a-zµ]+)$", 1).cast("double")
+    suf = F.regexp_extract(c, r"^([0-9.]+)\s*([a-zµ]+)$", 2)
+    to_secs = (
+        F.when(suf == "ns", num / 1e9)
+        .when(suf.isin("us", "µs"), num / 1e6)
+        .when(suf == "ms", num / 1e3)
+        .when(suf == "s", num)
+        .when(suf == "m", num * 60)
+        .when(suf == "h", num * 3600)
+        .when(suf == "d", num * 86400)
+    )
+    unit_div = {"ns": 1e-9, "us": 1e-6, "ms": 1e-3, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}[unit]
+    return to_secs / F.lit(unit_div)
+
+
+def parse_regex(col: Column | str, pattern: str, fields: list[str]) -> Column:
+    """parse_regex: named-capture extraction -> struct.  ``pattern`` uses
+    numbered groups in ``fields`` order (Spark regexp_extract is index
+    based; VRL named groups compile to the same)."""
+    c = _c(col)
+    return F.struct(
+        *[F.regexp_extract(c, pattern, i + 1).alias(f) for i, f in enumerate(fields)]
+    )
+
+
+def parse_regex_all(col: Column | str, pattern: str, group: int = 1) -> Column:
+    """parse_regex_all: every match of one group -> array<string>."""
+    return F.regexp_extract_all(_c(col), F.lit(pattern), F.lit(group))
+
+
+# parse_tokens.cue:3-41 — words / "quoted strings" (backslash escapes
+# honored) / [bracketed] as tokens
+_TOKENS_RE = r'"(?:\\.|[^"\\])*"|\[[^\]]*\]|\S+'
+
+
+def parse_tokens(col: Column | str) -> Column:
+    """parse_tokens: split into words, "quoted" and [bracketed] tokens
+    (reference parse_tokens.cue example: apache log line -> tokens)."""
+    return F.regexp_extract_all(_c(col), F.lit(_TOKENS_RE), F.lit(0))
+
+
+# ---------------------------------------------------------------------------
+# Codec (encode_base64.cue, decode_base64.cue, encode_base16.cue,
+# encode_json.cue, encode_logfmt.cue)
+
+
+def encode_base64(col: Column | str) -> Column:
+    return F.base64(_c(col).cast("binary"))
+
+
+def decode_base64(col: Column | str) -> Column:
+    return F.unbase64(_c(col)).cast("string")
+
+
+def encode_base16(col: Column | str) -> Column:
+    return F.lower(F.hex(_c(col).cast("binary")))
+
+
+def decode_base16(col: Column | str) -> Column:
+    return F.unhex(_c(col)).cast("string")
+
+
+def encode_json(col: Column | str) -> Column:
+    """encode_json: any struct/map/array -> canonical JSON string."""
+    return F.to_json(_c(col))
+
+
+def encode_logfmt(pairs: dict[str, Column]) -> Column:
+    """encode_logfmt: ordered k=v pairs joined by spaces (keys sorted, as
+    encode_logfmt.cue specifies lexicographic key order)."""
+    parts = [
+        F.concat(F.lit(f"{k}="), pairs[k].cast("string")) for k in sorted(pairs)
+    ]
+    return F.concat_ws(" ", *parts)
+
+
+# ---------------------------------------------------------------------------
+# String (upcase.cue, downcase.cue, contains.cue, starts_with.cue, slice.cue,
+# replace.cue, split.cue, truncate.cue, redact.cue, strip_whitespace.cue,
+# strip_ansi_escape_codes.cue)
+
+upcase = lambda c: F.upper(_c(c))  # noqa: E731
+downcase = lambda c: F.lower(_c(c))  # noqa: E731
+strip_whitespace = lambda c: F.trim(_c(c))  # noqa: E731
+
+
+def contains(col: Column | str, substr: str, case_sensitive: bool = True) -> Column:
+    c = _c(col)
+    if not case_sensitive:
+        return F.contains(F.lower(c), F.lit(substr.lower()))
+    return F.contains(c, F.lit(substr))
+
+
+def starts_with(col: Column | str, prefix: str) -> Column:
+    return F.startswith(_c(col), F.lit(prefix))
+
+
+def ends_with(col: Column | str, suffix: str) -> Column:
+    return F.endswith(_c(col), F.lit(suffix))
+
+
+def slice_(col: Column | str, start: int, end: int | None = None) -> Column:
+    """slice: 0-based [start, end) like VRL; Spark substring is 1-based."""
+    length = (end - start) if end is not None else 2_000_000_000
+    return F.substring(_c(col), start + 1, length)
+
+
+def replace(col: Column | str, pattern: str, with_: str) -> Column:
+    return F.regexp_replace(_c(col), pattern, with_)
+
+
+def split(col: Column | str, pattern: str, limit: int = -1) -> Column:
+    return F.split(_c(col), pattern, limit)
+
+
+def truncate(col: Column | str, limit: int, suffix: str = "") -> Column:
+    c = _c(col)
+    cut = F.substring(c, 1, limit)
+    return F.when(F.length(c) > limit, F.concat(cut, F.lit(suffix))).otherwise(c)
+
+
+def redact(col: Column | str, patterns: list[str], redactor: str = "[REDACTED]") -> Column:
+    """redact: replace each regex match with the redactor string."""
+    c = _c(col)
+    for p in patterns:
+        c = F.regexp_replace(c, p, redactor)
+    return c
+
+
+def strip_ansi_escape_codes(col: Column | str) -> Column:
+    return F.regexp_replace(_c(col), r"\x1b\[[0-9;]*[A-Za-z]", "")
+
+
+# ---------------------------------------------------------------------------
+# Enumerate / Array / Object (compact.cue, flatten.cue, includes.cue,
+# length.cue, unique.cue, merge.cue, unnest.cue, append.cue, push.cue,
+# chunks.cue, map_keys.cue, map_values.cue)
+
+compact = lambda c: F.array_compact(_c(c))  # noqa: E731
+flatten = lambda c: F.flatten(_c(c))  # noqa: E731
+unique = lambda c: F.array_distinct(_c(c))  # noqa: E731
+length = lambda c: F.size(_c(c))  # noqa: E731
+strlen = lambda c: F.length(_c(c))  # noqa: E731
+
+
+def includes(col: Column | str, value) -> Column:
+    return F.array_contains(_c(col), value)
+
+
+def append(col: Column | str, items: list) -> Column:
+    return F.concat(_c(col), F.array(*[F.lit(i) for i in items]))
+
+
+def push(col: Column | str, item) -> Column:
+    return F.array_append(_c(col), item)
+
+
+def chunks(col: Column | str, chunk_size: int) -> Column:
+    """chunks: array -> array of arrays of at most chunk_size items."""
+    c = _c(col)
+    n_chunks = F.ceil(F.size(c) / F.lit(chunk_size)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(c, i * chunk_size + 1, chunk_size),
+    )
+
+
+def merge(a: Column | str, b: Column | str) -> Column:
+    """merge (objects): right-hand keys win — map_concat with dedup via
+    map_zip_with is heavier; for struct columns use withField at the
+    DataFrame level."""
+    return F.map_zip_with(
+        _c(a), _c(b), lambda k, v1, v2: F.coalesce(v2, v1)
+    )
+
+
+map_keys = lambda c: F.map_keys(_c(c))  # noqa: E731
+map_values = lambda c: F.map_values(_c(c))  # noqa: E731
+
+
+# unnest ≡ explode (unnest.cue:3-30: "also referred to as explode")
+unnest = lambda c: F.explode(_c(c))  # noqa: E731
+
+
+# ---------------------------------------------------------------------------
+# Coerce / Convert / Number (to_int.cue, to_float.cue, to_bool.cue,
+# to_string.cue, to_unix_timestamp.cue, to_syslog_level.cue,
+# to_syslog_severity.cue, abs.cue, ceil.cue, floor.cue, round.cue, mod.cue,
+# format_number.cue)
+
+to_int = lambda c: _c(c).cast("long")  # noqa: E731
+to_float = lambda c: _c(c).cast("double")  # noqa: E731
+to_bool = lambda c: _c(c).cast("boolean")  # noqa: E731
+to_string = lambda c: _c(c).cast("string")  # noqa: E731
+to_timestamp = lambda c: _c(c).cast("timestamp")  # noqa: E731
+to_unix_timestamp = lambda c: F.unix_timestamp(_c(c))  # noqa: E731
+
+abs_ = lambda c: F.abs(_c(c))  # noqa: E731
+ceil_ = lambda c: F.ceil(_c(c))  # noqa: E731
+floor_ = lambda c: F.floor(_c(c))  # noqa: E731
+round_ = lambda c, n=0: F.round(_c(c), n)  # noqa: E731
+mod = lambda c, m: F.pmod(_c(c), F.lit(m))  # noqa: E731
+format_number = lambda c, d=2: F.format_number(_c(c), d)  # noqa: E731
+
+# RFC 5424 severity keyword <-> number (to_syslog_level.cue,
+# to_syslog_severity.cue)
+_SYSLOG_LEVELS = ["emerg", "alert", "crit", "err", "warning", "notice", "info", "debug"]
+
+
+def to_syslog_level(sev: Column | str) -> Column:
+    m = F.create_map(*[x for i, lv in enumerate(_SYSLOG_LEVELS) for x in (F.lit(i), F.lit(lv))])
+    return m[_c(sev).cast("int")]
+
+
+def to_syslog_severity(level: Column | str) -> Column:
+    m = F.create_map(*[x for i, lv in enumerate(_SYSLOG_LEVELS) for x in (F.lit(lv), F.lit(i))])
+    return m[F.lower(_c(level))]
+
+
+# ---------------------------------------------------------------------------
+# IP (ip_aton.cue, ip_ntoa.cue, ip_cidr_contains.cue, is_ipv4.cue)
+
+
+def ip_aton(col: Column | str) -> Column:
+    """ip_aton: dotted-quad IPv4 -> uint32 as bigint (pure bit math,
+    codegen-friendly)."""
+    p = F.split(_c(col), r"\.")
+    return (
+        p.getItem(0).cast("long") * 16777216
+        + p.getItem(1).cast("long") * 65536
+        + p.getItem(2).cast("long") * 256
+        + p.getItem(3).cast("long")
+    )
+
+
+def ip_ntoa(col: Column | str) -> Column:
+    c = _c(col).cast("long")
+    return F.concat_ws(
+        ".",
+        (F.shiftright(c, 24).bitwiseAND(F.lit(255))).cast("string"),
+        (F.shiftright(c, 16).bitwiseAND(F.lit(255))).cast("string"),
+        (F.shiftright(c, 8).bitwiseAND(F.lit(255))).cast("string"),
+        (c.bitwiseAND(F.lit(255))).cast("string"),
+    )
+
+
+def ip_cidr_contains(cidr: str, col: Column | str) -> Column:
+    """ip_cidr_contains: static CIDR literal vs an IPv4 column."""
+    net, bits = cidr.split("/")
+    bits = int(bits)
+    mask = (0xFFFFFFFF << (32 - bits)) & 0xFFFFFFFF
+    net_i = 0
+    for part in net.split("."):
+        net_i = net_i * 256 + int(part)
+    return ip_aton(col).bitwiseAND(F.lit(mask)) == F.lit(net_i & mask)
+
+
+def is_ipv4(col: Column | str) -> Column:
+    return _c(col).rlike(r"^(\d{1,3}\.){3}\d{1,3}$") & F.forall(
+        F.split(_c(col), r"\."), lambda o: o.cast("int") <= 255
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cryptography (md5.cue, sha1.cue, sha2.cue, seahash.cue)
+
+md5 = lambda c: F.md5(_c(c).cast("binary"))  # noqa: E731
+sha1 = lambda c: F.sha1(_c(c).cast("binary"))  # noqa: E731
+sha2 = lambda c, bits=256: F.sha2(_c(c).cast("binary"), bits)  # noqa: E731
+# seahash stand-in: the ONE pinned rebuild hash (SURVEY.md §2.3 note)
+seahash = portable_hash64
+
+
+# ---------------------------------------------------------------------------
+# Timestamp (format_timestamp.cue, now.cue)
+
+
+def format_timestamp(col: Column | str, fmt: str) -> Column:
+    return F.date_format(_c(col), fmt)
+
+
+def now() -> Column:
+    return F.current_timestamp()

@@ -48,6 +48,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
+        # VRL fallible-call parity: errors coerce to NULL (f() ?? null), so
+        # casts/parses must be null-on-failure, not ANSI runtime errors
+        # (reference: VRL expression docs, SURVEY.md §2.3 error handling).
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
