@@ -1,0 +1,126 @@
+"""Topology runner tests — config compile checks (cycles, unknown inputs)
+mirroring src/config/compiler.rs + graph.rs, and an end-to-end mini
+topology with route ports and a dropped port.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.topology import TopologyError, build_topology, compile_topology, run_topology
+
+
+def test_compile_unknown_input():
+    cfg = {
+        "sources": {"s": {"kind": "parquet", "path": "/x"}},
+        "transforms": {"t": {"kind": "filter", "inputs": ["nope"], "condition": "true"}},
+        "sinks": {},
+    }
+    with pytest.raises(TopologyError, match="unknown input"):
+        compile_topology(cfg)
+
+
+def test_compile_cycle():
+    cfg = {
+        "sources": {},
+        "transforms": {
+            "a": {"kind": "filter", "inputs": ["b"], "condition": "true"},
+            "b": {"kind": "filter", "inputs": ["a"], "condition": "true"},
+        },
+        "sinks": {},
+    }
+    with pytest.raises(TopologyError, match="cycle"):
+        compile_topology(cfg)
+
+
+def test_compile_duplicate_names():
+    cfg = {
+        "sources": {"x": {"kind": "parquet", "path": "/x"}},
+        "transforms": {"x": {"kind": "filter", "inputs": ["x"], "condition": "true"}},
+        "sinks": {},
+    }
+    with pytest.raises(TopologyError, match="duplicate"):
+        compile_topology(cfg)
+
+
+def test_end_to_end_topology(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            ("2020-10-02T23:22:12Z error disk full", 1),
+            ("2020-10-02T23:22:13Z info all good", 2),
+            ("not a log line", 3),
+        ],
+        ["message", "id"],
+    )
+    cfg = {
+        "sources": {"logs": {"kind": "memory", "df": df}},
+        "transforms": {
+            "parse": {
+                "kind": "remap_grok",
+                "inputs": ["logs"],
+                "pattern": "%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:level} %{GREEDYDATA:msg}",
+                "drop_on_error": True,
+            },
+            "split": {
+                "kind": "route",
+                "inputs": ["parse"],
+                "routes": {"errors": "level = 'error'", "infos": "level = 'info'"},
+            },
+        },
+        "sinks": {
+            "err_sink": {"kind": "memory", "inputs": ["split.errors"]},
+            "info_sink": {"kind": "memory", "inputs": ["split.infos"]},
+            "dropped_sink": {"kind": "memory", "inputs": ["parse.dropped"]},
+            "files": {
+                "kind": "parquet",
+                "inputs": ["split"],
+                "path": str(tmp_path / "routed"),
+                "partition_by": ["route_key"],
+            },
+        },
+    }
+    res = run_topology(spark, cfg)
+    assert [r["id"] for r in res["err_sink"].collect()] == [1]
+    assert [r["id"] for r in res["info_sink"].collect()] == [2]
+    d = res["dropped_sink"].collect()
+    assert [r["id"] for r in d] == [3] and d[0]["dropped_component_id"] == "parse"
+    assert res["files"] == 2  # labeled union written partitioned by route
+    written = spark.read.parquet(str(tmp_path / "routed"))
+    assert sorted(r["route_key"] for r in written.select("route_key").collect()) == ["errors", "infos"]
+
+
+def test_multi_input_union(spark):
+    a = spark.createDataFrame([(1,)], ["v"])
+    b = spark.createDataFrame([(2,)], ["v"])
+    cfg = {
+        "sources": {"a": {"kind": "memory", "df": a}, "b": {"kind": "memory", "df": b}},
+        "transforms": {
+            "both": {"kind": "filter", "inputs": ["a", "b"], "condition": "v > 0"}
+        },
+        "sinks": {"out": {"kind": "blackhole", "inputs": ["both"]}},
+    }
+    assert run_topology(spark, cfg)["out"] == 2
+
+
+def test_salted_agg_matches_plain(spark):
+    from vector_spark.skew import hot_keys, salted_agg
+
+    df = spark.createDataFrame(
+        [("app", i % 7) for i in range(500)] + [("web", i % 3) for i in range(50)],
+        ["source", "n"],
+    )
+    plain = {
+        (r["source"]): (r["n_rows"], r["sum_n"])
+        for r in df.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("n").alias("sum_n"))
+        .collect()
+    }
+    salted = {
+        (r["source"]): (r["n_rows"], r["sum_n"])
+        for r in salted_agg(
+            df, ["source"], {"n_rows": F.count(F.lit(1)), "sum_n": F.sum("n")}, buckets=8
+        ).collect()
+    }
+    assert plain == salted
+    assert hot_keys(df, "source") == ["app"]

@@ -75,14 +75,39 @@ def sf_from_dir(sf_dir: str) -> float:
     return float(base.removeprefix("sf")) if base.startswith("sf") else 0.01
 
 
+# Rows per generation chunk.  Chunking matters twice: (a) this sandbox's
+# memory subsystem degrades ~15x on allocations beyond a few hundred MB, and
+# (b) the writer streams one row group per chunk so peak memory stays
+# O(chunk) at any scale factor.  Each chunk draws from its own
+# seed-sequence-keyed PCG64 ([SEED, chunk_idx]) so the corpus is
+# deterministic per sf and chunks are independently reproducible (the same
+# property a distributed generator would need).
+CHUNK_ROWS = 250_000
+
+
 def ensure_corpus(sf: float) -> str:
     """Generate (once) and return the parquet path for scale factor ``sf``."""
     path = corpus_path(sf)
     if os.path.exists(path):
         return path
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    n = rows_for_sf(sf)
-    rng = np.random.default_rng(SEED)
+    n_total = rows_for_sf(sf)
+    writer = None
+    try:
+        for chunk_idx, start in enumerate(range(0, n_total, CHUNK_ROWS)):
+            n = min(CHUNK_ROWS, n_total - start)
+            table = _gen_chunk(chunk_idx, start, n)
+            if writer is None:
+                writer = pq.ParquetWriter(path, table.schema, compression="zstd")
+            writer.write_table(table)
+    finally:
+        if writer is not None:
+            writer.close()
+    return path
+
+
+def _gen_chunk(chunk_idx: int, start: int, n: int) -> pa.Table:
+    rng = np.random.default_rng([SEED, chunk_idx])
 
     n_tok = rng.integers(1, 513, size=n, dtype=np.int32)
     offsets = np.zeros(n + 1, dtype=np.int64)
@@ -95,14 +120,16 @@ def ensure_corpus(sf: float) -> str:
     status = rng.choice(STATUS, size=n)
     uid = rng.integers(1, 10_000, size=n)
     nbytes = rng.integers(64, 1_048_576, size=n)
-    ts_off = (np.arange(n, dtype=np.int64) * 7919) % (86400 * 30)
+    ts_off = ((start + np.arange(n, dtype=np.int64)) * 7919) % (86400 * 30)
     word_i = rng.integers(0, len(WORDS), size=(n, 6))
 
     # fully vectorized string assembly (6M rows must generate in seconds,
     # not minutes — no per-row Python)
     import pandas as pd
 
-    doc_id = np.char.add("doc-", np.char.zfill(np.arange(n).astype(str), 12))
+    doc_id = np.char.add(
+        "doc-", np.char.zfill((start + np.arange(n)).astype(str), 12)
+    )
     srcs = np.array(SOURCES)[source_idx]
     lvls = np.array(LEVELS)[level_idx]
     svcs = np.array(SERVICES)[service_idx]
@@ -131,7 +158,7 @@ def ensure_corpus(sf: float) -> str:
         " msg=", text,
     )
 
-    table = pa.table(
+    return pa.table(
         {
             "doc_id": pa.array(doc_id, pa.string()),
             "tokens": pa.ListArray.from_arrays(pa.array(offsets), pa.array(tokens_flat)),
@@ -141,5 +168,3 @@ def ensure_corpus(sf: float) -> str:
             "message": pa.array(message, pa.string()),
         }
     )
-    pq.write_table(table, path, compression="zstd")
-    return path

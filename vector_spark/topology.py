@@ -1,0 +1,212 @@
+"""Config-driven topology runner — the rebuild of Vector's
+config -> compile -> build -> run lifecycle (SURVEY.md §3.1).
+
+A topology is a dict (≅ Vector's TOML after parsing)::
+
+    {
+      "sources":    {name: {"kind": "parquet", "path": ...}},
+      "transforms": {name: {"kind": "filter"|"route"|"remap_grok"|...,
+                             "inputs": [upstream, ...], ...}},
+      "sinks":      {name: {"kind": "parquet"|"console"|"blackhole"|"memory",
+                             "inputs": [upstream], ...}},
+    }
+
+Compile phase mirrors src/config/compiler.rs:8-80 + src/config/graph.rs:
+- name/shape validation, unknown-input check
+- cycle check (DFS from sinks, graph.rs:210-247)
+- route outputs addressed as "transform.route_name" (multi-output ports,
+  exactly Vector's `route.<name>` syntax)
+
+Build phase: each component becomes a DataFrame (sources) or a
+DataFrame->DataFrame stage; Catalyst sees the WHOLE topology as one plan
+per sink, so cross-stage optimization (pushdown through the fan-out) is
+free — the Spark-native analogue of Vector's per-component Tokio tasks.
+
+There is deliberately no optimizer here (Vector has none; Catalyst is
+ours) and no buffering/backpressure (shuffle + AQE).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_spark.enrichment import enrich_find
+from vector_spark.functions.grok import grok_columns, grok_matched
+from vector_spark.operators import dedupe, filter_events, reduce_events, route, sample, throttle
+
+
+class TopologyError(ValueError):
+    pass
+
+
+@dataclass
+class Topology:
+    config: dict
+    outputs: dict[str, DataFrame] = field(default_factory=dict)  # component(.port) -> DF
+
+
+def _expr(e) -> Column:
+    """Conditions in configs are SQL strings (≅ VRL boolean conditions) or
+    prepared Columns."""
+    return F.expr(e) if isinstance(e, str) else e
+
+
+def compile_topology(config: dict) -> list[str]:
+    """Validate + topo-sort; returns build order of transform names.
+
+    Raises TopologyError on unknown inputs, cycles, or sinks with fan-in
+    (≅ graph.typecheck + check_for_cycles, src/config/graph.rs:185-247).
+    """
+    sources = config.get("sources", {})
+    transforms = config.get("transforms", {})
+    sinks = config.get("sinks", {})
+    names = set(sources) | set(transforms) | set(sinks)
+    if len(names) != len(sources) + len(transforms) + len(sinks):
+        raise TopologyError("duplicate component names")
+
+    def base(ref: str) -> str:
+        return ref.split(".", 1)[0]
+
+    for name, spec in {**transforms, **sinks}.items():
+        for ref in spec.get("inputs", []):
+            if base(ref) not in (set(sources) | set(transforms)):
+                raise TopologyError(f"{name}: unknown input {ref!r}")
+
+    # Kahn toposort over transforms (sources have no inputs; sinks are leaves)
+    order: list[str] = []
+    seen: set[str] = set(sources)
+    pending = dict(transforms)
+    while pending:
+        ready = [
+            n for n, s in pending.items()
+            if all(base(r) in seen for r in s.get("inputs", []))
+        ]
+        if not ready:
+            raise TopologyError(f"cycle detected among {sorted(pending)}")
+        for n in sorted(ready):
+            order.append(n)
+            seen.add(n)
+            del pending[n]
+    return order
+
+
+def build_topology(spark: SparkSession, config: dict) -> Topology:
+    """Build every component; returns the Topology with all outputs bound."""
+    order = compile_topology(config)
+    topo = Topology(config)
+    out = topo.outputs
+
+    for name, spec in config.get("sources", {}).items():
+        kind = spec["kind"]
+        if kind == "parquet":
+            out[name] = spark.read.parquet(spec["path"])
+        elif kind == "memory":
+            out[name] = spec["df"]
+        else:
+            raise TopologyError(f"{name}: unknown source kind {kind!r}")
+
+    def inp(spec) -> DataFrame:
+        refs = spec.get("inputs", [])
+        dfs = [out[r] for r in refs]
+        if not dfs:
+            raise TopologyError("component requires inputs")
+        merged = dfs[0]
+        for d in dfs[1:]:
+            merged = merged.unionByName(d, allowMissingColumns=True)
+        return merged
+
+    for name in order:
+        spec = config["transforms"][name]
+        kind = spec["kind"]
+        df = inp(spec)
+        if kind == "filter":
+            out[name] = filter_events(df, _expr(spec["condition"]))
+        elif kind == "route":
+            r = route(df, {k: _expr(v) for k, v in spec["routes"].items()})
+            for rname, rdf in r.routes.items():
+                out[f"{name}.{rname}"] = rdf
+            out[name] = r.labeled  # bare name = labeled union (for metrics)
+        elif kind == "sample":
+            out[name] = sample(df, rate=spec["rate"], key_field=spec.get("key_field"))
+        elif kind == "dedupe":
+            out[name] = dedupe(
+                df, match_fields=spec.get("fields"), ignore_fields=spec.get("ignore"),
+                order_by=spec.get("order_by"),
+            )
+        elif kind == "throttle":
+            out[name] = throttle(
+                df, threshold=spec["threshold"], window_secs=spec["window_secs"],
+                ts_col=spec.get("ts_col", "ts"), key_field=spec.get("key_field"),
+            )
+        elif kind == "reduce":
+            out[name] = reduce_events(
+                df, group_by=spec["group_by"],
+                merge_strategies=spec.get("merge_strategies"),
+                order_col=spec.get("order_col", "ts"),
+                ends_when=_expr(spec["ends_when"]) if "ends_when" in spec else None,
+            )
+        elif kind == "remap_grok":
+            cols = grok_columns(spec.get("field", "message"), spec["pattern"])
+            parsed = df.select("*", *cols)
+            if spec.get("drop_on_error"):
+                parsed = parsed.filter(grok_matched(spec.get("field", "message"), spec["pattern"]))
+                dropped = df.filter(~grok_matched(spec.get("field", "message"), spec["pattern"]))
+                out[f"{name}.dropped"] = dropped.select(
+                    "*",
+                    F.lit("grok parse failed").alias("dropped_reason"),
+                    F.lit(name).alias("dropped_component_id"),
+                )
+            out[name] = parsed
+        elif kind == "remap_select":
+            out[name] = df.selectExpr(*spec["exprs"])
+        elif kind == "enrich":
+            out[name] = enrich_find(
+                df, spec["table"], on=spec["on"],
+                case_sensitive=spec.get("case_sensitive", True),
+                date_range=spec.get("date_range"), select=spec.get("select"),
+            )
+        elif kind == "log_to_metric":
+            from vector_spark.operators.metrics import log_to_metric
+
+            out[name] = log_to_metric(
+                df, name=spec["name"], metric_type=spec.get("metric_type", "counter"),
+                field=spec.get("field"),
+                tags={k: _expr(v) for k, v in spec.get("tags", {}).items()},
+                ts_col=spec.get("ts_col", "ts"),
+                increment_by_value=spec.get("increment_by_value", False),
+            )
+        else:
+            raise TopologyError(f"{name}: unknown transform kind {kind!r}")
+
+    return topo
+
+
+def run_topology(spark: SparkSession, config: dict) -> dict[str, object]:
+    """Build then execute every sink; returns {sink: rows_written | DataFrame}."""
+    topo = build_topology(spark, config)
+    results: dict[str, object] = {}
+    for name, spec in config.get("sinks", {}).items():
+        refs = spec.get("inputs", [])
+        df = topo.outputs[refs[0]]
+        for r in refs[1:]:
+            df = df.unionByName(topo.outputs[r], allowMissingColumns=True)
+        kind = spec["kind"]
+        if kind == "parquet":
+            writer = df.write.mode(spec.get("mode", "overwrite"))
+            if spec.get("partition_by"):
+                writer = writer.partitionBy(*spec["partition_by"])
+            writer.parquet(spec["path"])
+            results[name] = spark.read.parquet(spec["path"]).count()
+        elif kind == "blackhole":
+            results[name] = df.count()
+        elif kind == "console":
+            df.show(spec.get("n", 20), truncate=False)
+            results[name] = None
+        elif kind == "memory":
+            results[name] = df
+        else:
+            raise TopologyError(f"{name}: unknown sink kind {kind!r}")
+    return results
