@@ -1,0 +1,126 @@
+"""Sources/codecs, sinks/encoders, and Structured Streaming parity tests."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+
+def test_read_lines_and_syslog_decode(spark, tmp_path):
+    from vector_spark.sources import decode_syslog, read_lines
+
+    p = tmp_path / "syslog.log"
+    p.write_text(
+        "<165>1 2020-10-02T23:22:12Z host1 app1 1234 ID47 something happened\n"
+        "garbage line\n"
+    )
+    df = decode_syslog(read_lines(spark, str(p)))
+    rows = {r["message"]: r for r in df.collect()}
+    ok = rows["<165>1 2020-10-02T23:22:12Z host1 app1 1234 ID47 something happened"]
+    assert ok["syslog_priority"] == 165
+    assert ok["syslog_facility"] == 20 and ok["syslog_severity"] == 5
+    assert ok["syslog_hostname"] == "host1" and ok["syslog_message"] == "something happened"
+    assert ok["_decode_error"] is None
+    assert rows["garbage line"]["_decode_error"] == "invalid syslog"
+
+
+def test_character_delimited_framing(spark, tmp_path):
+    from vector_spark.sources import read_character_delimited
+
+    p = tmp_path / "frames.dat"
+    p.write_text("one\x00two\x00three")
+    df = read_character_delimited(spark, str(p), "\x00")
+    assert sorted(r["message"] for r in df.collect()) == ["one", "three", "two"]
+
+
+def test_gelf_decode(spark, tmp_path):
+    from vector_spark.sources import decode_gelf, read_lines
+
+    p = tmp_path / "gelf.log"
+    p.write_text(
+        json.dumps({"version": "1.1", "host": "h", "short_message": "hi"}) + "\n"
+        + json.dumps({"version": "1.1", "short_message": "orphan"}) + "\n"
+    )
+    df = decode_gelf(read_lines(spark, str(p)))
+    rows = sorted(df.collect(), key=lambda r: r["short_message"])
+    assert rows[0]["_decode_error"] is None and rows[0]["level"] == 1
+    assert "missing host" in rows[1]["_decode_error"]
+
+
+def test_encoders(spark):
+    from vector_spark.sinks import (
+        encode_csv_rows,
+        encode_json_rows,
+        encode_logfmt_rows,
+        encode_text_rows,
+    )
+
+    df = spark.createDataFrame([("hello, world", 5)], ["message", "n"])
+    assert json.loads(encode_json_rows(df).first()["value"]) == {"message": "hello, world", "n": 5}
+    assert encode_text_rows(df).first()["value"] == "hello, world"
+    assert encode_logfmt_rows(df).first()["value"] == "message=hello, world n=5"
+    assert encode_csv_rows(df).first()["value"] == '"hello, world",5'
+
+
+def test_file_sink_roundtrip(spark, tmp_path):
+    from vector_spark.sinks import write_file_sink
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"])
+    out = tmp_path / "sink"
+    write_file_sink(df, str(out), encoding="json")
+    back = [json.loads(r["value"]) for r in spark.read.text(str(out)).collect()]
+    assert sorted(back, key=lambda d: d["k"]) == [{"k": "a", "v": 1}, {"k": "b", "v": 2}]
+
+
+def test_streaming_aggregate_matches_batch(spark, tmp_path):
+    """Streaming tumbling-window aggregate (availableNow) must equal the
+    batch group-by on the same data — the §2.6 flush-state equivalence."""
+    from vector_spark.streaming import stream_aggregate, stream_from_directory
+
+    src = tmp_path / "metrics_in"
+    rows = [
+        ("c", "incremental", 1.0, "2024-01-01 00:00:01"),
+        ("c", "incremental", 2.0, "2024-01-01 00:00:03"),
+        ("g", "absolute", 5.0, "2024-01-01 00:00:02"),
+        ("g", "absolute", 7.0, "2024-01-01 00:00:04"),
+    ]
+    df = spark.createDataFrame(rows, ["name", "kind", "value", "ts_s"]).select(
+        "name", "kind", "value", F.to_timestamp("ts_s").alias("ts")
+    )
+    df.write.parquet(str(src))
+    stream = stream_from_directory(
+        spark, str(src), "name string, kind string, value double, ts timestamp"
+    )
+    agg = stream_aggregate(stream, interval_secs=10)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("agg_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["name"]: r for r in spark.sql("SELECT * FROM agg_out").collect()}
+    assert got["c"]["sum_incremental"] == 3.0
+    assert got["g"]["last_absolute"] == 7.0
+
+
+def test_streaming_route_fanout(spark, tmp_path):
+    from vector_spark.streaming import stream_from_directory, stream_route_to_sinks
+
+    src = tmp_path / "logs_in"
+    spark.createDataFrame(
+        [("e1", "ERROR"), ("w1", "WARN"), ("i1", "INFO")], ["id", "level"]
+    ).write.parquet(str(src))
+    stream = stream_from_directory(spark, str(src), "id string, level string")
+    q = stream_route_to_sinks(
+        stream,
+        {"errors": F.col("level") == "ERROR", "warnings": F.col("level") == "WARN"},
+        str(tmp_path / "routed"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "routed"))
+    got = {r["route_key"]: r["id"] for r in out.collect()}
+    assert got == {"errors": "e1", "warnings": "w1", "_unmatched": "i1"}

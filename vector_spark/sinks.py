@@ -1,0 +1,114 @@
+"""Sinks + encoding codecs.
+
+Reference surface (SURVEY.md §2.5): ~40 delivery connectors sharing one
+sink toolkit (src/sinks/util/): batching, key-partitioned batching,
+templated paths, retries, adaptive concurrency.  In Spark the delivery
+machinery IS the writer: batching = target file size, partitioned batching
+= partitionBy, retries = task retries, acks = atomic commit protocol.
+What remains worth re-expressing: the ENCODERS
+(lib/codecs/src/encoding/format/: json, text, logfmt, csv) and the sink
+kinds the fixtures use (file, console, blackhole).
+
+Encoders are Column expressions producing one string per event; writers
+take any DataFrame.  Templated sink paths ({{ field }} strftime templates,
+src/template.rs:21,142-161 + file sink src/sinks/file/mod.rs:46-89) map to
+partitionBy columns — a path template IS a partition spec in batch land.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --- encoders (lib/codecs/src/encoding/format/*) ---------------------------
+
+
+def encode_json_rows(df: DataFrame) -> DataFrame:
+    """json encoder: each event -> one JSON line (struct of all columns)."""
+    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+
+
+def encode_text_rows(df: DataFrame, field: str = "message") -> DataFrame:
+    """text encoder: the message field verbatim (encoding/format/text.rs)."""
+    return df.select(F.col(field).cast("string").alias("value"))
+
+
+def encode_logfmt_rows(df: DataFrame, fields: list[str] | None = None) -> DataFrame:
+    """logfmt encoder: k=v pairs, keys in lexicographic order
+    (encoding/format/logfmt.rs uses field order; rebuild pins sorted order
+    for determinism — documented delta)."""
+    cols = sorted(fields or df.columns)
+    parts = [F.concat(F.lit(f"{c}="), F.col(c).cast("string")) for c in cols]
+    return df.select(F.concat_ws(" ", *parts).alias("value"))
+
+
+def encode_csv_rows(df: DataFrame, fields: list[str] | None = None) -> DataFrame:
+    """csv encoder: fixed field order, RFC-4180 quoting via to_csv."""
+    cols = fields or df.columns
+    return df.select(F.to_csv(F.struct(*[F.col(c) for c in cols])).alias("value"))
+
+
+# --- sinks -----------------------------------------------------------------
+
+
+def write_file_sink(
+    df: DataFrame,
+    path: str,
+    encoding: str = "json",
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    text_field: str = "message",
+    target_file_rows: int | None = None,
+) -> None:
+    """file sink (src/sinks/file/mod.rs): encoded lines; ``partition_by``
+    is the batch rendering of the path template; ``target_file_rows``
+    stands in for BatchConfig.max_events (sink batching,
+    src/sinks/util/batch.rs:96-116)."""
+    enc = {
+        "json": encode_json_rows,
+        "text": lambda d: encode_text_rows(d, text_field),
+        "logfmt": encode_logfmt_rows,
+        "csv": encode_csv_rows,
+    }[encoding]
+    if partition_by:
+        # keep partition columns alongside the encoded value
+        encoded = df.select(
+            *[F.col(c) for c in partition_by], enc(df.drop(*partition_by))["value"]
+        )
+    else:
+        encoded = enc(df)
+    writer = encoded.write.mode(mode)
+    if target_file_rows:
+        writer = writer.option("maxRecordsPerFile", target_file_rows)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.text(path) if not partition_by else writer.format("text").save(path)
+
+
+def write_parquet_sink(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Table sink seam (parquet now; fmt='iceberg' + saveAsTable when the
+    runtime jar is present — none in this sandbox, documented fallback)."""
+    writer = df.write.mode(mode).format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def write_blackhole(df: DataFrame) -> int:
+    """blackhole sink (src/sinks/blackhole/): swallow + report count."""
+    df.write.format("noop").mode("overwrite").save()
+    return df.count()
+
+
+def write_console(df: DataFrame, n: int = 20, encoding: str = "json") -> None:
+    """console sink: encoded sample to stdout."""
+    enc = {"json": encode_json_rows, "logfmt": encode_logfmt_rows}[encoding]
+    for r in enc(df).limit(n).collect():
+        print(r["value"])

@@ -1,0 +1,128 @@
+"""Sources (scans) + decoding codecs.
+
+Reference surface (SURVEY.md §2.4): 38 network/file sources whose batch
+analogue is a table/file scan, plus shared decoding codecs
+(lib/codecs/src/decoding/): framing = newline / character-delimited /
+length-prefixed / octet-counting; deserializers = bytes, json, syslog,
+native_json, gelf.
+
+Spark-first mapping: ingestion IS `spark.read` — the connector zoo
+collapses into format + framing + deserializer:
+
+- `file` source (src/sources/file.rs) -> read_lines / read_json_lines;
+  fingerprint checkpoints (lib/file-source/src/checkpointer.rs) ->
+  pipeline manifest table
+- `kafka`/`socket`/`http_server` -> out of batch scope; an Iceberg/parquet
+  landing table replaces them (north_rule is batch-over-table)
+- `demo_logs` (src/sources/demo_logs.rs) -> datagen.ensure_corpus
+- syslog source (src/sources/syslog.rs) -> read_lines + decode_syslog
+
+Every decoder is a Column expression (JVM, codegen); a malformed line
+yields NULL fields + `_decode_error`, the sources' invalid-frame drop path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_spark.functions.grok import CANNED, grok_columns, grok_matched
+
+
+def read_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Newline-delimited framing (decoding/framing/newline_delimited.rs):
+    one event per line, raw bytes in `message` + lineage columns
+    (log_schema defaults: message/source_type, log_schema.rs:86-106)."""
+    return (
+        spark.read.text(path)
+        .withColumnRenamed("value", "message")
+        .withColumn("source_type", F.lit("file"))
+        .withColumn("file", F.input_file_name())
+    )
+
+
+def read_character_delimited(
+    spark: SparkSession, path: str, delimiter: str
+) -> DataFrame:
+    """Character-delimited framing: whole file split on a delimiter
+    (decoding/framing/character_delimited.rs)."""
+    whole = spark.read.text(path, wholetext=True)
+    return (
+        whole.select(
+            F.explode(F.split(F.col("value"), F.lit(delimiter), -1)).alias("message")
+        )
+        .filter(F.length("message") > 0)
+        .withColumn("source_type", F.lit("file"))
+    )
+
+
+def read_json_lines(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """JSON deserializer over newline framing (decoding/format/json.rs).
+    With an explicit schema malformed rows surface via _corrupt_record."""
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return reader.json(path).withColumn("source_type", F.lit("json_file"))
+
+
+def read_csv_table(
+    spark: SparkSession, path: str, schema: str | None = None, header: bool = True, sep: str = ","
+) -> DataFrame:
+    reader = spark.read.option("header", header).option("sep", sep)
+    if schema:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_table(spark: SparkSession, path_or_name: str, fmt: str = "parquet") -> DataFrame:
+    """Table scan seam: parquet today, `fmt='iceberg'` + a table name when
+    the Iceberg runtime jar is on the classpath (none in this sandbox —
+    documented fallback; the pipeline code is format-agnostic)."""
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(path_or_name)
+    return spark.read.format(fmt).load(path_or_name)
+
+
+# --- deserializers (decoding/format/*) -------------------------------------
+
+# RFC 5424-ish syslog line (decoding/format/syslog.rs; same shape as the
+# canned grok in functions/grok.py)
+_SYSLOG = CANNED["syslog_5424ish"]
+
+
+def decode_syslog(df: DataFrame, src: str = "message") -> DataFrame:
+    """Syslog deserializer: priority/version/timestamp/hostname/appname/
+    procid/msgid/message fields; facility = pri >> 3, severity = pri & 7."""
+    parsed = df.select(
+        "*", *grok_columns(src, _SYSLOG, prefix="syslog_"),
+        F.when(~grok_matched(src, _SYSLOG), F.lit("invalid syslog")).alias("_decode_error"),
+    )
+    return parsed.withColumn(
+        "syslog_facility", (F.col("syslog_priority") / 8).cast("int")
+    ).withColumn("syslog_severity", (F.col("syslog_priority") % 8).cast("int"))
+
+
+def decode_json_field(df: DataFrame, schema: str, src: str = "message") -> DataFrame:
+    """JSON deserializer as a transform over an already-framed column."""
+    return df.withColumn("_parsed", F.from_json(F.col(src), schema)).select(
+        "*", "_parsed.*"
+    ).drop("_parsed")
+
+
+def decode_gelf(df: DataFrame, src: str = "message") -> DataFrame:
+    """GELF deserializer (decoding/format/gelf.rs): fixed envelope fields;
+    host + short_message required, level defaults to 1 (alert)."""
+    schema = (
+        "version string, host string, short_message string, full_message string,"
+        " timestamp double, level int"
+    )
+    out = decode_json_field(df, schema, src)
+    return out.withColumn("level", F.coalesce(F.col("level"), F.lit(1))).withColumn(
+        "_decode_error",
+        F.when(
+            F.col("host").isNull() | F.col("short_message").isNull(),
+            F.lit("invalid gelf: missing host/short_message"),
+        ),
+    )

@@ -1,0 +1,92 @@
+"""Structured Streaming rendering of the dataflow (SURVEY.md §2.6).
+
+The north rule fixes the rebuild to batch-over-table, but the reference is
+a streaming engine, so the streaming-mode parity surface lives here:
+
+| reference                                   | here                        |
+|---------------------------------------------|-----------------------------|
+| source pump (EventArray chunks)             | readStream micro-batches    |
+| aggregate interval_ms flush (aggregate.rs)  | event-time tumbling window  |
+| reduce expire_after_ms stale flush          | watermark-driven state drop |
+| route fan-out to sinks (Fanout)             | foreachBatch multi-write    |
+| end-to-end acks / checkpointer              | checkpointLocation + exactly-once file sink |
+
+Processing-time flush timers become event-time windows + watermark — batch
+fixtures assert identical post-flush state (the delta documented in
+SURVEY.md §2.6: no lateness loss in batch, bounded by watermark here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_spark.operators.route import route_labeled
+
+
+def stream_from_directory(
+    spark: SparkSession, path: str, schema: str, fmt: str = "parquet", **options
+) -> DataFrame:
+    """File-stream source: new files in ``path`` become micro-batches (the
+    streaming analogue of the `file` source's tail+checkpoint loop,
+    src/sources/file.rs — offsets tracked in the query checkpoint)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def stream_aggregate(
+    df: DataFrame,
+    interval_secs: int = 10,
+    watermark: str = "30 seconds",
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("name",),
+    kind_col: str = "kind",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming `aggregate` transform (src/transforms/aggregate.rs:59-148):
+    per (window, series) — incremental summed, absolute last-write-wins;
+    watermark bounds state (the stale-flush timer analogue)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), f"{interval_secs} seconds").alias("w"), *keys)
+        .agg(
+            F.sum(
+                F.when(F.col(kind_col) == "incremental", F.col(value_col))
+            ).alias("sum_incremental"),
+            F.max_by(
+                F.when(F.col(kind_col) == "absolute", F.col(value_col)), F.col(ts_col)
+            ).alias("last_absolute"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), *keys,
+            "sum_incremental", "last_absolute", "n_samples",
+        )
+    )
+
+
+def stream_route_to_sinks(
+    df: DataFrame,
+    conditions: dict[str, Column],
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming route fan-out: ONE stream, foreachBatch computes the
+    labeled explode once per micro-batch and writes every route partition
+    in one atomic job (Fanout + per-sink acks ≙ checkpointed exactly-once
+    file output)."""
+    conds = dict(conditions)
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        labeled = route_labeled(batch, conds)
+        labeled.write.mode("append").partitionBy("route_key").parquet(out_dir)
+
+    writer = df.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
