@@ -338,7 +338,104 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 
 
 # ---------------------------------------------------------------------------
+# reduce sessionization (ends_when) — reference reduce/mod.rs:229-296
+
+
+def _q_reduce_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", "value", "ts", "event_id"
+    )
+    r = reduce_events(
+        ev,
+        group_by=["user_id"],
+        merge_strategies={"event_type": "discard", "value": "sum", "event_id": "min"},
+        order_col="ts",
+        ends_when=F.col("event_type") == "logout",
+    )
+    return r.select(
+        "user_id",
+        F.col("event_id").alias("first_event_id"),
+        F.col("event_type").alias("first_event_type"),
+        F.round("value", 2).alias("sum_value"),
+    )
+
+
+_SQL_REDUCE_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, event_type, value, ts, event_id,
+         COALESCE(SUM(CASE WHEN event_type = 'logout' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sess
+  FROM events
+)
+SELECT user_id,
+       MIN(event_id) AS first_event_id,
+       arg_min(event_type, ts) AS first_event_type,
+       ROUND(SUM(value), 2) AS sum_value
+FROM flagged GROUP BY user_id, sess
+"""
+
+
+# ---------------------------------------------------------------------------
+# tag_cardinality_limit — reference src/transforms/tag_cardinality_limit/
+
+
+def _q_tag_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators.metrics import tag_cardinality_limit
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "user_id")
+    limited = tag_cardinality_limit(ev, ["user_id"], value_limit=50, action="drop_tag")
+    return limited.select("event_id", F.col("user_id").cast("string").alias("user_id"))
+
+
+_SQL_TAG_CARDINALITY = """
+WITH admitted AS (
+  SELECT user_id AS adm FROM (
+    SELECT DISTINCT user_id FROM events
+  ) QUALIFY dense_rank() OVER (ORDER BY user_id ASC NULLS LAST) <= 50
+)
+SELECT e.event_id,
+       CASE WHEN a.adm IS NOT NULL THEN CAST(e.user_id AS VARCHAR) END AS user_id
+FROM events e LEFT JOIN admitted a ON e.user_id = a.adm
+"""
+
+
+# ---------------------------------------------------------------------------
 # training-data ops: text analysis / dedup / similarity (documents, embeddings)
+
+
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus filter: keep docs with quality >= 0.7 and >= 20 BPE
+    tokens; emit per-source survivor stats (filter + textstats compose)."""
+    from vector_spark import textstats as T
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = d.select(
+        "source",
+        T.quality_score("text").alias("q"),
+        T.token_count_bpe("text").alias("n_bpe"),
+    )
+    kept = scored.filter((F.col("q") >= 0.7) & (F.col("n_bpe") >= 20))
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.round(F.avg("q"), 6).alias("avg_q"))
+        .orderBy("source")
+    )
+
+
+def _sql_quality_filter() -> str:
+    from vector_spark import textstats as T
+
+    q = T.sql_quality_score("text")
+    return f"""
+WITH scored AS (
+  SELECT source, {q} AS q, {T.sql_token_count_bpe("text")} AS n_bpe
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_kept, ROUND(AVG(q), 6) AS avg_q
+FROM scored WHERE q >= 0.7 AND n_bpe >= 20
+GROUP BY source ORDER BY source
+"""
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -554,6 +651,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "media_features": _q_media_features,
+        "reduce_sessions": _q_reduce_sessions,
+        "tag_cardinality_limit": _q_tag_cardinality,
+        "quality_filter": _q_quality_filter,
     }
 
 
@@ -580,4 +680,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _sql_ann_topk(),
         "ann_topk_lsh": _sql_ann_topk_lsh(),
         # media_features: payloads exist only in Spark -> rows-only check
+        "reduce_sessions": _SQL_REDUCE_SESSIONS,
+        "tag_cardinality_limit": _SQL_TAG_CARDINALITY,
+        "quality_filter": _sql_quality_filter(),
     }
