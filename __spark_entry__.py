@@ -566,6 +566,26 @@ WHERE {cs} >= 0.5
 """
 
 
+def _q_embedding_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.similarity import embedding_dup_pairs_lsh
+
+    return embedding_dup_pairs_lsh(_embs(spark, sf_dir), threshold=0.5, n_planes=4, dim=64)
+
+
+def _sql_embedding_dup_lsh() -> str:
+    from vector_spark.similarity import hyperplanes, sql_lsh_bucket
+
+    planes = hyperplanes(64, 4)
+    bkt = sql_lsh_bucket("embedding", planes)
+    cs = _sql_cosine("a.embedding", "b.embedding")
+    return f"""
+WITH bucketed AS (SELECT vec_id, embedding, {bkt} AS _b FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({cs}, 6) AS cos
+FROM bucketed a JOIN bucketed b ON a._b = b._b AND a.vec_id < b.vec_id
+WHERE {cs} >= 0.5
+"""
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.similarity import topk_cosine
 
@@ -648,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_dup": _q_embedding_dup,
+        "embedding_dup_lsh": _q_embedding_dup_lsh,
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "media_features": _q_media_features,
@@ -677,6 +698,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _sql_simhash(),
         "ngram_jaccard": _sql_ngram_jaccard(),
         "embedding_dup": _sql_embedding_dup(),
+        "embedding_dup_lsh": _sql_embedding_dup_lsh(),
         "ann_topk": _sql_ann_topk(),
         "ann_topk_lsh": _sql_ann_topk_lsh(),
         # media_features: payloads exist only in Spark -> rows-only check

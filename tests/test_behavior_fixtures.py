@@ -358,3 +358,67 @@ def test_throttle_threshold_per_window(spark):
     per = out.groupBy("user", (F.unix_timestamp("ts") / 3600).cast("bigint").alias("w")).count().collect()
     assert all(r["count"] <= 2 for r in per)
     assert out.count() == 2 + 1 + 1  # u1 window0 capped at 2; u1 window1: 1; u2: 1
+
+
+# --- UDF surface (lua analogue) + static enrich ----------------------------
+
+
+def test_map_events_pandas_multi_emit(spark):
+    import pandas as pd
+
+    from vector_spark.operators.custom import map_events_pandas
+
+    df = spark.createDataFrame([("a", 2), ("b", 0), ("c", 1)], ["k", "n"])
+
+    def repeat_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+        # emit each row n times (0..N emission like lua process hooks)
+        return pdf.loc[pdf.index.repeat(pdf["n"])].reset_index(drop=True)
+
+    out = map_events_pandas(df, repeat_rows, "k string, n int")
+    got = sorted(r["k"] for r in out.collect())
+    assert got == ["a", "a", "c"]
+
+
+def test_apply_grouped_pandas(spark):
+    import pandas as pd
+
+    from vector_spark.operators.custom import apply_grouped_pandas
+
+    df = spark.createDataFrame(
+        [("u1", 3.0), ("u1", 5.0), ("u2", 7.0)], ["user", "v"]
+    )
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user": [pdf["user"].iloc[0]], "total": [pdf["v"].sum()]})
+
+    out = {r["user"]: r["total"] for r in apply_grouped_pandas(
+        df, ["user"], summarize, "user string, total double"
+    ).collect()}
+    assert out == {"u1": 8.0, "u2": 7.0}
+
+
+def test_enrich_static(spark):
+    from vector_spark.enrichment import enrich_static
+
+    df = spark.createDataFrame([(1,)], ["v"])
+    out = enrich_static(df, {"region": "us-east-1", "az": "use1-az4"}).first()
+    assert out["region"] == "us-east-1" and out["az"] == "use1-az4"
+
+
+def test_metric_to_log_roundtrip(spark):
+    import json as _json
+
+    from vector_spark.operators.metrics import log_to_metric, metric_to_log
+
+    df = spark.createDataFrame(
+        [("error", 2.0, _ts("2024-01-01T00:00:00"), "h9")],
+        ["event_type", "value", "ts", "host"],
+    )
+    m = log_to_metric(
+        df, name="events_total", metric_type="counter",
+        tags={"host": F.col("host"), "et": F.col("event_type")}, ts_col="ts",
+    )
+    logs = metric_to_log(m).first()
+    assert logs["host"] == "h9"  # host tag hoisted (metric_to_log.rs:278)
+    payload = _json.loads(logs["message"])
+    assert payload["name"] == "events_total" and payload["kind"] == "incremental"

@@ -105,3 +105,14 @@ def enrich_get(
         .otherwise(F.lit(None)),
     )
     return out.drop("_rn", "_match_cnt")
+
+
+def enrich_static(events: DataFrame, values: dict) -> DataFrame:
+    """Environment enrichment: attach constant fields to every event — the
+    `aws_ec2_metadata` transform shape (reference
+    src/transforms/aws_ec2_metadata.rs:92-149: cached instance metadata
+    stamped onto each event).  Literals fold into the plan; zero cost."""
+    out = events
+    for k, v in values.items():
+        out = out.withColumn(k, F.lit(v))
+    return out

@@ -54,7 +54,18 @@ def get_spark(
         # casts/parses must be null-on-failure, not ANSI runtime errors
         # (reference: VRL expression docs, SURVEY.md §2.3 error handling).
         .config("spark.sql.ansi.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "6g"))
+        # Sandbox-host mitigation (measured, see BENCH.md): this VM serves
+        # first-touch pages extremely slowly, so fault the whole heap at JVM
+        # start (outside any timed region) and use the throughput collector.
+        # Harmless on real clusters; executor JVMs there take cluster conf.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-XX:+AlwaysPreTouch -XX:+UseParallelGC -Xms6g",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

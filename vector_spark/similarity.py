@@ -85,6 +85,37 @@ def topk_cosine(
     return scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
 
 
+def embedding_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n_planes: int = 4,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-dup pairs restricted to equal LSH buckets — the 100 TB path for
+    embedding dedup: the self-join key is the bucket id (2^n_planes
+    buckets), so pair count drops from O(n^2) to O(sum bucket^2) and the
+    shuffle is on small bucket keys.  High-cosine pairs land in the same
+    bucket with prob (1 - theta/pi)^n_planes; raise tables/probes for
+    recall, as in topk_cosine_lsh."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes)
+    b = df.select(id_col, vec_col).withColumn("_b", lsh_bucket(F.col(vec_col), planes))
+    a2, b2 = b.alias("a"), b.alias("b")
+    joined = a2.join(
+        b2,
+        (F.col("a._b") == F.col("b._b")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    cs = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return joined.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.round(cs, 6).alias("cos"),
+    ).filter(F.col("cos") >= threshold)
+
+
 def topk_cosine_lsh(
     corpus: DataFrame,
     queries: DataFrame,
