@@ -152,3 +152,29 @@ def test_textstats_basics(spark):
     assert out[1]["lang"] == "en"
     assert out[2]["lang"] == "und"
     assert isinstance(out[1]["fp"], int)
+
+
+def test_grok_pandas_path_matches_jvm(spark):
+    from vector_spark.functions.grok import CANNED, grok_parse, grok_parse_pandas
+    from vector_spark import datagen
+
+    df = spark.read.parquet(datagen.ensure_corpus(0.001)).select("doc_id", "message").limit(500)
+    pat = CANNED["tokenlog"]
+    jvm = {r["doc_id"]: (r["level"], r["user_id"], r["msg"]) for r in grok_parse(df, "message", pat).collect()}
+    pd_ = {r["doc_id"]: (r["level"], r["user_id"], r["msg"]) for r in grok_parse_pandas(df, "message", pat).collect()}
+    assert jvm == pd_
+
+
+def test_topk_numpy_matches_hof(spark):
+    from pyspark.sql import functions as F
+    from vector_spark.similarity import topk_cosine, topk_cosine_numpy
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qrows = embs.filter(F.col("vec_id") < 2).collect()
+    qvecs = {r["vec_id"]: list(r["embedding"]) for r in qrows}
+    q = embs.filter(F.col("vec_id") < 2).select(F.col("vec_id").alias("query_id"), "embedding")
+    hof = {(r["query_id"], r["vec_id"]): r["cos"] for r in topk_cosine(embs, q, k=5).collect()}
+    npk = {(r["query_id"], r["vec_id"]): r["cos"] for r in topk_cosine_numpy(embs, qvecs, k=5).collect()}
+    assert set(hof) == set(npk)
+    for key in hof:
+        assert abs(hof[key] - npk[key]) < 1e-5

@@ -227,3 +227,43 @@ def grok_sql_exprs(expr: str, pattern: str, prefix: str = "") -> list[str]:
             base = f"CAST({base} AS DOUBLE)"
         out.append(f"{base} AS {prefix}{name}")
     return out
+
+
+def grok_parse_pandas(df: DataFrame, src: str, pattern: str) -> DataFrame:
+    """Arrow-vectorized grok: ONE compiled Python regex applied per Arrow
+    batch via pandas ``str.extract`` (C-loop, no per-row Python) — the
+    north-rule "pandas/Arrow UDF over string columns" rendering.
+
+    The JVM path (:func:`grok_columns`) is the default — it stays inside
+    whole-stage codegen and avoids the Arrow hop.  Use this path when the
+    pattern needs Python-regex features outside the Java/RE2 common subset
+    (lookbehind, conditionals), or to compare engines.  Output schema and
+    NULL-on-miss semantics are identical to the JVM path; typed fields are
+    cast after extraction.
+    """
+    import pandas as pd
+
+    g = compile_grok(pattern)
+    fields = list(g.fields)
+    passthrough = [f"`{c}` {t}" for c, t in df.dtypes]
+    out_schema = ", ".join(
+        passthrough
+        + [
+            f"`{n}` {'bigint' if t == 'int' else 'double' if t == 'float' else 'string'}"
+            for n, t in zip(g.fields, g.types)
+        ]
+    )
+    regex = re.compile(g.regex)
+
+    def _run(batches):
+        for pdf in batches:
+            ext = pdf[src].str.extract(regex)  # one vectorized pass
+            ext.columns = fields
+            for n, t in zip(g.fields, g.types):
+                if t == "int":
+                    ext[n] = pd.to_numeric(ext[n], errors="coerce").astype("Int64")
+                elif t == "float":
+                    ext[n] = pd.to_numeric(ext[n], errors="coerce")
+            yield pd.concat([pdf.reset_index(drop=True), ext.reset_index(drop=True)], axis=1)
+
+    return df.mapInPandas(_run, schema=out_schema)
