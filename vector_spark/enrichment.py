@@ -82,29 +82,57 @@ def enrich_get(
     deterministic winner (lowest sort order of the selected columns) and get
     ``_enrich_error='multiple rows'`` — the batch rendering of VRL's
     fallible-call error (lib/enrichment/src/lib.rs:44-52).
+
+    Constraint (documented): when ``date_range`` is used, ranges for the
+    same key must not overlap — overlapping ranges would multiply event
+    rows instead of erroring (the reference's date-indexed lookup shares
+    the practical constraint; checking it is one tiny aggregate over the
+    broadcast table, done here eagerly at plan-build time for fail-fast).
     """
-    key_cols = list(on.keys())
-    found = enrich_find(events, table, on, case_sensitive, date_range, select)
+    if date_range:
+        _ts, lo, hi = date_range
+        ov = (
+            table.alias("x")
+            .join(
+                table.alias("y"),
+                [F.col(f"x.{k}") == F.col(f"y.{k}") for k in on.values()]
+                + [
+                    F.col(f"x.{lo}") < F.col(f"y.{lo}"),
+                    F.col(f"x.{hi}") >= F.col(f"y.{lo}"),
+                ],
+            )
+            .count()
+        )
+        if ov:
+            raise ValueError(
+                "enrich_get: overlapping date ranges per key in lookup table"
+            )
     picked = select or [c for c in table.columns if c not in on.values()]
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy(*key_cols, *[c for c in events.columns if c not in key_cols])
-    # match count per original event row: count matches (null-row join keeps 1 row)
-    first_pick = picked[0]
-    cnt = F.sum(F.when(F.col(first_pick).isNotNull(), 1).otherwise(0)).over(w)
-    from pyspark.sql.window import Window as W
-
-    order = W.partitionBy(*events.columns).orderBy(*[F.col(c).asc_nulls_last() for c in picked])
-    ranked = found.withColumn("_match_cnt", cnt).withColumn(
-        "_rn", F.row_number().over(order)
+    # Collapse the (small, broadcast) lookup table to ONE row per key with a
+    # deterministic winner + the match count, THEN left-join — the event
+    # side is touched by exactly one broadcast hash join, no window over
+    # event columns (which at 10^12 rows would be a full shuffle+sort).
+    key_cols = list(on.values())
+    tkeys = [
+        (F.lower(F.col(c)) if not case_sensitive else F.col(c)).alias(c) for c in key_cols
+    ]
+    range_cols = [date_range[1], date_range[2]] if date_range else []
+    collapsed = (
+        table.select(*tkeys, *range_cols, F.struct(*[F.col(c) for c in picked]).alias("_p"))
+        .groupBy(*key_cols, *range_cols)
+        .agg(F.min("_p").alias("_p"), F.count(F.lit(1)).alias("_match_cnt"))
+        .select(*key_cols, *range_cols, "_p.*", "_match_cnt")
     )
-    out = ranked.filter(F.col("_rn") == 1).withColumn(
+    found = enrich_find(
+        events, collapsed, on, case_sensitive, date_range, picked + ["_match_cnt"]
+    )
+    out = found.withColumn(
         "_enrich_error",
-        F.when(F.col("_match_cnt") == 0, F.lit("no rows"))
+        F.when(F.col("_match_cnt").isNull(), F.lit("no rows"))
         .when(F.col("_match_cnt") > 1, F.lit("multiple rows"))
         .otherwise(F.lit(None)),
     )
-    return out.drop("_rn", "_match_cnt")
+    return out.drop("_match_cnt")
 
 
 def enrich_static(events: DataFrame, values: dict) -> DataFrame:

@@ -81,7 +81,9 @@ def synth_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
                 payload,
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # few rows, blob-heavy: a handful of partitions avoids paying one
+    # Python-worker startup per (mostly empty) default partition
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(max(2, n // 32))
 
 
 def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
