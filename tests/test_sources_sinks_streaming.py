@@ -124,3 +124,20 @@ def test_streaming_route_fanout(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "routed"))
     got = {r["route_key"]: r["id"] for r in out.collect()}
     assert got == {"errors": "e1", "warnings": "w1", "_unmatched": "i1"}
+
+
+def test_templated_file_sink(spark, tmp_path):
+    from vector_spark.sinks import write_templated_file_sink
+
+    df = spark.createDataFrame(
+        [("app", "e1", "2024-03-05 10:00:00"), ("web", "e2", "2024-03-06 11:00:00")],
+        ["svc", "id", "ts_s"],
+    ).select("svc", "id", F.to_timestamp("ts_s").alias("ts"))
+    out = tmp_path / "templated"
+    write_templated_file_sink(
+        df.drop("ts").withColumn("day", F.lit("d")), str(out),
+        "svc={{ svc }}", encoding="json",
+    )
+    import os
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("_path="))
+    assert dirs == ["_path=svc%3Dapp", "_path=svc%3Dweb"]

@@ -124,3 +124,54 @@ def test_salted_agg_matches_plain(spark):
     }
     assert plain == salted
     assert hot_keys(df, "source") == ["app"]
+
+
+def test_topology_dot():
+    from vector_spark.topology import topology_dot
+
+    cfg = {
+        "sources": {"s": {"kind": "parquet", "path": "/x"}},
+        "transforms": {"r": {"kind": "route", "inputs": ["s"], "routes": {}}},
+        "sinks": {"k": {"kind": "blackhole", "inputs": ["r.errors"]}},
+    }
+    dot = topology_dot(cfg)
+    assert '"s" -> "r"' in dot and '"r" -> "k" [label="errors"]' in dot
+    assert '"k" [shape=doubleoctagon]' in dot
+
+
+def test_render_template(spark):
+    from vector_spark.template import render_template
+
+    df = spark.createDataFrame(
+        [("app", "2024-03-05 10:20:30", None)],
+        "svc string, ts_s string, missing string",
+    ).select("svc", F.to_timestamp("ts_s").alias("ts"), "missing")
+    # file-sink path template: {{ svc }}/%F/%H (template.rs strftime + field)
+    col = render_template("logs/{{ svc }}/%F/hour=%H", ts_col="ts")
+    assert df.select(col.alias("p")).first()["p"] == "logs/app/2024-03-05/hour=10"
+    # NULL field -> NULL render (render failure drops the metric)
+    col2 = render_template("x-{{ missing }}")
+    assert df.select(col2.alias("p")).first()["p"] is None
+
+
+def test_parse_groks_first_match_wins(spark):
+    from vector_spark.functions.grok import groks_columns
+
+    df = spark.createDataFrame(
+        [("<165>1 2020-10-02T23:22:12Z h app 1 ID x",),
+         ("2020-10-02T23:22:12Z info hello",),
+         ("garbage",)],
+        ["message"],
+    )
+    cols = groks_columns(
+        "message",
+        [
+            "%{TIMESTAMP_ISO8601:timestamp} %{LOGLEVEL:level} %{GREEDYDATA:msg}",
+            r"<%{NONNEGINT:priority:int}>%{GREEDYDATA:msg}",
+        ],
+    )
+    rows = {r["message"][:7]: r for r in df.select("message", *cols).collect()}
+    assert rows["2020-10"]["level"] == "info" and rows["2020-10"]["msg"] == "hello"
+    # first pattern did NOT match the syslog line; second did
+    assert rows["<165>1 "]["priority"] == 165 and rows["<165>1 "]["level"] is None
+    assert rows["garbage"]["msg"] is None and rows["garbage"]["priority"] is None

@@ -267,3 +267,37 @@ def grok_parse_pandas(df: DataFrame, src: str, pattern: str) -> DataFrame:
             yield pd.concat([pdf.reset_index(drop=True), ext.reset_index(drop=True)], axis=1)
 
     return df.mapInPandas(_run, schema=out_schema)
+
+
+def groks_columns(
+    src: Column | str, patterns: list[str], prefix: str = ""
+) -> list[Column]:
+    """``parse_groks``: try patterns in order, FIRST match wins (reference
+    parse_groks.cue: "searches ... in order until the first match").
+
+    The union of all patterns' fields is emitted; a field absent from the
+    winning pattern is NULL.  Each pattern costs one regex pass (its
+    grok_parts split); per-field selection walks the patterns with
+    coalesce-style CASE on the match flags — matched_i ⇔ size(parts_i)>1,
+    so no extra rlike passes.
+    """
+    compiled = [grok_parts(src, p) for p in patterns]
+    all_fields: list[tuple[str, str]] = []
+    for _parts, g in compiled:
+        for name, typ in zip(g.fields, g.types):
+            if name not in [f for f, _t in all_fields]:
+                all_fields.append((name, typ))
+    # winner = index of the FIRST matching pattern (strict: a matching
+    # pattern that lacks a field leaves it NULL — no per-field fallthrough)
+    winner = F.lit(-1)
+    for i in reversed(range(len(compiled))):
+        winner = F.when(F.size(compiled[i][0]) > 1, F.lit(i)).otherwise(winner)
+    out = []
+    for name, typ in all_fields:
+        expr = F.lit(None).cast("string")
+        for i, (parts, g) in enumerate(compiled):
+            if name in g.fields:
+                idx = g.fields.index(name)
+                expr = F.when(winner == i, parts.getItem(idx + 1)).otherwise(expr)
+        out.append(_cast(expr, typ).alias(prefix + name))
+    return out

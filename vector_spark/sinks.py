@@ -65,19 +65,23 @@ def write_file_sink(
     is the batch rendering of the path template; ``target_file_rows``
     stands in for BatchConfig.max_events (sink batching,
     src/sinks/util/batch.rs:96-116)."""
-    enc = {
-        "json": encode_json_rows,
-        "text": lambda d: encode_text_rows(d, text_field),
-        "logfmt": encode_logfmt_rows,
-        "csv": encode_csv_rows,
-    }[encoding]
+    def value_col(cols: list[str]) -> Column:
+        if encoding == "json":
+            return F.to_json(F.struct(*cols))
+        if encoding == "text":
+            return F.col(text_field).cast("string")
+        if encoding == "logfmt":
+            parts = [F.concat(F.lit(f"{c}="), F.col(c).cast("string")) for c in sorted(cols)]
+            return F.concat_ws(" ", *parts)
+        if encoding == "csv":
+            return F.to_csv(F.struct(*cols))
+        raise ValueError(f"unknown encoding {encoding!r}")
+
     if partition_by:
-        # keep partition columns alongside the encoded value
-        encoded = df.select(
-            *[F.col(c) for c in partition_by], enc(df.drop(*partition_by))["value"]
-        )
+        payload = [c for c in df.columns if c not in partition_by]
+        encoded = df.select(*partition_by, value_col(payload).alias("value"))
     else:
-        encoded = enc(df)
+        encoded = df.select(value_col(df.columns).alias("value"))
     writer = encoded.write.mode(mode)
     if target_file_rows:
         writer = writer.option("maxRecordsPerFile", target_file_rows)
@@ -112,3 +116,21 @@ def write_console(df: DataFrame, n: int = 20, encoding: str = "json") -> None:
     enc = {"json": encode_json_rows, "logfmt": encode_logfmt_rows}[encoding]
     for r in enc(df).limit(n).collect():
         print(r["value"])
+
+
+def write_templated_file_sink(
+    df: DataFrame,
+    base_path: str,
+    template: str,
+    ts_col: str | None = None,
+    encoding: str = "json",
+    mode: str = "overwrite",
+) -> None:
+    """File sink with a per-event path template — the direct rendering of
+    the reference's templated sink path ({{ field }} + strftime,
+    src/sinks/file/mod.rs:46-89): the rendered template becomes a partition
+    column, so each distinct rendered path is one output directory."""
+    from vector_spark.template import render_template
+
+    keyed = df.withColumn("_path", render_template(template, ts_col=ts_col))
+    write_file_sink(keyed, base_path, encoding=encoding, partition_by=["_path"], mode=mode)

@@ -210,3 +210,23 @@ def run_topology(spark: SparkSession, config: dict) -> dict[str, object]:
         else:
             raise TopologyError(f"{name}: unknown sink kind {kind!r}")
     return results
+
+
+def topology_dot(config: dict) -> str:
+    """DOT rendering of the topology (≅ `vector graph`, src/graph.rs):
+    sources as boxes, transforms as ellipses, sinks as doubleoctagons;
+    route ports become labeled edges."""
+    lines = ["digraph topology {", "  rankdir=LR;"]
+    for name in config.get("sources", {}):
+        lines.append(f'  "{name}" [shape=box];')
+    for name in config.get("transforms", {}):
+        lines.append(f'  "{name}" [shape=ellipse];')
+    for name in config.get("sinks", {}):
+        lines.append(f'  "{name}" [shape=doubleoctagon];')
+    for name, spec in {**config.get("transforms", {}), **config.get("sinks", {})}.items():
+        for ref in spec.get("inputs", []):
+            base, _, port = ref.partition(".")
+            label = f' [label="{port}"]' if port else ""
+            lines.append(f'  "{base}" -> "{name}"{label};')
+    lines.append("}")
+    return "\n".join(lines)
