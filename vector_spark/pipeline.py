@@ -174,6 +174,10 @@ def run_pipeline(
             routed.labeled.write.mode("overwrite").partitionBy("route_key").parquet(
                 sinks_path
             )
+            wall_ms = int((time.time() - t0) * 1000)
+            # per-partition lineage: rows + bytes + file count per route
+            # partition, read back from the WRITTEN sink (checkpointer +
+            # finalization parity: the manifest reflects durable state)
             written = spark.read.parquet(sinks_path)
             per_route = {
                 r["route_key"]: r["n"]
@@ -181,12 +185,19 @@ def run_pipeline(
                     "count", "n"
                 ).collect()
             }
-            wall_ms = int((time.time() - t0) * 1000)
+            import glob as _glob
+
             for name, n in sorted(per_route.items()):
+                files = _glob.glob(os.path.join(sinks_path, f"route_key={name}", "*.parquet"))
+                nbytes = sum(os.path.getsize(f) for f in files)
                 total_rows += n
-                manifest_rows.append((run_id, name, sinks_path, n, wall_ms, True))
+                manifest_rows.append(
+                    (run_id, name, sinks_path, n, len(files), nbytes, wall_ms, True)
+                )
             # commit marker for the single-pass write (resume key)
-            manifest_rows.append((run_id, "sinks", sinks_path, total_rows, wall_ms, True))
+            manifest_rows.append(
+                (run_id, "sinks", sinks_path, total_rows, 0, 0, wall_ms, True)
+            )
         aggs_src = spark.read.parquet(sinks_path)
         aggs = sink_aggregates(aggs_src)
     else:
@@ -201,14 +212,15 @@ def run_pipeline(
             n = spark.read.parquet(path).count()
             total_rows += n
             manifest_rows.append(
-                (run_id, name, path, n, int((time.time() - t0) * 1000), True)
+                (run_id, name, path, n, 0, 0, int((time.time() - t0) * 1000), True)
             )
         aggs = sink_aggregates(routed)
     aggs.write.mode("overwrite").parquet(os.path.join(out_dir, "sink_metrics"))
     wall = time.time() - t_total
     if manifest_rows:
         mdf = spark.createDataFrame(
-            manifest_rows, ["run_id", "sink", "path", "rows", "wall_ms", "committed"]
+            manifest_rows,
+            ["run_id", "sink", "path", "rows", "n_files", "bytes", "wall_ms", "committed"],
         )
         mdf.write.mode("append").parquet(manifest_path)
     if mode != "partitioned":
