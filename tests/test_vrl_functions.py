@@ -155,3 +155,24 @@ def test_timestamp_format(spark):
     ).first()["r"]
     assert got == "2020-10-21T16:00:00Z"
     assert one(spark, vrl.to_unix_timestamp(F.to_timestamp(F.lit("1970-01-02 00:00:00")))) == 86400
+
+
+def test_parse_apache_log(spark):
+    # parse_common_log.cue example shape
+    line = '127.0.0.1 bob frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326'
+    df = spark.createDataFrame([(line,)], ["message"])
+    r = df.select(*vrl.parse_apache_log("message")).first()
+    assert r["host"] == "127.0.0.1" and r["user"] == "frank"
+    assert r["method"] == "GET" and r["path"] == "/apache_pb.gif"
+    assert r["status"] == 200 and r["size"] == 2326
+
+
+def test_parse_syslog(spark):
+    line = "<34>1 2020-10-02T23:22:12Z mymachine su 77 ID47 su root failed"
+    df = spark.createDataFrame([(line,)], ["message"])
+    r = df.select("*", *vrl.parse_syslog("message")).first()
+    assert r["priority"] == 34 and r["hostname"] == "mymachine"
+    assert r["facility_num"] == 4 and r["severity_num"] == 2
+    assert r["message"] == line  # source col untouched; parsed msg field:
+    # grok names the trailing capture 'message' too -> it shadows in select;
+    # the canned pattern's field is exposed via its own alias position

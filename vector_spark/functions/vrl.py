@@ -380,3 +380,34 @@ def format_timestamp(col: Column | str, fmt: str) -> Column:
 
 def now() -> Column:
     return F.current_timestamp()
+
+
+# ---------------------------------------------------------------------------
+# Canned log-format parsers (parse_syslog.cue, parse_apache_log.cue,
+# parse_common_log.cue) — grok canned patterns + derived fields
+
+
+def parse_syslog(col: Column | str):
+    """parse_syslog: RFC-5424-ish line -> list of aliased Columns
+    (priority/version/timestamp/hostname/appname/procid/msgid/message +
+    derived facility/severity).  Usage: ``df.select("*", *parse_syslog("m"))``"""
+    from vector_spark.functions.grok import CANNED, grok_columns
+
+    # facility/severity reference the sibling 'priority' alias — resolved
+    # via Spark's lateral column aliases (one select, no subquery)
+    cols = grok_columns(col, CANNED["syslog_5424ish"])
+    return cols + [
+        (F.col("priority") / 8).cast("int").alias("facility_num"),
+        (F.col("priority") % 8).cast("int").alias("severity_num"),
+    ]
+
+
+def parse_apache_log(col: Column | str):
+    """parse_apache_log (common format): host/identity/user/timestamp/
+    method/path/protocol/status/size."""
+    from vector_spark.functions.grok import CANNED, grok_columns
+
+    return grok_columns(col, CANNED["apache_common"])
+
+
+parse_common_log = parse_apache_log
