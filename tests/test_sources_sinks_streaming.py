@@ -141,3 +141,35 @@ def test_templated_file_sink(spark, tmp_path):
     import os
     dirs = sorted(d for d in os.listdir(out) if d.startswith("_path="))
     assert dirs == ["_path=svc%3Dapp", "_path=svc%3Dweb"]
+
+
+def test_stream_throttle_state(spark, tmp_path):
+    """applyInPandasWithState throttle: at most N per key-window across the
+    stream, equal to the batch throttle on the same input."""
+    from vector_spark.operators import throttle as batch_throttle
+    from vector_spark.streaming import stream_from_directory, stream_throttle
+
+    src = tmp_path / "th_in"
+    rows = [("u1", f"2024-01-01 00:00:0{i}") for i in range(5)] + [
+        ("u2", "2024-01-01 00:00:01"),
+        ("u1", "2024-01-01 01:00:01"),
+    ]
+    df = spark.createDataFrame(rows, ["key", "ts_s"]).select(
+        "key", F.to_timestamp("ts_s").alias("ts")
+    )
+    df.write.parquet(str(src))
+    stream = stream_from_directory(spark, str(src), "key string, ts timestamp")
+    out = stream_throttle(stream, threshold=2, window_secs=3600, key_field="key")
+    q = (
+        out.writeStream.format("memory").queryName("th_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM th_out").collect()
+    batch = batch_throttle(df, threshold=2, window_secs=3600, ts_col="ts", key_field="key").collect()
+    assert len(got) == len(batch) == 4  # u1: 2 + 1 (next window); u2: 1
+    per_key = {}
+    for r in got:
+        per_key.setdefault(r["key"], 0)
+        per_key[r["key"]] += 1
+    assert per_key == {"u1": 3, "u2": 1}

@@ -90,3 +90,59 @@ def stream_route_to_sinks(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_throttle(
+    df: DataFrame,
+    threshold: int,
+    window_secs: int,
+    ts_col: str = "ts",
+    key_field: str = "key",
+    out_schema: str | None = None,
+):
+    """Streaming `throttle` (reference src/transforms/throttle.rs:26-190):
+    at most ``threshold`` events per ``window_secs`` per key, enforced with
+    true cross-batch state via ``applyInPandasWithState`` — the custom
+    stateful-operator surface (GroupState keyed by ``key_field``; state =
+    (current_window_start, emitted_count), dropped on timeout like the
+    rate limiter's bucket expiry).
+
+    Batch-mode equivalence: operators/core.py::throttle (tested equal on
+    the same input).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if out_schema is None:
+        out_schema = ", ".join(f"`{c}` {t}" for c, t in df.dtypes)
+
+    def _throttle(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        win_start, count = state.get if state.exists else (-1, 0)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for _, row in pdf.iterrows():
+                w = int(row[ts_col].timestamp()) // window_secs
+                if w != win_start:
+                    win_start, count = w, 0
+                if count < threshold:
+                    count += 1
+                    out.append(row)
+        state.update((win_start, count))
+        state.setTimeoutDuration(window_secs * 2 * 1000)
+        if out:
+            yield pd.DataFrame(out)
+
+    return (
+        df.groupBy(key_field)
+        .applyInPandasWithState(
+            _throttle,
+            outputStructType=out_schema,
+            stateStructType="win_start long, count long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
