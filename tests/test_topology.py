@@ -119,7 +119,11 @@ def test_salted_agg_matches_plain(spark):
     salted = {
         (r["source"]): (r["n_rows"], r["sum_n"])
         for r in salted_agg(
-            df, ["source"], {"n_rows": F.count(F.lit(1)), "sum_n": F.sum("n")}, buckets=8
+            df,
+            ["source"],
+            {"n_rows": (F.count(F.lit(1)), "count"), "sum_n": (F.sum("n"), "sum")},
+            buckets=8,
+            salt_source="n",
         ).collect()
     }
     assert plain == salted

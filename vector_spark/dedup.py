@@ -31,7 +31,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from vector_spark.hashing import portable_hash64, portable_hash64_sql
+from vector_spark.hashing import (
+    portable_hash64,
+    portable_hash64_sql,
+    portable_hash128,
+    portable_hash128_sql,
+)
 
 
 def _norm(col: Column) -> Column:
@@ -43,23 +48,27 @@ def dedup_exact(
 ) -> DataFrame:
     """Exact dedup: keep the lowest-id row per (normalized) text key.
 
-    One hash-aggregate shuffle on the 60-bit content hash — at 10^12 rows
-    this is the cheapest possible exact dedup (no sort, no window); winner
-    selection is min(id) per key so the output is deterministic.
+    One hash-aggregate shuffle on a 120-bit content hash (two md5-half
+    bigints) — at 10^12 rows a 60-bit key expects ~4x10^5 birthday
+    collisions silently deleting non-duplicates; 120 bits drops that to
+    < 1e-6 expected, so hash equality is safe as full equality with no
+    text-confirm join.  No sort, no window; winner selection is min(id)
+    per key so the output is deterministic.
     """
-    key = portable_hash64(_norm(F.col(text_col)) if normalize else F.col(text_col))
-    keyed = df.withColumn("_k", key)
-    winners = keyed.groupBy("_k").agg(F.min(id_col).alias(id_col))
-    return keyed.join(winners, [ "_k", id_col], "inner").drop("_k")
+    norm = _norm(F.col(text_col)) if normalize else F.col(text_col)
+    k1, k2 = portable_hash128(norm)
+    keyed = df.withColumn("_k1", k1).withColumn("_k2", k2)
+    winners = keyed.groupBy("_k1", "_k2").agg(F.min(id_col).alias(id_col))
+    return keyed.join(winners, ["_k1", "_k2", id_col], "inner").drop("_k1", "_k2")
 
 
 def sql_dedup_exact(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:
     norm = f"lower(regexp_replace(trim({text_col}), '\\s+', ' ', 'g'))"
-    h = portable_hash64_sql(norm)
+    h1, h2 = portable_hash128_sql(norm)
     return f"""
-SELECT * EXCLUDE (_k, _rn) FROM (
-  SELECT *, {h} AS _k,
-         ROW_NUMBER() OVER (PARTITION BY {h} ORDER BY {id_col}) AS _rn
+SELECT * EXCLUDE (_k1, _k2, _rn) FROM (
+  SELECT *, {h1} AS _k1, {h2} AS _k2,
+         ROW_NUMBER() OVER (PARTITION BY {h1}, {h2} ORDER BY {id_col}) AS _rn
   FROM {table}
 ) WHERE _rn = 1
 """
@@ -104,6 +113,37 @@ def minhash_signature(sh: Column, num_hashes: int, fast: bool = False) -> Column
     )
 
 
+def minhash_signatures_exploded(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Minhash signatures via explode + hash aggregate — the production
+    (100 TB) signature plan.
+
+    Spark higher-order-function lambdas are INTERPRETED per element, so
+    hashing every shingle inside ``F.transform`` dominates CPU at corpus
+    scale.  This plan explodes shingles to rows and computes
+    ``min(xxhash64(shingle, seed_j))`` per doc in ONE hash aggregate: the
+    per-shingle hash runs inside whole-stage codegen, and map-side partial
+    aggregation collapses each doc's shingles before the shuffle, so the
+    exchange carries ~|docs| rows (num_hashes longs each), not
+    |docs|x|shingles|.  Output: (id_col, _sig array<bigint>).  Uses
+    xxhash64 (JVM-only) — not oracle-reproducible; the md5 HOF path in
+    :func:`minhash_signature` is the oracle twin.
+    """
+    ex = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("_s"))
+    aggs = [
+        F.min(F.xxhash64(F.col("_s"), F.lit(j))).alias(f"_h{j}") for j in range(num_hashes)
+    ]
+    grouped = ex.groupBy(id_col).agg(*aggs)
+    return grouped.select(
+        id_col, F.array(*[F.col(f"_h{j}") for j in range(num_hashes)]).alias("_sig")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -112,21 +152,34 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_k: int = 3,
     fast: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded minhash LSH.
 
     rows_per_band = num_hashes/bands; two docs are candidates iff some band
     of their signatures is identical.  Output: (id_a, id_b) with id_a <
-    id_b, distinct.  The only shuffle is the groupBy on (band, band_sig) —
-    bucket sizes are the classic LSH tradeoff; at corpus scale raise bands
-    and add a bucket-size cap (drop degenerate buckets > N, they are
-    boilerplate anyway).
+    id_b, distinct.  The only shuffle is the groupBy on (band, band_sig).
+
+    ``fast=True`` is the production path: signatures come from the
+    codegen explode+aggregate plan (:func:`minhash_signatures_exploded`,
+    xxhash64) instead of the interpreted-HOF md5 oracle path — same
+    topology, ~order-of-magnitude cheaper hashing at corpus scale.
+
+    ``max_bucket_size`` caps degenerate buckets (boilerplate text puts
+    thousands of near-identical docs in one bucket -> O(bucket²) pairs):
+    buckets larger than the cap are dropped before the self-join.  Leave
+    None for oracle parity at fixture scale; set (e.g. 500) at corpus
+    scale — members of a dropped bucket still pair through their other
+    bands unless they are boilerplate-identical in every band.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sh = shingles(text_col, shingle_k)
-    sig = minhash_signature(sh, num_hashes, fast=fast)
-    with_sig = df.select(F.col(id_col), sig.alias("_sig"))
+    if fast:
+        with_sig = minhash_signatures_exploded(df, text_col, id_col, num_hashes, shingle_k)
+    else:
+        sh = shingles(text_col, shingle_k)
+        sig = minhash_signature(sh, num_hashes, fast=False)
+        with_sig = df.select(F.col(id_col), sig.alias("_sig"))
     band_rows = with_sig.select(
         id_col,
         F.explode(
@@ -141,6 +194,13 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bsig")
+    if max_bucket_size is not None:
+        sizes = band_rows.groupBy("band", "bsig").agg(F.count(F.lit(1)).alias("_bn"))
+        band_rows = band_rows.join(
+            sizes.filter(F.col("_bn") <= max_bucket_size).drop("_bn"),
+            ["band", "bsig"],
+            "left_semi",
+        )
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     pairs = (

@@ -91,14 +91,22 @@ def enrich_get(
     """
     if date_range:
         _ts, lo, hi = date_range
+        # symmetric interval-overlap test over DISTINCT (key, lo, hi) rows:
+        # x overlaps y iff x.lo <= y.hi AND y.lo <= x.hi; exclude the row
+        # identity itself (struct equality) so equal-start ranges — e.g.
+        # [1,10] and [1,5] — are caught too.  Duplicate identical ranges
+        # collapse in the groupBy below and surface as 'multiple rows'.
+        ranges = table.select(*on.values(), lo, hi).distinct()
         ov = (
-            table.alias("x")
+            ranges.alias("x")
             .join(
-                table.alias("y"),
+                ranges.alias("y"),
                 [F.col(f"x.{k}") == F.col(f"y.{k}") for k in on.values()]
                 + [
-                    F.col(f"x.{lo}") < F.col(f"y.{lo}"),
-                    F.col(f"x.{hi}") >= F.col(f"y.{lo}"),
+                    F.col(f"x.{lo}") <= F.col(f"y.{hi}"),
+                    F.col(f"y.{lo}") <= F.col(f"x.{hi}"),
+                    F.struct(F.col(f"x.{lo}"), F.col(f"x.{hi}"))
+                    != F.struct(F.col(f"y.{lo}"), F.col(f"y.{hi}")),
                 ],
             )
             .count()

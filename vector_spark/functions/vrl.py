@@ -255,12 +255,19 @@ def push(col: Column | str, item) -> Column:
 
 
 def chunks(col: Column | str, chunk_size: int) -> Column:
-    """chunks: array -> array of arrays of at most chunk_size items."""
+    """chunks: array -> array of arrays of at most chunk_size items.
+
+    Empty input -> empty output: n_chunks is clamped to >= 1 (so the
+    sequence bound never goes negative/descending) and empty slices are
+    filtered — preserves the element type without a cast."""
     c = _c(col)
-    n_chunks = F.ceil(F.size(c) / F.lit(chunk_size)).cast("int")
-    return F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.slice(c, i * chunk_size + 1, chunk_size),
+    n_chunks = F.greatest(F.ceil(F.size(c) / F.lit(chunk_size)).cast("int"), F.lit(1))
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.slice(c, i * chunk_size + 1, chunk_size),
+        ),
+        lambda a: F.size(a) > 0,
     )
 
 

@@ -34,6 +34,31 @@ def portable_hash64_sql(expr: str) -> str:
     return f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15))::BIGINT"
 
 
+def portable_hash128(col: Column | str) -> tuple[Column, Column]:
+    """120-bit deterministic hash as TWO bigints (md5 hex chars 1-15 and
+    17-31; char 16 skipped to keep both halves under 60 bits / int64-safe).
+
+    Use where a 60-bit key risks birthday collisions: exact dedup at
+    10^12 docs expects ~4x10^5 silent collisions on 60 bits but < 1e-6 on
+    120 bits — hash-only equality becomes safe without a text-confirm join.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(c.cast("string"))
+    return (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint"),
+        F.conv(F.substring(h, 17, 15), 16, 10).cast("bigint"),
+    )
+
+
+def portable_hash128_sql(expr: str) -> tuple[str, str]:
+    """DuckDB rendering of :func:`portable_hash128` (same two halves)."""
+    h = f"md5(CAST({expr} AS VARCHAR))"
+    return (
+        f"('0x' || substr({h}, 1, 15))::BIGINT",
+        f"('0x' || substr({h}, 17, 15))::BIGINT",
+    )
+
+
 def portable_bucket(col: Column | str, rate: int) -> Column:
     """Hash-bucket id in [0, rate) — Vector's ``sample`` key bucketing
     (seahash(key) % rate, src/transforms/sample.rs:124-131) under the

@@ -59,19 +59,26 @@ def throttle(
     ts_col: str = "ts",
     key_field: str | None = None,
     exclude: Column | None = None,
+    tiebreaker: str | list[str] | None = None,
 ) -> DataFrame:
     """``throttle`` transform, batch rendering (reference
     src/transforms/throttle.rs:26-190).
 
     Vector enforces ``threshold`` events per ``window_secs`` per key with a
     GCRA rate limiter; the event-time batch analogue keeps the first
-    ``threshold`` rows per (key, tumbling window) in event-time order with a
-    deterministic tiebreaker.  Excess rows are dropped (throttle.rs:150-170);
-    ``exclude`` rows bypass.
+    ``threshold`` rows per (key, tumbling window) in event-time order.
+    Excess rows are dropped (throttle.rs:150-170); ``exclude`` rows bypass.
+
+    ``tiebreaker`` names the column(s) that break equal-``ts`` ties; pass
+    one whenever (key, window, ts) is not unique or the kept set is
+    nondeterministic (and would flap hash-parity gates).  With
+    ``tiebreaker=None`` rows are ordered by ``ts`` alone — deterministic
+    only when ts is unique per (key, window).
     """
     win = (F.unix_timestamp(F.col(ts_col)) / window_secs).cast("bigint")
     parts = [win] + ([F.col(key_field)] if key_field else [])
-    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in df.columns if c != ts_col][:1]
+    tie = [tiebreaker] if isinstance(tiebreaker, str) else (tiebreaker or [])
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tie]
     w = Window.partitionBy(*parts).orderBy(*order)
     ranked = df.withColumn("_rn", F.row_number().over(w))
     keep = F.col("_rn") <= threshold

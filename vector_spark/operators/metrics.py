@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def aggregate_metrics(
@@ -53,6 +52,79 @@ def aggregate_metrics(
     )
 
 
+def aggregate_metric_values(
+    df: DataFrame,
+    interval_secs: int = 10,
+    ts_col: str = "ts",
+    series_cols: tuple[str, ...] = ("name", "namespace"),
+    tags_col: str | None = "tags",
+    kind_col: str = "kind",
+    value_type_col: str = "value_type",
+    value_col: str = "value",
+    value_str_col: str = "value_str",
+    buckets: tuple[float, ...] = (),
+    quantiles: tuple[float, ...] = (),
+) -> DataFrame:
+    """Full MetricValue aggregation — the non-scalar variants of the
+    reference's value enum (lib/vector-core/src/event/metric/value.rs:15-80):
+
+    - ``Counter``/``Gauge``: sum-incremental / last-absolute (as in
+      :func:`aggregate_metrics`);
+    - ``Set{BTreeSet<String>}``: the merged distinct-string set per flush
+      (value.rs:27-31) -> ``sort_array(collect_set(value_str))`` + its size;
+    - ``Distribution{samples}``: merging concatenates samples
+      (value.rs:35-44); the flushed statistic renders count/sum/min/max/avg
+      and, when ``quantiles`` given, exact percentiles (F.percentile —
+      AggregatedSummary shape, value.rs:60-68);
+    - ``AggregatedHistogram{buckets, count, sum}`` (value.rs:46-57): when
+      ``buckets`` given, cumulative per-bound counts over the samples.
+
+    ONE hash aggregate for every variant (conditional aggregates share the
+    pass; map-side partial aggregation applies to all but percentile, which
+    Spark computes with a sort-based partial).  Rows carry their variant in
+    ``value_type``; irrelevant outputs are NULL for other variants.
+    """
+    win_start = F.to_timestamp(
+        F.from_unixtime(
+            (F.unix_timestamp(F.col(ts_col)) / interval_secs).cast("bigint") * interval_secs
+        )
+    )
+    keys = [F.col(c) for c in series_cols] + [F.col(value_type_col)]
+    if tags_col:
+        keys.append(F.col(tags_col))
+    v = F.col(value_col)
+    vt = F.col(value_type_col)
+    dist = vt.isin("distribution", "histogram", "summary")
+    aggs = [
+        F.sum(F.when((F.col(kind_col) == "incremental") & (vt == "counter"), v)).alias(
+            "sum_incremental"
+        ),
+        F.max_by(F.when((F.col(kind_col) == "absolute") & (vt == "gauge"), v), F.col(ts_col)).alias(
+            "last_absolute"
+        ),
+        F.sort_array(F.collect_set(F.when(vt == "set", F.col(value_str_col)))).alias("set_values"),
+        F.count(F.when(dist, v)).alias("dist_count"),
+        F.sum(F.when(dist, v)).alias("dist_sum"),
+        F.min(F.when(dist, v)).alias("dist_min"),
+        F.max(F.when(dist, v)).alias("dist_max"),
+    ]
+    for b in buckets:
+        aggs.append(
+            F.sum(F.when(dist & (v <= F.lit(float(b))), F.lit(1)).otherwise(F.lit(0))).alias(
+                f"bucket_le_{str(b).replace('.', '_')}"
+            )
+        )
+    for q in quantiles:
+        aggs.append(
+            F.percentile(F.when(dist, v), F.lit(float(q))).alias(
+                f"q{str(q).replace('0.', '').ljust(2, '0')}"
+            )
+        )
+    grouped = df.withColumn("window_start", win_start).groupBy("window_start", *keys)
+    out = grouped.agg(*aggs)
+    return out.withColumn("set_size", F.size("set_values"))
+
+
 def log_to_metric(
     df: DataFrame,
     name: str | Column,
@@ -66,16 +138,22 @@ def log_to_metric(
     """``log_to_metric`` (reference src/transforms/log_to_metric.rs:251-380).
 
     Derives one metric row per log: counter (+1, or +field when
-    ``increment_by_value``), gauge/histogram/distribution (field as double),
-    set (field as string).  Template-render failures (NULL name/tag inputs)
-    drop that metric row (log_to_metric.rs:360-377) -> filtered out.
+    ``increment_by_value``), gauge/histogram/summary/distribution (field as
+    double), set (field as string, log_to_metric.rs:37-118).  Output rows
+    carry ``value_type`` and ``value_str`` so every MetricValue variant
+    flows into :func:`aggregate_metric_values`.  Template-render failures
+    (NULL name/tag inputs) drop that metric row (log_to_metric.rs:360-377).
     """
     name_c = F.lit(name) if isinstance(name, str) else name
     ns_c = F.lit(namespace) if isinstance(namespace, str) else namespace
+    value_str = F.lit(None).cast("string")
     if metric_type == "counter" and not increment_by_value:
         value = F.lit(1.0)
     elif field is None:
         raise ValueError(f"metric_type {metric_type!r} requires a field")
+    elif metric_type == "set":
+        value = F.lit(None).cast("double")
+        value_str = F.col(field).cast("string")
     else:
         value = F.col(field).cast("double")
     kind = F.lit("absolute" if metric_type == "gauge" else "incremental")
@@ -89,10 +167,14 @@ def log_to_metric(
         tags_c.alias("tags"),
         F.col(ts_col).alias("ts"),
         kind.alias("kind"),
+        F.lit(metric_type).alias("value_type"),
         value.alias("value"),
+        value_str.alias("value_str"),
     )
     # render failure => drop the metric (log_to_metric.rs:360-377)
-    cond = out["name"].isNotNull() & out["value"].isNotNull()
+    cond = out["name"].isNotNull() & (
+        out["value"].isNotNull() | out["value_str"].isNotNull()
+    )
     return out.filter(cond)
 
 
@@ -120,19 +202,25 @@ def tag_cardinality_limit(
 
     Vector admits the first N distinct values per tag key in arrival order;
     batch has no arrival order, so the deterministic variant admits the N
-    smallest values per key (documented delta).  Implemented as a dense_rank
-    over distinct values — one shuffle per tag column on the tiny distinct
-    set, then broadcast back.
+    smallest values per key (documented delta).  Implemented as a
+    distributed TopK — ``distinct().orderBy(c).limit(N)``: Spark plans
+    ``limit`` after ``sort`` as TakeOrderedAndProject (per-partition local
+    top-N, then a tiny merge of ≤ N rows per partition on the driver-side
+    single reducer), so pre-limit tag cardinality — exactly what this
+    operator exists to bound, and huge at scale — never funnels through one
+    global sort.  The admitted set (≤ N rows) is broadcast back.
     """
+    from pyspark.sql.functions import broadcast
+
     out = df
     for c in tag_cols:
-        distinct = df.select(c).distinct()
-        w = Window.orderBy(F.col(c).asc_nulls_last())
-        admitted = distinct.withColumn("_rk", F.dense_rank().over(w)).filter(
-            F.col("_rk") <= value_limit
-        ).select(F.col(c).alias("_adm"))
-        from pyspark.sql.functions import broadcast
-
+        admitted = (
+            df.select(c)
+            .distinct()
+            .orderBy(F.col(c).asc_nulls_last())
+            .limit(value_limit)
+            .select(F.col(c).alias("_adm"))
+        )
         out = out.join(broadcast(admitted), out[c] == F.col("_adm"), "left")
         if action == "drop_event":
             out = out.filter(F.col("_adm").isNotNull()).drop("_adm")

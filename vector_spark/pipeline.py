@@ -118,12 +118,33 @@ def sink_aggregates(routed: RouteResult | DataFrame) -> DataFrame:
     )
 
 
+def _list_partition_files(spark: SparkSession, base: str, subdir: str) -> tuple[int, int]:
+    """(n_files, n_bytes) for one sink partition directory via the Hadoop
+    FileSystem API — the same abstraction Spark's committers use, so it
+    works on object storage (s3a/gs/abfs) where driver-side glob/getsize
+    do not.  Metadata-only: no file content is read."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(base, subdir)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return 0, 0
+    n_files = n_bytes = 0
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            n_files += 1
+            n_bytes += st.getLen()
+    return n_files, n_bytes
+
+
 def run_pipeline(
     spark: SparkSession,
     sf: float,
     out_dir: str | None = None,
     run_id: str | None = None,
     mode: str = "partitioned",
+    aggregate_from_written: bool = False,
 ) -> dict:
     """Execute the full topology; write per-route sinks + metrics + manifest.
 
@@ -140,9 +161,13 @@ def run_pipeline(
     sink), rows/wall-ms and a committed flag; a re-run with the same run_id
     skips sinks already committed — the batch rendering of Vector's
     checkpointer + end-to-end acks (lib/file-source/src/checkpointer.rs,
-    lib/vector-common/src/finalization.rs).  Per-sink aggregates are
-    computed from the WRITTEN data read back, so parity checks catch
-    write-path bugs.
+    lib/vector-common/src/finalization.rs).
+
+    ``aggregate_from_written=True`` computes the per-sink aggregates from
+    the WRITTEN data read back so parity checks catch write-path bugs; the
+    default computes them from the routed plan (per-route row counts still
+    come from the written parquet — a metadata-only footer count — so the
+    manifest always reflects durable state without re-reading sink data).
     """
     out_dir = out_dir or os.path.join("/tmp/vector_spark_out", f"sf{sf:g}")
     run_id = run_id or f"run-{int(time.time())}"
@@ -176,8 +201,10 @@ def run_pipeline(
             )
             wall_ms = int((time.time() - t0) * 1000)
             # per-partition lineage: rows + bytes + file count per route
-            # partition, read back from the WRITTEN sink (checkpointer +
-            # finalization parity: the manifest reflects durable state)
+            # partition from the WRITTEN sink (checkpointer + finalization
+            # parity: the manifest reflects durable state).  count() over
+            # parquet is metadata-only (row-group footers); file stats come
+            # from a Hadoop FS listing — no sink data is re-read.
             written = spark.read.parquet(sinks_path)
             per_route = {
                 r["route_key"]: r["n"]
@@ -185,21 +212,22 @@ def run_pipeline(
                     "count", "n"
                 ).collect()
             }
-            import glob as _glob
-
             for name, n in sorted(per_route.items()):
-                files = _glob.glob(os.path.join(sinks_path, f"route_key={name}", "*.parquet"))
-                nbytes = sum(os.path.getsize(f) for f in files)
+                n_files, nbytes = _list_partition_files(
+                    spark, sinks_path, f"route_key={name}"
+                )
                 total_rows += n
                 manifest_rows.append(
-                    (run_id, name, sinks_path, n, len(files), nbytes, wall_ms, True)
+                    (run_id, name, sinks_path, n, n_files, nbytes, wall_ms, True)
                 )
             # commit marker for the single-pass write (resume key)
             manifest_rows.append(
                 (run_id, "sinks", sinks_path, total_rows, 0, 0, wall_ms, True)
             )
-        aggs_src = spark.read.parquet(sinks_path)
-        aggs = sink_aggregates(aggs_src)
+        if aggregate_from_written:
+            aggs = sink_aggregates(spark.read.parquet(sinks_path))
+        else:
+            aggs = sink_aggregates(routed)
     else:
         persisted = enriched.persist(StorageLevel.MEMORY_AND_DISK)
         routed = route_stage(persisted)

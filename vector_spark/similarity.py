@@ -115,17 +115,22 @@ def topk_cosine_numpy(
                 continue
             mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
             cnorm = np.linalg.norm(mat, axis=1)
-            sims = (mat @ qmat.T) / np.outer(cnorm, qnorm)  # one GEMM
+            # round BEFORE ranking and break ties by ascending id, so the
+            # batch-local top-k agrees with the global (cos desc, id asc)
+            # window — otherwise a row tied at the k-boundary could be
+            # dropped locally while the exact/oracle ranking keeps it
+            sims = np.round((mat @ qmat.T) / np.outer(cnorm, qnorm), 6)  # one GEMM
+            ids = pdf[id_col].to_numpy()
             out = []
             for j, qid in enumerate(qids):
                 col = sims[:, j]
-                top = np.argsort(-col)[:k]
+                top = np.lexsort((ids, -col))[:k]
                 out.append(
                     pd.DataFrame(
                         {
                             qid_col: qid,
-                            id_col: pdf[id_col].iloc[top].to_numpy(),
-                            "cos": np.round(col[top], 6),
+                            id_col: ids[top],
+                            "cos": col[top],
                         }
                     )
                 )

@@ -18,32 +18,57 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# second-phase combiner per supported first-phase aggregate
+_COMBINERS = {
+    "count": F.sum,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
 
-def with_salt(df: DataFrame, buckets: int, col_name: str = "_salt") -> DataFrame:
-    """Add a uniform salt in [0, buckets).  Deterministic per row content is
-    NOT required — salt only routes rows to reducers; use rand-free
-    ``pmod(xxhash64(doc_id), buckets)`` so re-runs are reproducible
-    (idempotent writes need stable partitioning)."""
-    return df.withColumn(col_name, F.pmod(F.xxhash64(*df.columns[:1]), F.lit(buckets)))
+
+def with_salt(df: DataFrame, buckets: int, source_col: str, col_name: str = "_salt") -> DataFrame:
+    """Add a uniform salt in [0, buckets) derived from ``source_col``.
+
+    The salt only routes rows to reducers, but it must be (a) uniform over
+    the hot key's rows and (b) stable across re-runs (idempotent writes
+    need stable partitioning) — hence ``pmod(xxhash64(source_col),
+    buckets)``.  ``source_col`` must be high-cardinality per hot key (e.g.
+    ``doc_id``); salting on the skewed key itself would put every row of a
+    hot key in ONE bucket and be a no-op, so the source column is an
+    explicit required parameter.
+    """
+    return df.withColumn(col_name, F.pmod(F.xxhash64(F.col(source_col)), F.lit(buckets)))
 
 
 def salted_agg(
     df: DataFrame,
     keys: list[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[Column, str]],
     buckets: int = 16,
     salt_source: str | None = None,
 ) -> DataFrame:
     """Two-phase aggregation: groupBy(keys + salt) -> groupBy(keys).
 
-    ``aggs`` maps output column -> FIRST-phase aggregate expression; the
-    second phase re-combines with the matching associative combiner
-    (count -> sum, sum -> sum, min -> min, max -> max), inferred from the
-    expression name.  Example::
+    ``aggs`` maps output column -> (first-phase aggregate expression,
+    combiner name); combiner is one of ``count | sum | min | max`` — the
+    associative aggregates whose two-phase split is exact.  Anything else
+    (avg, countDistinct, ...) raises: avg must be decomposed by the caller
+    into sum+count and countDistinct is not salting-decomposable at all.
+    Example::
 
-        salted_agg(df, ["source"], {"n_rows": F.count(F.lit(1)),
-                                    "sum_tok": F.sum("n_tok")})
+        salted_agg(df, ["source"],
+                   {"n_rows": (F.count(F.lit(1)), "count"),
+                    "sum_tok": (F.sum("n_tok"), "sum")},
+                   salt_source="doc_id")
     """
+    for name, (_expr, comb) in aggs.items():
+        if comb not in _COMBINERS:
+            raise ValueError(
+                f"salted_agg: unsupported combiner {comb!r} for {name!r}; "
+                f"supported: {sorted(_COMBINERS)} (decompose avg into "
+                "sum+count; countDistinct cannot be salted)"
+            )
     salt_col = F.pmod(
         F.xxhash64(F.col(salt_source) if salt_source else F.monotonically_increasing_id()),
         F.lit(buckets),
@@ -51,19 +76,11 @@ def salted_agg(
     phase1 = (
         df.withColumn("_salt", salt_col)
         .groupBy(*keys, "_salt")
-        .agg(*[expr.alias(name) for name, expr in aggs.items()])
+        .agg(*[expr.alias(name) for name, (expr, _c) in aggs.items()])
     )
-    combiners = []
-    for name, expr in aggs.items():
-        sql = expr._jc.toString().lower()
-        if sql.startswith("count("):
-            combiners.append(F.sum(name).alias(name))
-        elif sql.startswith("min("):
-            combiners.append(F.min(name).alias(name))
-        elif sql.startswith("max("):
-            combiners.append(F.max(name).alias(name))
-        else:  # sum and sum-like
-            combiners.append(F.sum(name).alias(name))
+    combiners = [
+        _COMBINERS[comb](name).alias(name) for name, (_expr, comb) in aggs.items()
+    ]
     return phase1.groupBy(*keys).agg(*combiners)
 
 

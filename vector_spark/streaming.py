@@ -75,14 +75,22 @@ def stream_route_to_sinks(
     trigger_available_now: bool = True,
 ):
     """Streaming route fan-out: ONE stream, foreachBatch computes the
-    labeled explode once per micro-batch and writes every route partition
-    in one atomic job (Fanout + per-sink acks ≙ checkpointed exactly-once
-    file output)."""
+    labeled explode once per micro-batch and writes every route partition.
+
+    Exactly-once delivery: foreachBatch alone is at-least-once (a
+    micro-batch replayed after a crash between write and checkpoint commit
+    would duplicate rows), so each batch is written IDEMPOTENTLY into its
+    own ``batch_id=<n>`` directory with overwrite — a replay of batch n
+    rewrites the same directory instead of appending.  Readers scan
+    ``out_dir`` with partition discovery (``batch_id`` and ``route_key``
+    become partition columns)."""
     conds = dict(conditions)
 
     def _write(batch: DataFrame, batch_id: int) -> None:
         labeled = route_labeled(batch, conds)
-        labeled.write.mode("append").partitionBy("route_key").parquet(out_dir)
+        labeled.write.mode("overwrite").partitionBy("route_key").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
 
     writer = df.writeStream.foreachBatch(_write).option(
         "checkpointLocation", checkpoint_dir
@@ -121,20 +129,26 @@ def stream_throttle(
             state.remove()
             return
         win_start, count = state.get if state.exists else (-1, 0)
-        out = []
+        outs = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            for _, row in pdf.iterrows():
-                w = int(row[ts_col].timestamp()) // window_secs
-                if w != win_start:
-                    win_start, count = w, 0
-                if count < threshold:
-                    count += 1
-                    out.append(row)
+            if not len(pdf):
+                continue
+            # vectorized: window id per row, running rank within each
+            # window, carry-in offset for the window the state left off in
+            pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+            w = (pdf[ts_col].astype("int64") // 1_000_000_000) // window_secs
+            rank = w.groupby(w).cumcount()
+            offset = (w == win_start) * count  # only the carried-over window
+            keep = (rank + offset) < threshold
+            outs.append(pdf[keep])
+            last_w = int(w.iloc[-1])
+            kept_last = int(keep[w == last_w].sum())
+            count = kept_last + (count if last_w == win_start else 0)
+            win_start = last_w
         state.update((win_start, count))
         state.setTimeoutDuration(window_secs * 2 * 1000)
-        if out:
-            yield pd.DataFrame(out)
+        if outs:
+            yield pd.concat(outs)
 
     return (
         df.groupBy(key_field)
