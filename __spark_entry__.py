@@ -324,6 +324,143 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# non-scalar metric values: histogram / summary / set through
+# log_to_metric -> aggregate_metric_values (metric/value.rs:15-80)
+
+
+def _q_aggregate_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators.metrics import aggregate_metric_values, log_to_metric
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m_hist = log_to_metric(ev, name="value_dist", metric_type="histogram", field="value")
+    m_set = log_to_metric(ev, name="types", metric_type="set", field="event_type")
+    agg = aggregate_metric_values(
+        m_hist.unionByName(m_set),
+        interval_secs=86400,
+        tags_col=None,
+        buckets=(50, 100, 200),
+        quantiles=(0.5, 0.95),
+    )
+    # nullable doubles compared as strings (pandas turns NULL doubles into
+    # NaN on the oracle side; VARCHAR keeps NULL = None in both engines)
+    return agg.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "value_type",
+        F.col("dist_count").alias("n"),
+        F.round("dist_sum", 2).cast("string").alias("sum_v"),
+        F.round("dist_min", 2).cast("string").alias("min_v"),
+        F.round("dist_max", 2).cast("string").alias("max_v"),
+        "bucket_le_50",
+        "bucket_le_100",
+        "bucket_le_200",
+        F.round("q50", 6).cast("string").alias("q50"),
+        F.round("q95", 6).cast("string").alias("q95"),
+        F.array_join("set_values", ",").alias("set_csv"),
+        F.col("set_size").cast("bigint").alias("set_size"),
+    )
+
+
+_SQL_AGGREGATE_HISTOGRAM = """
+WITH w AS (
+  SELECT *, strftime(to_timestamp(CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) * 86400),
+                     '%Y-%m-%d %H:%M:%S') AS ws
+  FROM events
+)
+SELECT ws AS window_start, 'histogram' AS value_type,
+       COUNT(*) AS n, CAST(ROUND(SUM(value), 2) AS VARCHAR) AS sum_v,
+       CAST(ROUND(MIN(value), 2) AS VARCHAR) AS min_v,
+       CAST(ROUND(MAX(value), 2) AS VARCHAR) AS max_v,
+       CAST(SUM(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS bucket_le_50,
+       CAST(SUM(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS bucket_le_100,
+       CAST(SUM(CASE WHEN value <= 200 THEN 1 ELSE 0 END) AS BIGINT) AS bucket_le_200,
+       CAST(ROUND(quantile_cont(value, 0.5), 6) AS VARCHAR) AS q50,
+       CAST(ROUND(quantile_cont(value, 0.95), 6) AS VARCHAR) AS q95,
+       '' AS set_csv, CAST(0 AS BIGINT) AS set_size
+FROM w GROUP BY ws
+UNION ALL
+SELECT ws, 'set', 0, NULL, NULL, NULL, 0, 0, 0, NULL, NULL,
+       array_to_string(list_sort(list(DISTINCT event_type)), ','),
+       COUNT(DISTINCT event_type)
+FROM w GROUP BY ws
+"""
+
+
+# ---------------------------------------------------------------------------
+# log_to_metric (standalone) + metric_to_log roundtrip
+
+
+def _q_log_to_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators.metrics import log_to_metric
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = log_to_metric(
+        ev,
+        name="event_value",
+        metric_type="counter",
+        field="value",
+        increment_by_value=True,
+        tags={
+            "event_type": F.col("event_type"),
+            "host": F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string")),
+        },
+        ts_col="ts",
+    )
+    return m.select(
+        "name",
+        F.col("tags")["event_type"].alias("event_type"),
+        F.col("tags")["host"].alias("host"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "kind",
+        "value_type",
+        F.round("value", 2).alias("value_r"),
+    )
+
+
+_SQL_LOG_TO_METRIC = """
+SELECT 'event_value' AS name, event_type,
+       'h' || CAST(user_id % 10 AS VARCHAR) AS host,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       'incremental' AS kind, 'counter' AS value_type,
+       ROUND(value, 2) AS value_r
+FROM events WHERE value IS NOT NULL
+"""
+
+
+def _q_metric_to_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metric_to_log roundtrip: logs -> gauge metrics -> serialized log
+    events; the oracle checks the JSON `message` re-parses to the source
+    values and that the host tag was hoisted (metric_to_log.rs:278)."""
+    from vector_spark.operators.metrics import log_to_metric, metric_to_log
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = log_to_metric(
+        ev,
+        name="event_value_gauge",
+        metric_type="gauge",
+        field="value",
+        tags={"host": F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string"))},
+        ts_col="ts",
+    )
+    logs = metric_to_log(m)
+    return logs.select(
+        F.get_json_object("message", "$.name").alias("name"),
+        F.round(F.get_json_object("message", "$.value").cast("double"), 2).alias("value_r"),
+        "host",
+        "source_type",
+        F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
+
+
+_SQL_METRIC_TO_LOG = """
+SELECT 'event_value_gauge' AS name, ROUND(value, 2) AS value_r,
+       'h' || CAST(user_id % 10 AS VARCHAR) AS host,
+       'metric_to_log' AS source_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM events WHERE value IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
 # enrichment lookup
 
 
@@ -349,6 +486,336 @@ FROM read_parquet('{path}') s LEFT JOIN {_enrich_values_sql()}
   ON s.source = l.key
  AND CAST(substr(s.message, 1, 10) AS DATE) BETWEEN l.from_date AND l.to_date
 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# enrich_get exactly-one semantics (lib/enrichment/src/lib.rs:44-52):
+# 0 matches -> 'no rows', >1 -> deterministic winner + 'multiple rows'
+
+_ENRICH_GET_ROWS = [
+    ("click", "P1"),
+    ("click", "P2"),   # duplicate key -> 'multiple rows'
+    ("error", "P0"),
+    ("purchase", "P3"),
+    ("view", "P4"),
+]  # 'signup' absent -> 'no rows'
+
+
+def _q_enrich_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.enrichment import enrich_get, load_enrichment_df
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "event_type")
+    table = load_enrichment_df(spark, _ENRICH_GET_ROWS, ["etype", "prio"])
+    out = enrich_get(ev, table, on={"event_type": "etype"})
+    return out.select("event_id", "event_type", "prio", "_enrich_error")
+
+
+def _sql_enrich_get() -> str:
+    rows = ", ".join(f"('{k}','{p}')" for k, p in _ENRICH_GET_ROWS)
+    return f"""
+WITH l AS (
+  SELECT etype, MIN(prio) AS prio, COUNT(*) AS cnt
+  FROM (VALUES {rows}) AS t(etype, prio) GROUP BY etype
+)
+SELECT e.event_id, e.event_type, l.prio,
+       CASE WHEN l.cnt IS NULL THEN 'no rows'
+            WHEN l.cnt > 1 THEN 'multiple rows' END AS _enrich_error
+FROM events e LEFT JOIN l ON e.event_type = l.etype
+"""
+
+
+def _q_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aws_ec2_metadata shape: constant environment fields stamped onto
+    every event (src/transforms/aws_ec2_metadata.rs:92-149)."""
+    from vector_spark.enrichment import enrich_static
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    return enrich_static(
+        ev, {"instance_id": "i-0123", "region": "us-east-1", "role_name": "ingest"}
+    )
+
+
+_SQL_ENRICH_STATIC = """
+SELECT event_id, 'i-0123' AS instance_id, 'us-east-1' AS region,
+       'ingest' AS role_name
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# decoders: syslog + GELF over deterministically rendered frames
+# (lib/codecs/src/decoding/format/{syslog,gelf}.rs)
+
+
+def _syslog_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render an RFC-5424-ish line per event; 'error' rows render malformed
+    frames to exercise the _decode_error channel."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    good = F.concat(
+        F.lit("<"), (F.col("user_id") % 24).cast("string"), F.lit(">1 "),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z host"),
+        (F.col("user_id") % 10).cast("string"), F.lit(" app"),
+        F.col("event_type"), F.lit(" "),
+        (F.col("event_id") % 100).cast("string"), F.lit(" ID"),
+        (F.col("event_id") % 7).cast("string"), F.lit(" evt "), F.col("event_type"),
+    )
+    bad = F.concat(F.lit("BAD frame "), F.col("event_id").cast("string"))
+    return ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", bad).otherwise(good).alias("message"),
+    )
+
+
+_SQL_SYSLOG_LINE = (
+    "CASE WHEN event_type = 'error' THEN 'BAD frame ' || CAST(event_id AS VARCHAR) "
+    "ELSE '<' || CAST(user_id % 24 AS VARCHAR) || '>1 ' "
+    "|| strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z host' "
+    "|| CAST(user_id % 10 AS VARCHAR) || ' app' || event_type || ' ' "
+    "|| CAST(event_id % 100 AS VARCHAR) || ' ID' || CAST(event_id % 7 AS VARCHAR) "
+    "|| ' evt ' || event_type END"
+)
+
+
+def _q_decode_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.sources import decode_syslog
+
+    out = decode_syslog(_syslog_lines(spark, sf_dir))
+    return out.select(
+        "event_id",
+        F.col("syslog_priority").cast("string").alias("priority"),
+        F.col("syslog_timestamp").alias("ts_s"),
+        F.col("syslog_hostname").alias("hostname"),
+        F.col("syslog_appname").alias("appname"),
+        F.col("syslog_msgid").alias("msgid"),
+        F.col("syslog_message").alias("msg"),
+        F.col("syslog_facility").cast("string").alias("facility"),
+        F.col("syslog_severity").cast("string").alias("severity"),
+        "_decode_error",
+    )
+
+
+def _sql_decode_syslog() -> str:
+    from vector_spark.functions.grok import compile_grok
+
+    exprs = grok_sql_exprs("line", CANNED["syslog_5424ish"], prefix="s_")
+    body = ",\n       ".join(exprs)
+    re_lit = compile_grok(CANNED["syslog_5424ish"]).regex.replace("'", "''")
+    return f"""
+WITH lines AS (
+  SELECT event_id, {_SQL_SYSLOG_LINE} AS line FROM events
+), parsed AS (
+  SELECT event_id, line,
+       {body}
+  FROM lines
+)
+SELECT event_id,
+       CAST(s_priority AS VARCHAR) AS priority,
+       s_timestamp AS ts_s, s_hostname AS hostname, s_appname AS appname,
+       s_msgid AS msgid, s_message AS msg,
+       CAST(CAST(FLOOR(s_priority / 8) AS INT) AS VARCHAR) AS facility,
+       CAST(s_priority % 8 AS VARCHAR) AS severity,
+       CASE WHEN NOT regexp_matches(line, '{re_lit}') THEN 'invalid syslog' END AS _decode_error
+FROM parsed
+"""
+
+
+def _q_decode_gelf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GELF decode over rendered JSON frames; 'error' rows omit host (->
+    _decode_error), 'click' rows omit level (-> default 1, gelf.rs)."""
+    from vector_spark.sources import decode_gelf
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    frame = F.to_json(
+        F.struct(
+            F.lit("1.1").alias("version"),
+            F.when(
+                F.col("event_type") != "error",
+                F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string")),
+            ).alias("host"),
+            F.col("event_type").alias("short_message"),
+            F.when(F.col("event_type") != "click", (F.col("user_id") % 8).cast("int")).alias(
+                "level"
+            ),
+        )
+    )
+    lines = ev.select("event_id", frame.alias("message"))
+    out = decode_gelf(lines)
+    return out.select(
+        "event_id", "version", "host", "short_message",
+        F.col("level").cast("string").alias("level"), "_decode_error",
+    )
+
+
+_SQL_DECODE_GELF = """
+SELECT event_id, '1.1' AS version,
+       CASE WHEN event_type <> 'error'
+            THEN 'h' || CAST(user_id % 10 AS VARCHAR) END AS host,
+       event_type AS short_message,
+       CAST(CASE WHEN event_type = 'click' THEN 1 ELSE user_id % 8 END
+            AS VARCHAR) AS level,
+       CASE WHEN event_type = 'error'
+            THEN 'invalid gelf: missing host/short_message' END AS _decode_error
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# encoders: logfmt + csv (lib/codecs/src/encoding/format/{logfmt,csv}.rs)
+
+
+def _q_encode_logfmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.sinks import encode_logfmt_rows
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    return encode_logfmt_rows(ev)
+
+
+_SQL_ENCODE_LOGFMT = """
+SELECT 'event_id=' || CAST(event_id AS VARCHAR)
+       || ' event_type=' || event_type
+       || ' value=' || CAST(value AS VARCHAR) AS value
+FROM events
+"""
+
+
+def _q_encode_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.sinks import encode_csv_rows
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "props"
+    )
+    return encode_csv_rows(ev)
+
+
+_SQL_ENCODE_CSV = """
+SELECT CAST(event_id AS VARCHAR) || ',' || event_type || ',' ||
+       CASE WHEN props LIKE '%"%' OR props LIKE '%,%'
+            THEN '"' || replace(props, '"', '""') || '"'
+            ELSE props END AS value
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# template rendering (src/template.rs:21,142-161)
+
+
+def _q_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.template import render_template
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        render_template("sink/{{ event_type }}/%Y-%m-%d/u{{ user_id }}", ts_col="ts").alias(
+            "path"
+        ),
+    )
+
+
+_SQL_TEMPLATE = """
+SELECT event_id,
+       'sink/' || event_type || '/' || strftime(ts, '%Y-%m-%d')
+       || '/u' || CAST(user_id AS VARCHAR) AS path
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# canned parser: parse_apache_log (parse_apache_log.cue / parse_common_log)
+
+
+def _apache_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    method = (
+        F.when(F.col("event_type") == "click", F.lit("GET"))
+        .when(F.col("event_type") == "purchase", F.lit("POST"))
+        .otherwise(F.lit("PUT"))
+    )
+    line = F.concat(
+        F.lit("10.0."), (F.col("user_id") % 200).cast("string"),
+        F.lit("."), (F.col("event_id") % 250).cast("string"),
+        F.lit(" - u"), F.col("user_id").cast("string"),
+        F.lit(" ["), F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"), F.lit(" +0000] \""),
+        method, F.lit(" /"), F.col("event_type"),
+        F.lit("/"), (F.col("event_id") % 50).cast("string"),
+        F.lit(" HTTP/1.1\" "), (F.lit(200) + (F.col("event_id") % 3) * 100).cast("string"),
+        F.lit(" "), (F.col("event_id") % 10000).cast("string"),
+    )
+    return ev.select("event_id", line.alias("message"))
+
+
+_SQL_APACHE_LINE = (
+    "'10.0.' || CAST(user_id % 200 AS VARCHAR) || '.' || CAST(event_id % 250 AS VARCHAR)"
+    " || ' - u' || CAST(user_id AS VARCHAR)"
+    " || ' [' || strftime(ts, '%d/%b/%Y:%H:%M:%S') || ' +0000] \"'"
+    " || CASE event_type WHEN 'click' THEN 'GET' WHEN 'purchase' THEN 'POST'"
+    " ELSE 'PUT' END"
+    " || ' /' || event_type || '/' || CAST(event_id % 50 AS VARCHAR)"
+    " || ' HTTP/1.1\" ' || CAST(200 + (event_id % 3) * 100 AS VARCHAR)"
+    " || ' ' || CAST(event_id % 10000 AS VARCHAR)"
+)
+
+
+def _q_parse_apache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.functions.vrl import parse_apache_log
+
+    lines = _apache_lines(spark, sf_dir)
+    return lines.select(
+        "event_id", *parse_apache_log("message")
+    ).select(
+        "event_id", "host", "user", F.col("timestamp").alias("ts_s"),
+        "method", "path", "protocol",
+        F.col("status").cast("string").alias("status"),
+        F.col("size").cast("string").alias("size"),
+    )
+
+
+def _sql_parse_apache() -> str:
+    exprs = grok_sql_exprs("line", CANNED["apache_common"])
+    body = ",\n       ".join(exprs)
+    return f"""
+WITH lines AS (
+  SELECT event_id, {_SQL_APACHE_LINE} AS line FROM events
+), parsed AS (
+  SELECT event_id,
+       {body}
+  FROM lines
+)
+SELECT event_id, host, "user", timestamp AS ts_s, method, path, protocol,
+       CAST(status AS VARCHAR) AS status, CAST(size AS VARCHAR) AS size
+FROM parsed
+"""
+
+
+# ---------------------------------------------------------------------------
+# arbitrary-UDF surface: mapInPandas 1->N (lua hook / multi-event remap)
+
+
+def _q_map_pandas_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """0..N emission per input row (event_id % 3 copies) through the
+    Arrow-vectorized escape hatch (operators/custom.py,
+    src/transforms/lua/v2/mod.rs:28-74 hook contract)."""
+    from vector_spark.operators.custom import map_events_pandas
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "event_type")
+
+    def fanout(pdf):
+        k = (pdf["event_id"] % 3).astype(int)
+        rep = pdf.loc[pdf.index.repeat(k)].copy()
+        rep["copy_idx"] = rep.groupby("event_id").cumcount()
+        return rep[["event_id", "event_type", "copy_idx"]]
+
+    return map_events_pandas(
+        ev, fanout, "event_id long, event_type string, copy_idx long"
+    )
+
+
+_SQL_MAP_PANDAS_FANOUT = """
+SELECT e.event_id, e.event_type, r.range AS copy_idx
+FROM events e JOIN range(0, 3) r ON r.range < e.event_id % 3
 """
 
 
@@ -706,6 +1173,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reduce_sessions": _q_reduce_sessions,
         "tag_cardinality_limit": _q_tag_cardinality,
         "quality_filter": _q_quality_filter,
+        "aggregate_histogram": _q_aggregate_histogram,
+        "log_to_metric": _q_log_to_metric,
+        "metric_to_log": _q_metric_to_log,
+        "enrich_get": _q_enrich_get,
+        "enrich_static": _q_enrich_static,
+        "decode_syslog": _q_decode_syslog,
+        "decode_gelf": _q_decode_gelf,
+        "encode_logfmt": _q_encode_logfmt,
+        "encode_csv": _q_encode_csv,
+        "template_render": _q_template,
+        "parse_apache_log": _q_parse_apache,
+        "map_pandas_fanout": _q_map_pandas_fanout,
     }
 
 
@@ -737,4 +1216,16 @@ def oracle_sql() -> dict[str, str]:
         "reduce_sessions": _SQL_REDUCE_SESSIONS,
         "tag_cardinality_limit": _SQL_TAG_CARDINALITY,
         "quality_filter": _sql_quality_filter(),
+        "aggregate_histogram": _SQL_AGGREGATE_HISTOGRAM,
+        "log_to_metric": _SQL_LOG_TO_METRIC,
+        "metric_to_log": _SQL_METRIC_TO_LOG,
+        "enrich_get": _sql_enrich_get(),
+        "enrich_static": _SQL_ENRICH_STATIC,
+        "decode_syslog": _sql_decode_syslog(),
+        "decode_gelf": _SQL_DECODE_GELF,
+        "encode_logfmt": _SQL_ENCODE_LOGFMT,
+        "encode_csv": _SQL_ENCODE_CSV,
+        "template_render": _SQL_TEMPLATE,
+        "parse_apache_log": _sql_parse_apache(),
+        "map_pandas_fanout": _SQL_MAP_PANDAS_FANOUT,
     }

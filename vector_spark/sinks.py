@@ -44,9 +44,13 @@ def encode_logfmt_rows(df: DataFrame, fields: list[str] | None = None) -> DataFr
 
 
 def encode_csv_rows(df: DataFrame, fields: list[str] | None = None) -> DataFrame:
-    """csv encoder: fixed field order, RFC-4180 quoting via to_csv."""
+    """csv encoder: fixed field order, RFC-4180 quoting via to_csv
+    (escape='"' doubles embedded quotes per the RFC; Spark's default
+    backslash escape is NOT RFC-4180 and the reference's csv encoder is)."""
     cols = fields or df.columns
-    return df.select(F.to_csv(F.struct(*[F.col(c) for c in cols])).alias("value"))
+    return df.select(
+        F.to_csv(F.struct(*[F.col(c) for c in cols]), {"escape": '"'}).alias("value")
+    )
 
 
 # --- sinks -----------------------------------------------------------------
@@ -74,7 +78,7 @@ def write_file_sink(
             parts = [F.concat(F.lit(f"{c}="), F.col(c).cast("string")) for c in sorted(cols)]
             return F.concat_ws(" ", *parts)
         if encoding == "csv":
-            return F.to_csv(F.struct(*cols))
+            return F.to_csv(F.struct(*cols), {"escape": '"'})
         raise ValueError(f"unknown encoding {encoding!r}")
 
     if partition_by:
