@@ -791,6 +791,148 @@ FROM parsed
 
 
 # ---------------------------------------------------------------------------
+# canned parser family: nginx / glog / klog / linux-auth / vpc-flow over
+# deterministically rendered lines (functions/parsers.py; cue-doc formats)
+
+
+def _q_parse_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.functions import parsers as PP
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    uid, eid, et = F.col("user_id"), F.col("event_id"), F.col("event_type")
+    nginx = F.concat(
+        F.lit("10.1."), (uid % 200).cast("string"), F.lit("."), (eid % 250).cast("string"),
+        F.lit(" - u"), uid.cast("string"),
+        F.lit(" ["), F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"), F.lit(' +0000] "GET /'),
+        et, F.lit("/"), (eid % 50).cast("string"), F.lit(' HTTP/1.1" '),
+        (F.lit(200) + (eid % 3) * 100).cast("string"), F.lit(" "),
+        (eid % 9999).cast("string"), F.lit(' "http://r.example/'), et,
+        F.lit('" "agent-'), (uid % 7).cast("string"), F.lit('" "1.5"'),
+    )
+    lvl = F.when(et == "error", F.lit("E")).when(et == "view", F.lit("W")).otherwise(F.lit("I"))
+    glog = F.concat(
+        lvl, F.date_format("ts", "yyyyMMdd"), F.lit(" "),
+        F.date_format("ts", "HH:mm:ss.SSSSSS"), F.lit(" "), uid.cast("string"),
+        F.lit(" svc_"), et, F.lit(".cc:"), (eid % 90 + 1).cast("string"),
+        F.lit("] msg "), eid.cast("string"),
+    )
+    klog = F.concat(
+        lvl, F.date_format("ts", "MMdd"), F.lit(" "),
+        F.date_format("ts", "HH:mm:ss.SSSSSS"), F.lit("   "), uid.cast("string"),
+        F.lit(" k.go:7] kmsg "), eid.cast("string"),
+    )
+    auth = F.concat(
+        F.date_format("ts", "MMM d HH:mm:ss"), F.lit(" host"),
+        (uid % 5).cast("string"), F.lit(" sshd["), (eid % 9999 + 1).cast("string"),
+        F.lit("]: Accepted publickey for u"), uid.cast("string"),
+    )
+    vpc = F.concat(
+        F.lit("2 123456789010 eni-"), eid.cast("string"),
+        F.lit(" 10.0.0."), (uid % 250).cast("string"), F.lit(" - "),
+        (eid % 65535).cast("string"), F.lit(" "),
+        (eid % 9999 + 1).cast("string"), F.lit(" 6 "),
+        (eid % 100 + 1).cast("string"), F.lit(" "), (eid % 10000 + 40).cast("string"),
+        F.lit(" 1431280876 1431280934 ACCEPT OK"),
+    )
+    lines = ev.select(
+        "event_id",
+        nginx.alias("l_ng"), glog.alias("l_gl"), klog.alias("l_kl"),
+        auth.alias("l_au"), vpc.alias("l_vp"),
+    )
+
+    def pre(cols, names, p):
+        return [c.alias(p + n) for c, n in zip(cols, names)]
+
+    ng = pre(
+        PP.parse_nginx_log("l_ng", "combined"),
+        PP.NGINX_COMBINED.fields,
+        "ng_",
+    )
+    gl_cols = PP.parse_glog("l_gl", default_year=2024)
+    gl = pre(
+        [gl_cols[0], F.date_format(gl_cols[1], "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+         *gl_cols[2:]],
+        ["level", "ts_s", "id", "file", "line", "message"],
+        "gl_",
+    )
+    kl_cols = PP.parse_klog("l_kl", default_year=2024)
+    kl = pre(
+        [kl_cols[0], F.date_format(kl_cols[1], "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+         *kl_cols[2:]],
+        ["level", "ts_s", "id", "file", "line", "message"],
+        "kl_",
+    )
+    au_cols = PP.parse_linux_authorization("l_au", year=2024)
+    au = pre(
+        [F.date_format(au_cols[0], "yyyy-MM-dd HH:mm:ss"), *au_cols[1:]],
+        ["ts_s", "hostname", "appname", "procid", "message"],
+        "au_",
+    )
+    vp = pre(
+        PP.parse_aws_vpc_flow_log("l_vp"),
+        PP.VPC_FLOW_DEFAULT_FORMAT.split(),
+        "vp_",
+    )
+    return lines.select("event_id", *ng, *gl, *kl, *au, *vp)
+
+
+def _sql_parse_multi() -> str:
+    from vector_spark.functions import parsers as PP
+
+    uid, eid, et = "user_id", "event_id", "event_type"
+    nginx = (
+        f"'10.1.' || CAST({uid} % 200 AS VARCHAR) || '.' || CAST({eid} % 250 AS VARCHAR)"
+        f" || ' - u' || CAST({uid} AS VARCHAR)"
+        f" || ' [' || strftime(ts, '%d/%b/%Y:%H:%M:%S') || ' +0000] \"GET /'"
+        f" || {et} || '/' || CAST({eid} % 50 AS VARCHAR) || ' HTTP/1.1\" '"
+        f" || CAST(200 + ({eid} % 3) * 100 AS VARCHAR) || ' '"
+        f" || CAST({eid} % 9999 AS VARCHAR) || ' \"http://r.example/' || {et}"
+        f" || '\" \"agent-' || CAST({uid} % 7 AS VARCHAR) || '\" \"1.5\"'"
+    )
+    lvl = (
+        f"CASE WHEN {et} = 'error' THEN 'E' WHEN {et} = 'view' THEN 'W' ELSE 'I' END"
+    )
+    glog = (
+        f"{lvl} || strftime(ts, '%Y%m%d') || ' ' || strftime(ts, '%H:%M:%S.%f')"
+        f" || ' ' || CAST({uid} AS VARCHAR) || ' svc_' || {et} || '.cc:'"
+        f" || CAST({eid} % 90 + 1 AS VARCHAR) || '] msg ' || CAST({eid} AS VARCHAR)"
+    )
+    klog = (
+        f"{lvl} || strftime(ts, '%m%d') || ' ' || strftime(ts, '%H:%M:%S.%f')"
+        f" || '   ' || CAST({uid} AS VARCHAR) || ' k.go:7] kmsg ' || CAST({eid} AS VARCHAR)"
+    )
+    auth = (
+        f"strftime(ts, '%b %-d %H:%M:%S') || ' host' || CAST({uid} % 5 AS VARCHAR)"
+        f" || ' sshd[' || CAST({eid} % 9999 + 1 AS VARCHAR)"
+        f" || ']: Accepted publickey for u' || CAST({uid} AS VARCHAR)"
+    )
+    vpc = (
+        f"'2 123456789010 eni-' || CAST({eid} AS VARCHAR)"
+        f" || ' 10.0.0.' || CAST({uid} % 250 AS VARCHAR) || ' - '"
+        f" || CAST({eid} % 65535 AS VARCHAR) || ' '"
+        f" || CAST({eid} % 9999 + 1 AS VARCHAR) || ' 6 '"
+        f" || CAST({eid} % 100 + 1 AS VARCHAR) || ' ' || CAST({eid} % 10000 + 40 AS VARCHAR)"
+        f" || ' 1431280876 1431280934 ACCEPT OK'"
+    )
+    ng = PP.sql_parse_nginx_log("l_ng", "combined", "ng_")
+    gl = PP.sql_parse_glog("l_gl", 2024, "gl_")
+    kl = PP.sql_parse_glog("l_kl", 2024, "kl_")
+    au = PP.sql_parse_linux_authorization("l_au", 2024, "au_")
+    vp = PP.sql_parse_aws_vpc_flow_log("l_vp", None, "vp_")
+    body = ",\n       ".join(ng + gl + kl + au + vp)
+    return f"""
+WITH lines AS (
+  SELECT event_id, {nginx} AS l_ng, {glog} AS l_gl, {klog} AS l_kl,
+         {auth} AS l_au, {vpc} AS l_vp
+  FROM events
+)
+SELECT event_id,
+       {body}
+FROM lines
+"""
+
+
+# ---------------------------------------------------------------------------
 # arbitrary-UDF surface: mapInPandas 1->N (lua hook / multi-event remap)
 
 
@@ -1184,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_csv": _q_encode_csv,
         "template_render": _q_template,
         "parse_apache_log": _q_parse_apache,
+        "parse_multi": _q_parse_multi,
         "map_pandas_fanout": _q_map_pandas_fanout,
     }
 
@@ -1227,5 +1370,6 @@ def oracle_sql() -> dict[str, str]:
         "encode_csv": _SQL_ENCODE_CSV,
         "template_render": _SQL_TEMPLATE,
         "parse_apache_log": _sql_parse_apache(),
+        "parse_multi": _sql_parse_multi(),
         "map_pandas_fanout": _SQL_MAP_PANDAS_FANOUT,
     }

@@ -148,6 +148,56 @@ def _cast(col: Column, typ: str) -> Column:
 _SEP = "\x01"
 
 
+def regex_parts(src: Column | str, g: CompiledGrok) -> Column:
+    """One-pass extraction array for an already-compiled pattern (shared by
+    grok and the hand-written line formats in functions/parsers.py) — see
+    :func:`grok_parts` for the trick and its caveats."""
+    c = F.col(src) if isinstance(src, str) else src
+    repl = _SEP + _SEP.join(f"${i}" for i in range(1, len(g.fields) + 1))
+    return F.split(F.regexp_replace(c, g.regex, repl), _SEP, -1)
+
+
+def regex_columns(src: Column | str, g: CompiledGrok, prefix: str = "") -> list[Column]:
+    """Aliased per-field Columns for a compiled pattern via the one-pass
+    plan; empty captures ('') normalized to NULL for string fields so '-'
+    style omissions and non-matches are uniform."""
+    parts = regex_parts(src, g)
+    out = []
+    for i, (name, typ) in enumerate(zip(g.fields, g.types)):
+        c = parts.getItem(i + 1)
+        if typ == "string":
+            c = F.nullif(c, F.lit(""))
+        out.append(_cast(c, typ).alias(prefix + name))
+    return out
+
+
+def regex_sql_exprs(expr: str, g: CompiledGrok, prefix: str = "") -> list[str]:
+    """DuckDB oracle rendering of :func:`regex_columns` (same regex, same
+    NULL-on-miss + empty-to-NULL + cast semantics).
+
+    DuckDB's index form ``regexp_extract(s, re, i)`` only supports groups
+    0-9; patterns with more captures use the name-list form, which returns
+    a struct and has no such cap."""
+    re_lit = g.regex.replace("'", "''")
+    out = []
+    wide = len(g.fields) > 9
+    names_list = "[" + ", ".join(f"'{n}'" for n in g.fields) + "]"
+    for i, (name, typ) in enumerate(zip(g.fields, g.types), start=1):
+        if wide:
+            extract = f'regexp_extract({expr}, \'{re_lit}\', {names_list})."{name}"'
+        else:
+            extract = f"regexp_extract({expr}, '{re_lit}', {i})"
+        base = f"CASE WHEN regexp_matches({expr}, '{re_lit}') THEN {extract} END"
+        if typ == "int":
+            base = f"CAST({base} AS BIGINT)"
+        elif typ == "float":
+            base = f"CAST({base} AS DOUBLE)"
+        else:
+            base = f"NULLIF({base}, '')"
+        out.append(f"{base} AS {prefix}{name}")
+    return out
+
+
 def grok_parts(src: Column | str, pattern: str) -> tuple[Column, CompiledGrok]:
     """The shared one-pass extraction array for ``pattern`` over ``src``.
 
@@ -170,10 +220,7 @@ def grok_parts(src: Column | str, pattern: str) -> tuple[Column, CompiledGrok]:
     '' (cast to NULL for typed fields).
     """
     g = compile_grok(pattern)
-    c = F.col(src) if isinstance(src, str) else src
-    repl = _SEP + _SEP.join(f"${i}" for i in range(1, len(g.fields) + 1))
-    parts = F.split(F.regexp_replace(c, g.regex, repl), _SEP, -1)
-    return parts, g
+    return regex_parts(src, g), g
 
 
 def grok_columns(src: Column | str, pattern: str, prefix: str = "") -> list[Column]:
