@@ -933,6 +933,61 @@ FROM lines
 
 
 # ---------------------------------------------------------------------------
+# multiline aggregation (src/line_agg.rs) over a synthesized stack-trace
+# corpus: marker line + 0..2 continuation lines per event, keyed by file
+
+
+def _q_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.multiline import line_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid, uid, et = F.col("event_id"), F.col("user_id"), F.col("event_type")
+    k = (eid % 3).cast("int")  # number of continuation lines
+    lines = ev.select(
+        F.concat(F.lit("f"), (uid % 5).cast("string")).alias("fkey"),
+        (eid * 10).alias("base"),
+        et.alias("et"),
+        eid.alias("eid"),
+        F.explode(F.sequence(F.lit(0), k)).alias("j"),
+    ).select(
+        "fkey",
+        (F.col("base") + F.col("j")).alias("line_no"),
+        F.when(
+            F.col("j") == 0,
+            F.concat(F.lit("LOG event "), F.col("eid").cast("string"), F.lit(" "), F.col("et")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("  at f"), F.col("j").cast("string"),
+                F.lit(" ("), F.col("eid").cast("string"), F.lit(")"),
+            )
+        )
+        .alias("line"),
+    )
+    out = line_agg(
+        lines, r"^LOG ", r"^LOG ", "halt_before", key_cols=["fkey"]
+    )
+    return out.select("fkey", "message", "first_line_no", "last_line_no", "n_lines")
+
+
+def _sql_multiline() -> str:
+    from vector_spark.multiline import sql_line_agg_halt_before_marker
+
+    lines = """
+SELECT 'f' || CAST(user_id % 5 AS VARCHAR) AS fkey,
+       event_id * 10 + r.range AS line_no,
+       CASE WHEN r.range = 0
+            THEN 'LOG event ' || CAST(event_id AS VARCHAR) || ' ' || event_type
+            ELSE '  at f' || CAST(r.range AS VARCHAR) || ' ('
+                 || CAST(event_id AS VARCHAR) || ')' END AS line
+FROM events e JOIN range(0, 3) r ON r.range <= e.event_id % 3
+"""
+    return sql_line_agg_halt_before_marker(
+        f"({lines}) src", r"^LOG ", key_cols=["fkey"]
+    )
+
+
+# ---------------------------------------------------------------------------
 # arbitrary-UDF surface: mapInPandas 1->N (lua hook / multi-event remap)
 
 
@@ -1327,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_render": _q_template,
         "parse_apache_log": _q_parse_apache,
         "parse_multi": _q_parse_multi,
+        "multiline_stacktrace": _q_multiline,
         "map_pandas_fanout": _q_map_pandas_fanout,
     }
 
@@ -1371,5 +1427,6 @@ def oracle_sql() -> dict[str, str]:
         "template_render": _SQL_TEMPLATE,
         "parse_apache_log": _sql_parse_apache(),
         "parse_multi": _sql_parse_multi(),
+        "multiline_stacktrace": _sql_multiline(),
         "map_pandas_fanout": _SQL_MAP_PANDAS_FANOUT,
     }
