@@ -988,6 +988,61 @@ FROM events e JOIN range(0, 3) r ON r.range <= e.event_id % 3
 
 
 # ---------------------------------------------------------------------------
+# datadog_search conditions driving route fan-out
+# (src/conditions/datadog_search.rs + src/transforms/route.rs)
+
+
+def _q_datadog_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.conditions import DatadogSearchCompiler
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "value",
+        F.concat(F.col("event_type"), F.lit(" event "), F.col("event_id").cast("string")).alias(
+            "message"
+        ),
+        F.array(
+            F.concat(F.lit("type:"), F.col("event_type")),
+            F.concat(F.lit("u:"), (F.col("user_id") % 10).cast("string")),
+        ).alias("tags"),
+    )
+    dd = DatadogSearchCompiler.for_df(ev)
+    conds = {
+        "errors": dd.compile("type:error"),
+        "big": dd.compile("@value:>=300"),
+        "mid": dd.compile("@value:[100 TO 200]"),
+        "clicky": dd.compile("type:c* AND NOT @value:<10"),
+        "kw": dd.compile("purchase"),
+    }
+    routed = route(ev, conds)
+    return routed.union_labeled("route_key").select("route_key", "event_id")
+
+
+_SQL_DATADOG_ROUTE = """
+WITH e AS (
+  SELECT event_id, value, event_type FROM events
+), m AS (
+  SELECT event_id,
+         event_type = 'error' AS c_errors,
+         value >= 300 AS c_big,
+         value BETWEEN 100 AND 200 AS c_mid,
+         event_type LIKE 'c%' AND NOT value < 10 AS c_clicky,
+         event_type = 'purchase' AS c_kw
+  FROM e
+)
+SELECT route_key, event_id FROM (
+  SELECT 'errors' AS route_key, event_id FROM m WHERE c_errors
+  UNION ALL SELECT 'big', event_id FROM m WHERE c_big
+  UNION ALL SELECT 'mid', event_id FROM m WHERE c_mid
+  UNION ALL SELECT 'clicky', event_id FROM m WHERE c_clicky
+  UNION ALL SELECT 'kw', event_id FROM m WHERE c_kw
+  UNION ALL SELECT '_unmatched', event_id FROM m
+  WHERE NOT (c_errors OR c_big OR c_mid OR c_clicky OR c_kw)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # arbitrary-UDF surface: mapInPandas 1->N (lua hook / multi-event remap)
 
 
@@ -1383,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_apache_log": _q_parse_apache,
         "parse_multi": _q_parse_multi,
         "multiline_stacktrace": _q_multiline,
+        "datadog_route": _q_datadog_route,
         "map_pandas_fanout": _q_map_pandas_fanout,
     }
 
@@ -1428,5 +1484,6 @@ def oracle_sql() -> dict[str, str]:
         "parse_apache_log": _sql_parse_apache(),
         "parse_multi": _sql_parse_multi(),
         "multiline_stacktrace": _sql_multiline(),
+        "datadog_route": _SQL_DATADOG_ROUTE,
         "map_pandas_fanout": _SQL_MAP_PANDAS_FANOUT,
     }
