@@ -1094,6 +1094,44 @@ def _q_reduce_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_reduce_starts_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """starts_when sessionization (reduce/mod.rs:404-409: a matching row
+    flushes the open group and OPENS the new one) + ConcatRaw merge
+    (merge_strategy.rs:582: joiner-less concat)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", "value", "ts", "event_id"
+    )
+    r = reduce_events(
+        ev,
+        group_by=["user_id"],
+        merge_strategies={"event_type": "concat_raw", "value": "sum", "event_id": "min"},
+        order_col="ts",
+        starts_when=F.col("event_type") == "signup",
+    )
+    return r.select(
+        "user_id",
+        F.col("event_id").alias("first_event_id"),
+        F.col("event_type").alias("types_raw"),
+        F.round("value", 2).alias("sum_value"),
+    )
+
+
+_SQL_REDUCE_STARTS_WHEN = """
+WITH flagged AS (
+  SELECT user_id, event_type, value, ts, event_id,
+         SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM events
+)
+SELECT user_id,
+       MIN(event_id) AS first_event_id,
+       string_agg(event_type, '' ORDER BY ts, event_type) AS types_raw,
+       ROUND(SUM(value), 2) AS sum_value
+FROM flagged GROUP BY user_id, sess
+"""
+
+
 _SQL_REDUCE_SESSIONS = """
 WITH flagged AS (
   SELECT user_id, event_type, value, ts, event_id,
@@ -1423,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _q_ann_topk_lsh,
         "media_features": _q_media_features,
         "reduce_sessions": _q_reduce_sessions,
+        "reduce_starts_when": _q_reduce_starts_when,
         "tag_cardinality_limit": _q_tag_cardinality,
         "quality_filter": _q_quality_filter,
         "aggregate_histogram": _q_aggregate_histogram,
@@ -1469,6 +1508,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": _sql_ann_topk_lsh(),
         # media_features: payloads exist only in Spark -> rows-only check
         "reduce_sessions": _SQL_REDUCE_SESSIONS,
+        "reduce_starts_when": _SQL_REDUCE_STARTS_WHEN,
         "tag_cardinality_limit": _SQL_TAG_CARDINALITY,
         "quality_filter": _sql_quality_filter(),
         "aggregate_histogram": _SQL_AGGREGATE_HISTOGRAM,

@@ -367,6 +367,101 @@ def is_ipv4(col: Column | str) -> Column:
     )
 
 
+def _ip_udf(fn, ret: str = "string"):
+    """Arrow-batched ipaddress-module helper for the v6-capable IP
+    functions (no JVM surface for inet math; errors -> NULL, the VRL
+    fallible-call convention)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ret)
+    def udf(s):
+        def safe(v):
+            if v is None:
+                return None
+            try:
+                return fn(v)
+            except (ValueError, OSError):
+                return None
+
+        return s.map(safe)
+
+    return udf
+
+
+def ip_pton(col: Column | str) -> Column:
+    """ip_pton (ip_pton.cue): IPv4/IPv6 text -> packed bytes (4 or 16)."""
+    import ipaddress
+
+    return _ip_udf(lambda v: ipaddress.ip_address(v).packed, "binary")(_c(col))
+
+
+def ip_ntop(col: Column | str) -> Column:
+    """ip_ntop (ip_ntop.cue): packed 4/16 bytes -> canonical text."""
+    import ipaddress
+
+    return _ip_udf(lambda v: str(ipaddress.ip_address(bytes(v))))(_c(col).cast("binary"))
+
+
+def ip_subnet(col: Column | str, mask: str) -> Column:
+    """ip_subnet (ip_subnet.cue): network address under a dotted netmask
+    ("255.255.255.0") or prefix ("/32"); works for IPv4 and IPv6."""
+    import ipaddress
+
+    def sub(v):
+        if mask.startswith("/"):
+            net = ipaddress.ip_network(f"{v}{mask}", strict=False)
+        else:
+            net = ipaddress.ip_network((v, mask), strict=False)
+        return str(net.network_address)
+
+    return _ip_udf(sub)(_c(col))
+
+
+def ip_to_ipv6(col: Column | str) -> Column:
+    """ip_to_ipv6 (ip_to_ipv6.cue): IPv4 -> "::ffff:a.b.c.d"; IPv6 input
+    passes through.  Pure Column (no UDF): string concat + validity gate."""
+    c = _c(col)
+    return F.when(is_ipv4(c), F.concat(F.lit("::ffff:"), c)).otherwise(c)
+
+
+def ipv6_to_ipv4(col: Column | str) -> Column:
+    """ipv6_to_ipv4 (ipv6_to_ipv4.cue): IPv4-mapped IPv6 -> dotted quad;
+    plain IPv4 passes through; non-mapped IPv6 -> NULL (fallible)."""
+    import ipaddress
+
+    def conv(v):
+        ip = ipaddress.ip_address(v)
+        if ip.version == 4:
+            return str(ip)
+        mapped = ip.ipv4_mapped
+        if mapped is None:
+            raise ValueError("not an IPv4-mapped address")
+        return str(mapped)
+
+    return _ip_udf(conv)(_c(col))
+
+
+def is_ipv6(col: Column | str) -> Column:
+    """is_ipv6 (is_ipv6.cue): full-fidelity check via the inet parser."""
+    import ipaddress
+
+    def check(v):
+        try:
+            return ipaddress.ip_address(v).version == 6
+        except ValueError:
+            return False
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def udf(s):
+        return s.map(lambda v: False if v is None else check(v))
+
+    return udf(_c(col))
+
+
 # ---------------------------------------------------------------------------
 # Cryptography (md5.cue, sha1.cue, sha2.cue, seahash.cue)
 

@@ -44,6 +44,10 @@ def _strategy_expr(strategy: str, c: str, order_col: str) -> Column:
         return F.array_join(
             F.sort_array(F.collect_list(F.struct(F.col(order_col).alias("o"), col.alias("v")))).getField("v"), "\n"
         )
+    if strategy == "concat_raw":  # ConcatMerger with no joiner (merge_strategy.rs:582)
+        return F.array_join(
+            F.sort_array(F.collect_list(F.struct(F.col(order_col).alias("o"), col.alias("v")))).getField("v"), ""
+        )
     if strategy == "shortest_array":
         return F.min_by(col, F.size(col))
     if strategy == "longest_array":
@@ -59,6 +63,7 @@ def reduce_events(
     merge_strategies: dict[str, str] | None = None,
     order_col: str = "ts",
     ends_when: Column | None = None,
+    starts_when: Column | None = None,
     ts_col: str | None = None,
 ) -> DataFrame:
     """Collapse each group to one row.
@@ -66,23 +71,32 @@ def reduce_events(
     Default merges (reduce/mod.rs:82-88): string -> first; numeric -> sum;
     timestamp -> first, plus ``<field>_end`` = last.  ``ends_when`` marks a
     group-closing row: groups are split into sessions at each marker
-    (marker row INCLUDED in the session it closes, reduce/mod.rs:268-276).
+    (marker row INCLUDED in the session it closes, reduce/mod.rs:410-421).
+    ``starts_when`` marks a group-OPENING row: the previous session is
+    flushed and the marker row begins the new one (reduce/mod.rs:404-409).
+    Mutually exclusive, as in the reference (reduce/mod.rs:315-316).
     """
     merge_strategies = merge_strategies or {}
     ts_col = ts_col or order_col
+    if ends_when is not None and starts_when is not None:
+        raise ValueError("only one of ends_when and starts_when can be provided")
     work = df
     keys = list(group_by)
 
-    if ends_when is not None:
+    if ends_when is not None or starts_when is not None:
         w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
-        end_flag = (ends_when.isNotNull() & ends_when).cast("long")
-        # session id = count of end-markers BEFORE this row (exclusive) so the
-        # marker row closes its own session.
+        if ends_when is not None:
+            flag = (ends_when.isNotNull() & ends_when).cast("long")
+            # session id = count of end-markers BEFORE this row (exclusive)
+            # so the marker row closes its own session.
+            frame = w.rowsBetween(Window.unboundedPreceding, -1)
+        else:
+            flag = (starts_when.isNotNull() & starts_when).cast("long")
+            # count INCLUDING this row: a start-marker opens the session it
+            # belongs to.
+            frame = w.rowsBetween(Window.unboundedPreceding, 0)
         work = work.withColumn(
-            "_session",
-            F.coalesce(
-                F.sum(end_flag).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
-            ),
+            "_session", F.coalesce(F.sum(flag).over(frame), F.lit(0))
         )
         keys = keys + ["_session"]
 
