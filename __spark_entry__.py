@@ -544,6 +544,58 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# geoip enrichment (src/enrichment_tables/geoip.rs) — bucketed broadcast
+# range join over a synthetic range table (mmdb loader stubbed: no
+# maxminddb wheel in this environment; the range-table shape is the
+# flattened prefix trie)
+
+GEO_ROWS = [
+    (1 << 24, (51 << 24) - 1, "US", "nyc", "America/New_York"),
+    (51 << 24, (101 << 24) - 1, "DE", "ber", "Europe/Berlin"),
+    (101 << 24, (160 << 24) - 1, "JP", "tyo", "Asia/Tokyo"),
+]
+
+
+def _q_geoip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.enrichment import geoip_enrich
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    ip = F.concat_ws(
+        ".",
+        (eid % 223 + 1).cast("string"),
+        (uid % 256).cast("string"),
+        (eid % 256).cast("string"),
+        ((eid * 7) % 256).cast("string"),
+    )
+    events = ev.select("event_id", ip.alias("ip"))
+    geo = spark.createDataFrame(
+        GEO_ROWS, ["ip_start", "ip_end", "country_code", "city_name", "timezone"]
+    )
+    return geoip_enrich(events, geo, "ip")
+
+
+def _sql_geoip() -> str:
+    rows = ", ".join(f"({a},{b},'{cc}','{ci}','{tz}')" for a, b, cc, ci, tz in GEO_ROWS)
+    ip_int = (
+        "(event_id % 223 + 1) * 16777216 + (user_id % 256) * 65536 "
+        "+ (event_id % 256) * 256 + (event_id * 7) % 256"
+    )
+    ip_str = (
+        "CAST(event_id % 223 + 1 AS VARCHAR) || '.' || CAST(user_id % 256 AS VARCHAR)"
+        " || '.' || CAST(event_id % 256 AS VARCHAR) || '.' || CAST((event_id * 7) % 256 AS VARCHAR)"
+    )
+    return f"""
+WITH e AS (
+  SELECT event_id, {ip_str} AS ip, {ip_int} AS ip_int FROM events
+)
+SELECT e.event_id, e.ip, g.country_code, g.city_name, g.timezone
+FROM e LEFT JOIN (VALUES {rows}) AS g(ip_start, ip_end, country_code, city_name, timezone)
+  ON e.ip_int BETWEEN g.ip_start AND g.ip_end
+"""
+
+
+# ---------------------------------------------------------------------------
 # decoders: syslog + GELF over deterministically rendered frames
 # (lib/codecs/src/decoding/format/{syslog,gelf}.rs)
 
@@ -1469,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_to_log": _q_metric_to_log,
         "enrich_get": _q_enrich_get,
         "enrich_static": _q_enrich_static,
+        "geoip": _q_geoip,
         "decode_syslog": _q_decode_syslog,
         "decode_gelf": _q_decode_gelf,
         "encode_logfmt": _q_encode_logfmt,
@@ -1516,6 +1569,7 @@ def oracle_sql() -> dict[str, str]:
         "metric_to_log": _SQL_METRIC_TO_LOG,
         "enrich_get": _sql_enrich_get(),
         "enrich_static": _SQL_ENRICH_STATIC,
+        "geoip": _sql_geoip(),
         "decode_syslog": _sql_decode_syslog(),
         "decode_gelf": _SQL_DECODE_GELF,
         "encode_logfmt": _SQL_ENCODE_LOGFMT,

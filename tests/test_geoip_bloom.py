@@ -1,0 +1,65 @@
+"""geoip bucketed range join + tag_cardinality_limit probabilistic mode."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.enrichment import geoip_enrich, load_geoip_mmdb
+
+GEO = [
+    (1 << 24, (2 << 24) - 1, "AA"),
+    ((2 << 24) + 5, (2 << 24) + 10, "BB"),  # tiny range inside one /16
+    (3 << 24, (10 << 24) - 1, "CC"),
+]
+
+
+def _geo_df(spark):
+    return spark.createDataFrame(GEO, ["ip_start", "ip_end", "country_code"])
+
+
+def test_geoip_bucketed_matches_naive(spark):
+    ips = [
+        "1.0.0.1", "1.255.255.255", "2.0.0.5", "2.0.0.11", "3.4.5.6",
+        "9.255.0.1", "10.0.0.0", "200.1.2.3",
+    ]
+    ev = spark.createDataFrame([(i, ip) for i, ip in enumerate(ips)], ["id", "ip"])
+    out = {r["ip"]: r["country_code"] for r in geoip_enrich(ev, _geo_df(spark), "ip").collect()}
+    assert out == {
+        "1.0.0.1": "AA", "1.255.255.255": "AA", "2.0.0.5": "BB",
+        "2.0.0.11": None, "3.4.5.6": "CC", "9.255.0.1": "CC",
+        "10.0.0.0": None, "200.1.2.3": None,
+    }
+
+
+def test_geoip_plan_is_hash_join(spark):
+    """The bucket trick must produce a broadcast HASH join, not a
+    nested-loop join — that is the whole point at scale."""
+    ev = spark.createDataFrame([(1, "1.2.3.4")], ["id", "ip"])
+    plan = geoip_enrich(ev, _geo_df(spark), "ip")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_geoip_mmdb_loader_stubbed(spark):
+    with pytest.raises(NotImplementedError):
+        load_geoip_mmdb(spark, "/nonexistent/GeoLite2-City.mmdb")
+
+
+def test_tag_cardinality_probabilistic(spark):
+    from vector_spark.operators.metrics import tag_cardinality_limit
+
+    df = spark.createDataFrame(
+        [(i, f"v{i % 20:02d}") for i in range(200)], ["id", "tag"]
+    )
+    kept = tag_cardinality_limit(
+        df, ["tag"], value_limit=5, action="drop_tag", mode="probabilistic", fpp=1e-6
+    )
+    vals = {r["tag"] for r in kept.collect()}
+    # with fpp ~ 0 the sketch behaves like the exact mode: the 5 smallest
+    # admitted, the rest nulled
+    assert vals == {"v00", "v01", "v02", "v03", "v04", None}
+    dropped = tag_cardinality_limit(
+        df, ["tag"], value_limit=5, action="drop_event", mode="probabilistic", fpp=1e-6
+    )
+    assert dropped.count() == 50  # 5 of 20 values x 10 rows each

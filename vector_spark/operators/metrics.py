@@ -190,11 +190,49 @@ def metric_to_log(df: DataFrame, host_tag: str = "host") -> DataFrame:
     )
 
 
+class _PyBloom:
+    """Minimal deterministic Bloom filter (the tag_value_set.rs
+    probabilistic-mode membership sketch): m bits, k md5-derived hashes.
+    Bounded memory regardless of value sizes — the property the
+    reference's mode exists for."""
+
+    def __init__(self, bits: bytearray, m: int, k: int):
+        self.bits, self.m, self.k = bits, m, k
+
+    @classmethod
+    def build(cls, values: list[str], fpp: float) -> "_PyBloom":
+        import math
+
+        n = max(len(values), 1)
+        m = max(8, int(-n * math.log(max(fpp, 1e-12)) / (math.log(2) ** 2)))
+        k = max(1, round(m / n * math.log(2)))
+        b = cls(bytearray((m + 7) // 8), m, k)
+        for v in values:
+            for pos in b._positions(v):
+                b.bits[pos >> 3] |= 1 << (pos & 7)
+        return b
+
+    def _positions(self, v: str):
+        import hashlib
+
+        # one SHAKE-256 stream yields k independent 8-byte positions —
+        # avoids the double-hashing degenerate case (step ≡ 0 mod m)
+        h = hashlib.shake_256(v.encode()).digest(8 * self.k)
+        return [
+            int.from_bytes(h[8 * i : 8 * i + 8], "big") % self.m for i in range(self.k)
+        ]
+
+    def might_contain(self, v: str) -> bool:
+        return all(self.bits[p >> 3] & (1 << (p & 7)) for p in self._positions(v))
+
+
 def tag_cardinality_limit(
     df: DataFrame,
     tag_cols: list[str],
     value_limit: int = 500,
     action: str = "drop_tag",
+    mode: str = "exact",
+    fpp: float = 0.001,
 ) -> DataFrame:
     """``tag_cardinality_limit``
     (reference src/transforms/tag_cardinality_limit/, default limit 500 at
@@ -209,6 +247,15 @@ def tag_cardinality_limit(
     single reducer), so pre-limit tag cardinality — exactly what this
     operator exists to bound, and huge at scale — never funnels through one
     global sort.  The admitted set (≤ N rows) is broadcast back.
+
+    ``mode='probabilistic'`` renders the reference's Bloom variant
+    (tag_value_set.rs:34-58: fixed-memory membership with a false-positive
+    rate): admission is tested through a Spark BloomFilter sketch built
+    over the admitted values (``df.stat.bloomFilter``) instead of the
+    exact hash set — an FP admits an over-limit value, the same error
+    direction as the reference.  Membership runs as an Arrow-batched
+    pandas UDF over the broadcast sketch (Spark does not expose
+    might_contain as a public Column function).
     """
     from pyspark.sql.functions import broadcast
 
@@ -221,6 +268,23 @@ def tag_cardinality_limit(
             .limit(value_limit)
             .select(F.col(c).alias("_adm"))
         )
+        if mode == "probabilistic":
+            values = [str(r["_adm"]) for r in admitted.collect() if r["_adm"] is not None]
+            bloom = _PyBloom.build(values, fpp)
+            bc = df.sparkSession.sparkContext.broadcast(bloom)
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("boolean")
+            def _might_contain(s):
+                b = bc.value
+                return s.map(lambda v: v is not None and b.might_contain(str(v)))
+
+            hit = _might_contain(out[c].cast("string"))
+            if action == "drop_event":
+                out = out.filter(hit)
+            else:
+                out = out.withColumn(c, F.when(hit, F.col(c)))
+            continue
         out = out.join(broadcast(admitted), out[c] == F.col("_adm"), "left")
         if action == "drop_event":
             out = out.filter(F.col("_adm").isNotNull()).drop("_adm")
