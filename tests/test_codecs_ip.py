@@ -153,3 +153,50 @@ def test_reduce_starts_and_ends_mutually_exclusive(spark):
             df, ["k"], order_col="o",
             ends_when=F.col("v") == "x", starts_when=F.col("v") == "x",
         )
+
+
+# --- late-round VRL stragglers ----------------------------------------------
+
+
+def test_find(spark):
+    # find.cue examples
+    assert _one(spark, "foobar", vrl.find("m", "foo")) == 0
+    assert _one(spark, "foobar", vrl.find("m", "b.r", regex=True)) == 3
+    assert _one(spark, "foobar", vrl.find("m", "baz")) == -1
+    assert _one(spark, "foobarfoobarfoo", vrl.find("m", "bar", from_=4)) == 9
+
+
+def test_match_family(spark):
+    assert _one(spark, "foobar", vrl.match("m", "b.r")) is True
+    assert _one(spark, "foobar", vrl.match_any("m", ["zzz", "fo+"])) is True
+    assert _one(spark, "foobar", vrl.match_any("m", ["zzz", "qq"])) is False
+    df = spark.createDataFrame([(["foobar", "bazqux"],)], "m array<string>")
+    assert df.select(vrl.match_array("m", "foo").alias("o")).collect()[0]["o"] is True
+    assert df.select(vrl.match_array("m", "foo", all_=True).alias("o")).collect()[0]["o"] is False
+
+
+def test_format_int(spark):
+    df = spark.createDataFrame([(42,), (-42,)], "m long")
+    got = [r["o"] for r in df.select(vrl.format_int("m", 16).alias("o")).collect()]
+    assert got == ["2a", "-2a"]
+
+
+def test_to_syslog_facility(spark):
+    df = spark.createDataFrame([(4,), (23,), (0,)], "m int")
+    got = [r["o"] for r in df.select(vrl.to_syslog_facility("m").alias("o")).collect()]
+    assert got == ["auth", "local7", "kern"]
+
+
+def test_encode_key_value(spark):
+    df = spark.createDataFrame([("x", 3)], ["a", "b"])
+    got = df.select(
+        vrl.encode_key_value({"ka": F.col("a"), "kb": F.col("b")}, field_delimiter="!", kv_delimiter=":").alias("o")
+    ).collect()[0]["o"]
+    assert got == "ka:x!kb:3"
+
+
+def test_get_env_var_and_hostname(spark):
+    import os, socket
+    os.environ["VS_TEST_VAR"] = "hello"
+    assert _one(spark, "x", vrl.get_env_var("VS_TEST_VAR")) == "hello"
+    assert _one(spark, "x", vrl.get_hostname()) == socket.gethostname()

@@ -288,6 +288,47 @@ map_values = lambda c: F.map_values(_c(c))  # noqa: E731
 unnest = lambda c: F.explode(_c(c))  # noqa: E731
 
 
+def find(col: Column | str, pattern: str, from_: int = 0, regex: bool = False) -> Column:
+    """find (find.cue): 0-based index of the first occurrence of a
+    substring or regex at/after ``from_``; -1 when absent.
+    (``find("foobar","foo") == 0``; ``find("foobar", r'b.r') == 3``;
+    ``find("foobarfoobarfoo","bar",4) == 9``)."""
+    c = _c(col)
+    tail = F.substring(c, from_ + 1, 2_000_000_000)
+    if regex:
+        # index within tail = len(tail) - len(tail with prefix-up-to-match removed)
+        stripped = F.regexp_replace(tail, f"^(.*?)(?:{pattern}).*$", "$1")
+        hit = tail.rlike(pattern)
+        idx = F.when(hit, F.length(stripped)).otherwise(F.lit(-1 - from_))
+    else:
+        idx = F.instr(tail, pattern) - 1
+    return F.when(idx >= 0, idx + from_).otherwise(F.lit(-1))
+
+
+def match(col: Column | str, pattern: str) -> Column:
+    """match (match.cue): regex search -> bool."""
+    return _c(col).rlike(pattern)
+
+
+def match_any(col: Column | str, patterns: list[str]) -> Column:
+    """match_any (match_any.cue): ANY of the patterns matches — compiled
+    to one alternation regex (single scan)."""
+    return _c(col).rlike("|".join(f"(?:{p})" for p in patterns))
+
+
+def match_array(col: Column | str, pattern: str, all_: bool = False) -> Column:
+    """match_array (match_array.cue): some/every array element matches."""
+    c = _c(col)
+    if all_:
+        return F.forall(c, lambda e: e.rlike(pattern))
+    return F.exists(c, lambda e: e.rlike(pattern))
+
+
+def join_(col: Column | str, separator: str = "") -> Column:
+    """join (join.cue): array -> string with separator."""
+    return F.array_join(_c(col), separator)
+
+
 # ---------------------------------------------------------------------------
 # Coerce / Convert / Number (to_int.cue, to_float.cue, to_bool.cue,
 # to_string.cue, to_unix_timestamp.cue, to_syslog_level.cue,
@@ -311,6 +352,62 @@ format_number = lambda c, d=2: F.format_number(_c(c), d)  # noqa: E731
 # RFC 5424 severity keyword <-> number (to_syslog_level.cue,
 # to_syslog_severity.cue)
 _SYSLOG_LEVELS = ["emerg", "alert", "crit", "err", "warning", "notice", "info", "debug"]
+
+
+def format_int(col: Column | str, base: int = 10) -> Column:
+    """format_int (format_int.cue): int -> string in ``base``
+    (``format_int!(42,16) == '2a'``; negatives keep their sign)."""
+    c = _c(col).cast("long")
+    mag = F.lower(F.conv(F.abs(c).cast("string"), 10, base))
+    return F.when(c < 0, F.concat(F.lit("-"), mag)).otherwise(mag)
+
+
+def encode_key_value(
+    pairs: dict[str, Column], field_delimiter: str = " ", kv_delimiter: str = "="
+) -> Column:
+    """encode_key_value (encode_key_value.cue): generalized logfmt with
+    custom delimiters; keys in lexicographic order (deterministic batch
+    rendering, same delta as encode_logfmt)."""
+    parts = [
+        F.concat(F.lit(f"{k}{kv_delimiter}"), pairs[k].cast("string"))
+        for k in sorted(pairs)
+    ]
+    return F.concat_ws(field_delimiter, *parts)
+
+
+# RFC 5424 facility keywords 0-23 (to_syslog_facility.cue)
+_SYSLOG_FACILITIES = [
+    "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news",
+    "uucp", "cron", "authpriv", "ftp", "ntp", "security", "console",
+    "solaris-cron", "local0", "local1", "local2", "local3", "local4",
+    "local5", "local6", "local7",
+]
+
+
+def to_syslog_facility(code: Column | str) -> Column:
+    """to_syslog_facility (to_syslog_facility.cue): facility code ->
+    keyword (``to_syslog_facility!(4) == 'auth'``)."""
+    m = F.create_map(
+        *[x for i, kw in enumerate(_SYSLOG_FACILITIES) for x in (F.lit(i), F.lit(kw))]
+    )
+    return m[_c(code).cast("int")]
+
+
+def get_env_var(name: str) -> Column:
+    """get_env_var (get_env_var.cue): resolved ON THE DRIVER at plan-build
+    time and folded in as a literal (executors may have different envs —
+    the reference reads the single vector process's env, which maps to the
+    driver)."""
+    import os
+
+    return F.lit(os.environ.get(name))
+
+
+def get_hostname() -> Column:
+    """get_hostname (get_hostname.cue): driver hostname as a literal."""
+    import socket
+
+    return F.lit(socket.gethostname())
 
 
 def to_syslog_level(sev: Column | str) -> Column:
