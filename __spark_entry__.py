@@ -1474,6 +1474,33 @@ SELECT query_id, vec_id, cos FROM (
 """
 
 
+def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.similarity import topk_cosine_ivf
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return topk_cosine_ivf(embs, queries_df, k=5, n_cells=8, dim=64)
+
+
+def _sql_ann_topk_ivf() -> str:
+    from vector_spark.similarity import centroids, sql_ivf_cell
+
+    cents = centroids(64, 8)
+    cell = sql_ivf_cell("embedding", cents)
+    cs = _sql_cosine("c.embedding", "q.embedding")
+    return f"""
+WITH cells AS (SELECT vec_id, embedding, {cell} AS _cell FROM embeddings)
+SELECT query_id, vec_id, cos FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, ROUND({cs}, 6) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY ROUND({cs}, 6) DESC, c.vec_id ASC) AS rk
+  FROM cells c JOIN cells q ON q.vec_id < 3 AND c._cell = q._cell
+) WHERE rk <= 5
+"""
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (rows-only check: payloads live only in Spark).
 
@@ -1511,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_topk_numpy": _q_ann_topk_numpy,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         "media_features": _q_media_features,
         "reduce_sessions": _q_reduce_sessions,
         "reduce_starts_when": _q_reduce_starts_when,
@@ -1559,6 +1587,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _sql_ann_topk(),
         "ann_topk_numpy": _sql_ann_topk(),
         "ann_topk_lsh": _sql_ann_topk_lsh(),
+        "ann_topk_ivf": _sql_ann_topk_ivf(),
         # media_features: payloads exist only in Spark -> rows-only check
         "reduce_sessions": _SQL_REDUCE_SESSIONS,
         "reduce_starts_when": _SQL_REDUCE_STARTS_WHEN,

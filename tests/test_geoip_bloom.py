@@ -63,3 +63,35 @@ def test_tag_cardinality_probabilistic(spark):
         df, ["tag"], value_limit=5, action="drop_event", mode="probabilistic", fpp=1e-6
     )
     assert dropped.count() == 50  # 5 of 20 values x 10 rows each
+
+
+def test_encode_gelf_rows(spark):
+    import json
+    from vector_spark.sinks import encode_gelf_rows
+
+    df = spark.createDataFrame(
+        [("h1", "boom", "2024-01-01 00:00:00", 3)], ["host", "message", "ts_s", "lvl"]
+    ).select("host", "message", F.to_timestamp("ts_s").alias("ts"), "lvl")
+    got = json.loads(
+        encode_gelf_rows(df, level_col="lvl", extra=["host"]).collect()[0]["value"]
+    )
+    assert got["version"] == "1.1"
+    assert got["host"] == "h1" and got["short_message"] == "boom"
+    assert got["level"] == 3 and got["_host"] == "h1"
+    assert got["timestamp"] == 1704067200.0
+
+
+def test_ivf_cells_partition_corpus(spark):
+    """Every vector lands in exactly one IVF cell; a query probing its own
+    cell sees itself (self-recall at nprobe=1)."""
+    import numpy as np
+    from pyspark.sql import functions as SF
+    from vector_spark.similarity import topk_cosine_ivf
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(SF.col("vec_id") < 5).selectExpr("vec_id AS query_id", "embedding")
+    out = topk_cosine_ivf(df, q, k=1, n_cells=4, dim=16)
+    got = {r["query_id"]: r["vec_id"] for r in out.collect()}
+    assert got == {i: i for i in range(5)}  # top-1 of each query is itself

@@ -143,6 +143,80 @@ def topk_cosine_numpy(
     return partial.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
 
 
+def centroids(dim: int, n_cells: int, seed: int = LSH_SEED + 1) -> list[list[float]]:
+    """Deterministic IVF coarse centroids (seeded Gaussian, rounded so SQL
+    literals are exact).  A trained k-means codebook drops in unchanged —
+    the assignment/probe plumbing below is the scale mechanism; centroid
+    quality only affects recall."""
+    rng = np.random.default_rng(seed)
+    return [[round(float(v), 6) for v in row] for row in rng.standard_normal((n_cells, dim))]
+
+
+def _dots(vec: Column, cents: list[list[float]]) -> Column:
+    return F.array(
+        *[
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        vec, F.array(*[F.lit(v) for v in c]),
+                        lambda x, y: x.cast("double") * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            )
+            for c in cents
+        ]
+    )
+
+
+def ivf_cell(vec: Column, cents: list[list[float]]) -> Column:
+    """IVF cell id: index of the max-dot-product centroid (1-based;
+    deterministic first-max tie-break, same in the DuckDB oracle)."""
+    d = _dots(vec, cents)
+    return F.array_position(d, F.array_max(d))
+
+
+def sql_ivf_cell(vec_expr: str, cents: list[list[float]]) -> str:
+    terms = ", ".join(
+        "ROUND(list_sum(list_transform(range(1, %d + 1), "
+        "i -> CAST(%s[i] AS DOUBLE) * (%s::DOUBLE[])[i])), 6)"
+        % (len(c), vec_expr, "[" + ", ".join(repr(v) for v in c) + "]")
+        for c in cents
+    )
+    return f"list_indexof([{terms}], list_max([{terms}]))"
+
+
+def topk_cosine_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN: corpus rows are bucketed by nearest coarse centroid; each
+    query scans ONLY its own cell (nprobe=1; production raises nprobe by
+    unioning the top-p cells).  With the corpus table partitioned by cell
+    this is a pruned scan — the standard inverted-file layout, same
+    topology as FAISS IVF-Flat.  Recall < 1 by design at nprobe=1."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    cents = centroids(dim, n_cells)
+    c = corpus.withColumn("_cell", ivf_cell(F.col(vec_col), cents)).alias("c")
+    q = F.broadcast(queries.withColumn("_cell", ivf_cell(F.col(vec_col), cents))).alias("q")
+    scored = c.join(q, F.col("c._cell") == F.col("q._cell")).select(
+        F.col(f"q.{qid_col}").alias(qid_col),
+        F.col(f"c.{id_col}").alias(id_col),
+        F.round(cosine(F.col(f"c.{vec_col}"), F.col(f"q.{vec_col}")), 6).alias("cos"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
+
+
 def embedding_dup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.5,

@@ -53,6 +53,31 @@ def encode_csv_rows(df: DataFrame, fields: list[str] | None = None) -> DataFrame
     )
 
 
+def encode_gelf_rows(
+    df: DataFrame,
+    host_col: str = "host",
+    short_message_col: str = "message",
+    ts_col: str | None = "ts",
+    level_col: str | None = None,
+    extra: list[str] | None = None,
+) -> DataFrame:
+    """gelf encoder (lib/codecs/src/encoding/format/gelf.rs): the GELF 1.1
+    envelope — version/host/short_message required, timestamp as epoch
+    seconds, level, and additional fields prefixed with underscore."""
+    fields = [
+        F.lit("1.1").alias("version"),
+        F.col(host_col).cast("string").alias("host"),
+        F.col(short_message_col).cast("string").alias("short_message"),
+    ]
+    if ts_col:
+        fields.append(F.unix_timestamp(F.col(ts_col)).cast("double").alias("timestamp"))
+    if level_col:
+        fields.append(F.col(level_col).cast("int").alias("level"))
+    for c in extra or []:
+        fields.append(F.col(c).cast("string").alias(f"_{c}"))
+    return df.select(F.to_json(F.struct(*fields)).alias("value"))
+
+
 # --- sinks -----------------------------------------------------------------
 
 
