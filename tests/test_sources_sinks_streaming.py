@@ -173,3 +173,28 @@ def test_stream_throttle_state(spark, tmp_path):
         per_key.setdefault(r["key"], 0)
         per_key[r["key"]] += 1
     assert per_key == {"u1": 3, "u2": 1}
+
+
+def test_stream_dedupe_state(spark, tmp_path):
+    """applyInPandasWithState dedupe: one row per key tuple across the
+    stream, equal to the batch dedupe on the same input."""
+    from vector_spark.streaming import stream_dedupe, stream_from_directory
+
+    src = tmp_path / "dedupe_in"
+    rows = [(i, f"u{i % 3}", "login" if i % 2 == 0 else "click") for i in range(12)]
+    spark.createDataFrame(rows, ["event_id", "user", "etype"]).write.parquet(str(src))
+    stream = stream_from_directory(
+        spark, str(src), "event_id long, user string, etype string"
+    )
+    out = stream_dedupe(stream, ["user", "etype"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedupe_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT user, etype FROM dedupe_out").collect()
+    keys = {(r["user"], r["etype"]) for r in got}
+    assert len(got) == len(keys) == 6  # 3 users x 2 types, one row each

@@ -100,6 +100,51 @@ def stream_route_to_sinks(
     return writer.start()
 
 
+def stream_dedupe(
+    df: DataFrame,
+    match_fields: list[str],
+    ttl_secs: int = 300,
+    out_schema: str | None = None,
+):
+    """Streaming `dedupe` (reference src/transforms/dedupe.rs:124-285):
+    drop events whose ``match_fields`` tuple was already seen, with true
+    cross-batch state via ``applyInPandasWithState`` keyed by the tuple.
+
+    The reference bounds memory with a 5000-entry LRU (dedupe.rs:86-90);
+    the streaming analogue bounds it with a per-key state TIMEOUT — a key
+    idle for ``ttl_secs`` is forgotten and its next occurrence passes
+    again, the same re-admission behavior as LRU eviction under a
+    time-skewed workload.  Within a micro-batch only the first row of each
+    key group is emitted (vectorized head(1), no row iteration).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if out_schema is None:
+        out_schema = ", ".join(f"`{c}` {t}" for c, t in df.dtypes)
+
+    def _dedupe(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = state.exists
+        state.update((True,))
+        state.setTimeoutDuration(ttl_secs * 1000)
+        if not seen:
+            for pdf in pdfs:
+                if len(pdf):
+                    yield pdf.head(1)
+                    return
+
+    return df.groupBy(*match_fields).applyInPandasWithState(
+        _dedupe,
+        outputStructType=out_schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def stream_throttle(
     df: DataFrame,
     threshold: int,
