@@ -1123,6 +1123,61 @@ FROM events e JOIN range(0, 3) r ON r.range < e.event_id % 3
 """
 
 
+def _q_vrl_type_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VRL type-reflection family (functions/types.py; is_nullish.cue,
+    is_empty.cue, is_json.cue) over a deterministic mix of payload shapes
+    derived from doc_id — each branch hits a distinct code path."""
+    from vector_spark.functions import types as VT
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    payload = F.element_at(
+        F.array(
+            F.lit(""),
+            F.lit("-"),
+            F.lit("\n  \n"),
+            F.concat(F.lit('{"a":'), F.col("doc_id").cast("string"), F.lit("}")),
+            F.lit("[1,2"),
+            F.lit("null"),
+        ),
+        (F.pmod(F.col("doc_id"), F.lit(6)) + 1).cast("int"),
+    )
+    d = d.withColumn("payload", payload)
+    return d.select(
+        "doc_id",
+        "payload",
+        VT.is_nullish("payload").alias("nullish"),
+        VT.is_empty(d, "payload").alias("empty"),
+        VT.is_json("payload").alias("json_valid"),
+        VT.is_json("payload", "object").alias("json_object"),
+    )
+
+
+_SQL_VRL_TYPE_CHECKS = """
+WITH p AS (
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN ''
+           WHEN 1 THEN '-'
+           WHEN 2 THEN E'\\n  \\n'
+           WHEN 3 THEN '{"a":' || CAST(doc_id AS VARCHAR) || '}'
+           WHEN 4 THEN '[1,2'
+           ELSE 'null'
+         END AS payload
+  FROM documents
+)
+SELECT doc_id, payload,
+       (payload IS NULL OR regexp_matches(payload, '^\\s*$')
+        OR payload = '-') AS nullish,
+       length(payload) = 0 AS empty,
+       (json_valid(payload)
+        OR regexp_matches(trim(payload),
+           '^(null|true|false|-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?)$')) AS json_valid,
+       (json_valid(payload) AND regexp_matches(trim(payload), '^\\{'))
+         AS json_object
+FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # reduce sessionization (ends_when) — reference reduce/mod.rs:229-296
 
@@ -1560,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiline_stacktrace": _q_multiline,
         "datadog_route": _q_datadog_route,
         "map_pandas_fanout": _q_map_pandas_fanout,
+        "vrl_type_checks": _q_vrl_type_checks,
     }
 
 
@@ -1609,4 +1665,5 @@ def oracle_sql() -> dict[str, str]:
         "multiline_stacktrace": _sql_multiline(),
         "datadog_route": _SQL_DATADOG_ROUTE,
         "map_pandas_fanout": _SQL_MAP_PANDAS_FANOUT,
+        "vrl_type_checks": _SQL_VRL_TYPE_CHECKS,
     }

@@ -236,6 +236,8 @@ def strip_ansi_escape_codes(col: Column | str) -> Column:
 # chunks.cue, map_keys.cue, map_values.cue)
 
 compact = lambda c: F.array_compact(_c(c))  # noqa: E731
+# filter (filter.cue): closure over array/map elements ≡ Spark HOF
+filter_ = lambda c, fn: F.filter(_c(c), fn)  # noqa: E731
 flatten = lambda c: F.flatten(_c(c))  # noqa: E731
 unique = lambda c: F.array_distinct(_c(c))  # noqa: E731
 length = lambda c: F.size(_c(c))  # noqa: E731
