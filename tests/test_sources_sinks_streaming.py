@@ -198,3 +198,73 @@ def test_stream_dedupe_state(spark, tmp_path):
     got = spark.sql("SELECT user, etype FROM dedupe_out").collect()
     keys = {(r["user"], r["etype"]) for r in got}
     assert len(got) == len(keys) == 6  # 3 users x 2 types, one row each
+
+
+def test_stream_reduce_state(spark, tmp_path):
+    """applyInPandasWithState reduce: sessions close on ends_when markers,
+    partial merges carry across micro-batches (maxFilesPerTrigger=1), and
+    closed sessions equal the batch reduce_events on the same input."""
+    from vector_spark.operators.reduce import reduce_events
+    from vector_spark.streaming import stream_from_directory, stream_reduce
+
+    src = tmp_path / "red_in"
+    src.mkdir()
+    # two files -> two micro-batches; u1's first session SPANS the batch
+    # boundary (open after file A, closed by the marker in file B)
+    file_a = [
+        ("u1", "2024-01-01 00:00:01", 10, "a", False),
+        ("u1", "2024-01-01 00:00:02", 5, "b", False),
+        ("u2", "2024-01-01 00:00:03", 1, "x", True),
+    ]
+    file_b = [
+        ("u1", "2024-01-01 00:00:04", 2, "c", True),
+        ("u1", "2024-01-01 00:00:05", 7, "d", True),
+        ("u2", "2024-01-01 00:00:06", 3, "y", True),
+    ]
+    schema = ["user", "ts_s", "value", "msg", "is_end"]
+    for name, rows in (("a", file_a), ("b", file_b)):
+        spark.createDataFrame(rows, schema).select(
+            "user", F.to_timestamp("ts_s").alias("ts"), "value", "msg", "is_end"
+        ).coalesce(1).write.parquet(str(src / name))
+    stream = stream_from_directory(
+        spark,
+        str(src) + "/*",
+        "user string, ts timestamp, value long, msg string, is_end boolean",
+        maxFilesPerTrigger="1",
+    )
+    out = stream_reduce(
+        stream,
+        group_by=["user"],
+        ends_when_col="is_end",
+        merge_strategies={"msg": "concat"},
+        order_col="ts",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("red_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user"], r["msg"]): (r["value"], r["n_events"])
+        for r in spark.sql("SELECT * FROM red_out").collect()
+    }
+    # all sessions end with a marker -> streaming == batch sessionization
+    batch_df = spark.read.parquet(str(src / "a"), str(src / "b"))
+    batch = reduce_events(
+        batch_df.drop("is_end").join(batch_df.select("user", "ts", "is_end"), ["user", "ts"]),
+        group_by=["user"],
+        merge_strategies={"msg": "concat", "is_end": "retain"},
+        order_col="ts",
+        ends_when=F.col("is_end"),
+    )
+    expect = {
+        (r["user"], r["msg"]): r["value"] for r in batch.collect()
+    }
+    assert got == {
+        ("u1", "a b c"): (17, 3),
+        ("u1", "d"): (7, 1),
+        ("u2", "x"): (1, 1),
+        ("u2", "y"): (3, 1),
+    }
+    assert {k: v for k, (v, _) in got.items()} == expect

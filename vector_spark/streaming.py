@@ -145,6 +145,157 @@ def stream_dedupe(
     )
 
 
+def stream_reduce(
+    df: DataFrame,
+    group_by: list[str],
+    ends_when_col: str,
+    merge_strategies: dict[str, str] | None = None,
+    order_col: str = "ts",
+    expire_secs: int = 300,
+):
+    """Streaming `reduce` (reference src/transforms/reduce/mod.rs:229-296):
+    merge consecutive events per key into one transaction row; a row whose
+    ``ends_when_col`` is true closes the session (marker included, as in
+    reduce/mod.rs:410-421); an idle key's open session is flushed by the
+    state timeout (``expire_after_ms`` ≙ ``expire_secs``).
+
+    True cross-batch state via ``applyInPandasWithState``: the open
+    session's partial merge is the state row; each micro-batch is processed
+    VECTORIZED (session ids from a cumsum of end-markers, one pandas
+    groupby-agg per batch — no per-row Python).
+
+    Merge strategies (merge_strategy.rs subset that commutes with partial
+    merging): ``sum | min | max | discard`` (first) ``| retain`` (last)
+    ``| concat`` (space-joined) — defaults mirror the batch operator:
+    numeric -> sum, everything else -> first.  Output schema = group keys +
+    merged fields + ``n_events``.
+
+    Batch-mode equivalence: operators/reduce.py::reduce_events with
+    ``ends_when`` (tested equal on fully-closed sessions).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    merge_strategies = dict(merge_strategies or {})
+    value_cols: list[tuple[str, str, str]] = []  # (name, dtype, strategy)
+    for c, dtype in df.dtypes:
+        if c in group_by or c == ends_when_col:
+            continue
+        numeric = dtype in ("bigint", "int", "smallint", "tinyint", "double", "float")
+        strat = merge_strategies.get(c, "sum" if numeric else "discard")
+        value_cols.append((c, dtype, strat))
+
+    out_schema = ", ".join(
+        [f"`{c}` {t}" for c, t in df.dtypes if c in group_by]
+        + [f"`{c}` {t}" for c, t, _ in value_cols]
+        + ["n_events long"]
+    )
+    # state = the open session's partial merge (strings carried as-is;
+    # timestamps as epoch micros to keep the state row plain)
+    state_schema = ", ".join(
+        [f"`{c}` {'string' if t.startswith('timestamp') else t}" for c, t, _ in value_cols]
+        + ["n_events long"]
+    )
+
+    def _merge(series: pd.Series, strat: str):
+        if strat == "sum":
+            return series.sum()
+        if strat == "min":
+            return series.min()
+        if strat == "max":
+            return series.max()
+        if strat == "retain":
+            return series.iloc[-1]
+        if strat == "concat":
+            return " ".join(series.astype(str))
+        return series.iloc[0]  # discard ≙ keep-first
+
+    def _from_state(vals: list) -> list:
+        return [
+            pd.Timestamp(v) if t.startswith("timestamp") and v is not None else v
+            for v, (_, t, _s) in zip(vals[:-1], value_cols)
+        ] + [vals[-1]]
+
+    def _reduce(key, pdfs, state: GroupState):
+        carried = None
+        if state.exists:
+            carried = _from_state(list(state.get))
+        if state.hasTimedOut:
+            # expire_after flush of the open session
+            if carried is not None:
+                yield pd.DataFrame(
+                    [list(key) + carried], columns=list(key_names) + state_cols
+                )
+            state.remove()
+            return
+        closed_rows: list[list] = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+            ends = pdf[ends_when_col].fillna(False).astype(bool)
+            # session id = count of markers BEFORE the row (marker closes
+            # its own session) — same formula as the batch window plan
+            sess = ends.cumsum().shift(fill_value=0)
+            for sid, seg in pdf.groupby(sess):
+                merged = [
+                    _merge(seg[c], strat) for c, _, strat in value_cols
+                ] + [len(seg)]
+                if carried is not None:
+                    merged = _combine(carried, merged)
+                    carried = None
+                if bool(ends[seg.index].iloc[-1]):
+                    closed_rows.append(merged)
+                else:
+                    carried = merged  # only ever the batch's last session
+        if carried is not None:
+            state.update(tuple(_to_state(carried)))
+            state.setTimeoutDuration(expire_secs * 1000)
+        else:
+            state.remove()
+        if closed_rows:
+            yield pd.DataFrame(
+                [list(key) + r for r in closed_rows],
+                columns=list(key_names) + state_cols,
+            )
+
+    def _combine(prev: list, nxt: list) -> list:
+        out = []
+        for i, (c, _, strat) in enumerate(value_cols):
+            a, b = prev[i], nxt[i]
+            if strat == "sum":
+                out.append(a + b)
+            elif strat == "min":
+                out.append(min(a, b))
+            elif strat == "max":
+                out.append(max(a, b))
+            elif strat == "retain":
+                out.append(b)
+            elif strat == "concat":
+                out.append(f"{a} {b}")
+            else:
+                out.append(a)
+        out.append(prev[-1] + nxt[-1])
+        return out
+
+    def _to_state(vals: list) -> list:
+        return [
+            str(v) if t.startswith("timestamp") else v
+            for v, (_, t, _s) in zip(vals[:-1], value_cols)
+        ] + [vals[-1]]
+
+    key_names = list(group_by)
+    state_cols = [c for c, _, _ in value_cols] + ["n_events"]
+
+    return df.groupBy(*group_by).applyInPandasWithState(
+        _reduce,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def stream_throttle(
     df: DataFrame,
     threshold: int,
