@@ -1123,6 +1123,56 @@ FROM events e JOIN range(0, 3) r ON r.range < e.event_id % 3
 """
 
 
+def _q_aggregate_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch metric value (operators/metrics.py::ddsketch_aggregate;
+    reference lib/vector-core/src/event/metric/value.rs:77-80) — per
+    event_type bucket histogram + q50/q95 estimates at alpha=0.02."""
+    from vector_spark.operators.metrics import ddsketch_aggregate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_type", "value")
+    return ddsketch_aggregate(ev, ["event_type"], "value", alpha=0.02)
+
+
+def _sql_aggregate_sketch() -> str:
+    import math
+
+    alpha = 0.02
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    lg = math.log(gamma)
+    zero = -(1 << 62)
+    est = (
+        f"CASE WHEN _b = {zero} THEN 0.0 "
+        f"ELSE 2.0 * pow({gamma!r}, _b) / ({gamma!r} + 1.0) END"
+    )
+    return f"""
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN value > 0
+              THEN CAST(ceiling(round(ln(value) / {lg!r}, 9)) AS BIGINT)
+              ELSE {zero} END AS _b
+  FROM events
+), c AS (
+  SELECT event_type, _b, COUNT(*) AS _n FROM b GROUP BY 1, 2
+), w AS (
+  SELECT event_type, _b, _n,
+         SUM(_n) OVER (PARTITION BY event_type ORDER BY _b) AS _cum,
+         SUM(_n) OVER (PARTITION BY event_type) AS _total
+  FROM c
+)
+SELECT event_type,
+       CAST(MAX(_total) AS BIGINT) AS n_samples,
+       CAST(SUM(CASE WHEN _b = {zero} THEN _n ELSE 0 END) AS BIGINT)
+         AS zero_count,
+       COUNT(*) AS n_buckets,
+       ROUND(MIN(CASE WHEN _cum >= GREATEST(CAST(ceiling(0.5 * _total) AS BIGINT), 1)
+                      THEN {est} END), 6) AS q50_est,
+       ROUND(MIN(CASE WHEN _cum >= GREATEST(CAST(ceiling(0.95 * _total) AS BIGINT), 1)
+                      THEN {est} END), 6) AS q95_est
+FROM w
+GROUP BY event_type
+"""
+
+
 def _q_vrl_type_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VRL type-reflection family (functions/types.py; is_nullish.cue,
     is_empty.cue, is_json.cue) over a deterministic mix of payload shapes
@@ -1616,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datadog_route": _q_datadog_route,
         "map_pandas_fanout": _q_map_pandas_fanout,
         "vrl_type_checks": _q_vrl_type_checks,
+        "aggregate_sketch": _q_aggregate_sketch,
     }
 
 
@@ -1666,4 +1717,5 @@ def oracle_sql() -> dict[str, str]:
         "datadog_route": _SQL_DATADOG_ROUTE,
         "map_pandas_fanout": _SQL_MAP_PANDAS_FANOUT,
         "vrl_type_checks": _SQL_VRL_TYPE_CHECKS,
+        "aggregate_sketch": _sql_aggregate_sketch(),
     }

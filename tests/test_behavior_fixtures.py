@@ -422,3 +422,25 @@ def test_metric_to_log_roundtrip(spark):
     assert logs["host"] == "h9"  # host tag hoisted (metric_to_log.rs:278)
     payload = _json.loads(logs["message"])
     assert payload["name"] == "events_total" and payload["kind"] == "incremental"
+
+
+def test_ddsketch_accuracy_and_zero_store(spark):
+    """DDSketch (metrics.py::ddsketch_aggregate): quantile estimates are
+    within the alpha relative-accuracy bound by construction, and
+    non-positive samples land in the zero store."""
+    from vector_spark.operators.metrics import ddsketch_aggregate
+
+    vals = [float(i) for i in range(1, 1001)] + [0.0, -3.0]
+    df = spark.createDataFrame([("s", v) for v in vals], ["series", "value"])
+    out = ddsketch_aggregate(
+        df, ["series"], "value", alpha=0.01, quantiles=(0.5, 0.95)
+    ).collect()[0]
+    assert out["n_samples"] == 1002
+    assert out["zero_count"] == 2
+    # true quantiles over the sorted sample (positive part dominates)
+    import math
+
+    svals = sorted(vals)
+    for q, est in ((0.5, out["q50_est"]), (0.95, out["q95_est"])):
+        true = svals[max(math.ceil(q * len(svals)), 1) - 1]
+        assert abs(est - true) / true <= 0.01 + 1e-9, (q, est, true)

@@ -125,6 +125,76 @@ def aggregate_metric_values(
     return out.withColumn("set_size", F.size("set_values"))
 
 
+def ddsketch_aggregate(
+    df: DataFrame,
+    series_cols: list[str],
+    value_col: str = "value",
+    alpha: float = 0.02,
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """``Sketch{AgentDDSketch}`` metric value (reference
+    lib/vector-core/src/event/metric/value.rs:77-80 and
+    lib/vector-core/src/metrics/ddsketch.rs): relative-accuracy quantile
+    sketch, per the public DDSketch construction (Masson/Lee/Rim, VLDB'19).
+
+    gamma = (1+alpha)/(1-alpha); a positive sample lands in bucket
+    ``i = ceil(log_gamma(v))`` and is estimated back as
+    ``2*gamma^i/(gamma+1)`` (the bucket's geometric midpoint) — relative
+    error <= alpha by construction.  Non-positive samples go to the zero
+    store, as in the agent sketch.
+
+    Distributed plan: ONE hash aggregate to bucket counts (map-side
+    combinable — the sketch IS its bucket histogram, which is why the
+    reference ships sketches between nodes), a window cumsum per series
+    (tiny: <=|buckets| rows per series), one final aggregate for the
+    quantile lookup.  The log-ratio is rounded to 9 decimals before ceil
+    so bucket edges are engine-portable (JVM vs C double log differ by
+    <1 ulp).
+    """
+    import math
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    lg = math.log(gamma)
+    v = F.col(value_col).cast("double")
+    # zero store = bucket LONG_MIN-ish sentinel, ordered before any real one
+    ZERO = -(1 << 62)
+    bucket = F.when(
+        v > 0, F.ceil(F.round(F.log(v) / F.lit(lg), 9)).cast("long")
+    ).otherwise(F.lit(ZERO))
+    counts = (
+        df.withColumn("_b", bucket)
+        .groupBy(*series_cols, "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*series_cols).orderBy("_b")
+    wall = Window.partitionBy(*series_cols)
+    cum = counts.withColumn("_cum", F.sum("_n").over(w)).withColumn(
+        "_total", F.sum("_n").over(wall)
+    )
+    est = F.when(F.col("_b") == ZERO, F.lit(0.0)).otherwise(
+        F.lit(2.0) * F.pow(F.lit(gamma), F.col("_b")) / F.lit(gamma + 1.0)
+    )
+    aggs = [
+        F.max("_total").alias("n_samples"),
+        F.sum(F.when(F.col("_b") == ZERO, F.col("_n")).otherwise(F.lit(0))).alias(
+            "zero_count"
+        ),
+        F.count(F.lit(1)).alias("n_buckets"),
+    ]
+    for q in quantiles:
+        # rank of the q-quantile sample; the first bucket whose cumulative
+        # count reaches it holds the estimate
+        qpos = F.greatest(F.ceil(F.lit(float(q)) * F.col("_total")), F.lit(1))
+        aggs.append(
+            F.round(
+                F.min(F.when(F.col("_cum") >= qpos, est)), 6
+            ).alias(f"q{str(q).replace('0.', '').ljust(2, '0')}_est")
+        )
+    return cum.groupBy(*series_cols).agg(*aggs)
+
+
 def log_to_metric(
     df: DataFrame,
     name: str | Column,
