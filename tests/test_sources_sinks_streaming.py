@@ -268,3 +268,44 @@ def test_stream_reduce_state(spark, tmp_path):
         ("u2", "y"): (3, 1),
     }
     assert {k: v for k, (v, _) in got.items()} == expect
+
+
+def test_frame_octet_counting(spark):
+    """RFC 6587 octet-counting framing: '<LEN> <MSG>' repeated; malformed
+    prefix surfaces _decode_error and stops that payload's scan."""
+    from vector_spark.sources import frame_octet_counting
+
+    good = "5 hello6 world!11 <13>syslog!"
+    bad = "5 hello3 abXtrailing"
+    df = spark.createDataFrame(
+        [("conn1", good), ("conn2", bad)], ["conn", "payload"]
+    )
+    out = frame_octet_counting(df).collect()
+    by_conn = {}
+    for r in out:
+        by_conn.setdefault(r["conn"], []).append(r)
+    msgs = [(r["frame_idx"], r["message"]) for r in sorted(by_conn["conn1"], key=lambda r: r["frame_idx"])]
+    assert msgs == [(0, "hello"), (1, "world!"), (2, "<13>syslog!")]
+    assert all(r["_decode_error"] is None for r in by_conn["conn1"])
+    c2 = sorted(by_conn["conn2"], key=lambda r: r["frame_idx"])
+    assert (c2[0]["message"], c2[0]["_decode_error"]) == ("hello", None)
+    # LEN=3 frames 'abX'; the remaining 'trailing' has no LEN prefix
+    assert c2[1]["message"] == "abX"
+    assert c2[2]["_decode_error"] is not None and c2[2]["message"] is None
+
+
+def test_frame_length_delimited(spark):
+    from vector_spark.sources import frame_length_delimited
+
+    def enc(*msgs):
+        return b"".join(len(m).to_bytes(4, "big") + m for m in msgs)
+
+    df = spark.createDataFrame(
+        [("a", bytearray(enc(b"one", b"two22"))), ("b", bytearray(enc(b"x")[:-1]))],
+        "conn string, payload binary",
+    )
+    out = frame_length_delimited(df).collect()
+    a = sorted([r for r in out if r["conn"] == "a"], key=lambda r: r["frame_idx"])
+    assert [bytes(r["message"]) for r in a] == [b"one", b"two22"]
+    b = [r for r in out if r["conn"] == "b"]
+    assert len(b) == 1 and b[0]["_decode_error"] is not None

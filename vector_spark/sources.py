@@ -85,6 +85,83 @@ def read_table(spark: SparkSession, path_or_name: str, fmt: str = "parquet") -> 
     return spark.read.format(fmt).load(path_or_name)
 
 
+def frame_octet_counting(df: DataFrame, src: str = "payload") -> DataFrame:
+    """Octet-counting framing (decoding/framing/octet_counting.rs; RFC 6587
+    syslog TCP): the stream is ``<LEN> <MSG>`` repeated, LEN = byte length
+    of MSG.  Sequential *within* a payload (inherent to the framing — the
+    reference's per-connection framer is the same scan), parallel across
+    payload rows; runs as an Arrow-batched ``mapInPandas``.  A malformed
+    prefix stops the scan and surfaces the tail in ``_decode_error``
+    (invalid-frame drop path)."""
+    import pandas as pd
+
+    keep = [c for c in df.columns if c != src]
+    out_schema = ", ".join(
+        [f"`{c}` {t}" for c, t in df.dtypes if c != src]
+        + ["frame_idx int", "message string", "_decode_error string"]
+    )
+
+    def _frames(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                buf, pos, idx = r[src] or "", 0, 0
+                while pos < len(buf):
+                    sp = buf.find(" ", pos)
+                    head = buf[pos:sp] if sp != -1 else ""
+                    if sp == -1 or not head.isdigit():
+                        rows.append(
+                            [r[c] for c in keep] + [idx, None, f"bad frame at {pos}"]
+                        )
+                        break
+                    n = int(head)
+                    msg = buf[sp + 1 : sp + 1 + n]
+                    err = None if len(msg) == n else f"truncated frame at {pos}"
+                    rows.append([r[c] for c in keep] + [idx, msg, err])
+                    if err:
+                        break
+                    pos, idx = sp + 1 + n, idx + 1
+            yield pd.DataFrame(rows, columns=keep + ["frame_idx", "message", "_decode_error"])
+
+    return df.mapInPandas(_frames, out_schema)
+
+
+def frame_length_delimited(df: DataFrame, src: str = "payload") -> DataFrame:
+    """Length-delimited framing (decoding/framing/length_delimited.rs):
+    4-byte big-endian length prefix + payload, repeated, over a ``binary``
+    column.  Same execution shape as :func:`frame_octet_counting`."""
+    import pandas as pd
+
+    keep = [c for c in df.columns if c != src]
+    out_schema = ", ".join(
+        [f"`{c}` {t}" for c, t in df.dtypes if c != src]
+        + ["frame_idx int", "message binary", "_decode_error string"]
+    )
+
+    def _frames(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                buf = bytes(r[src] or b"")
+                pos, idx = 0, 0
+                while pos < len(buf):
+                    if pos + 4 > len(buf):
+                        rows.append(
+                            [r[c] for c in keep] + [idx, None, f"short prefix at {pos}"]
+                        )
+                        break
+                    n = int.from_bytes(buf[pos : pos + 4], "big")
+                    msg = buf[pos + 4 : pos + 4 + n]
+                    err = None if len(msg) == n else f"truncated frame at {pos}"
+                    rows.append([r[c] for c in keep] + [idx, msg, err])
+                    if err:
+                        break
+                    pos, idx = pos + 4 + n, idx + 1
+            yield pd.DataFrame(rows, columns=keep + ["frame_idx", "message", "_decode_error"])
+
+    return df.mapInPandas(_frames, out_schema)
+
+
 # --- deserializers (decoding/format/*) -------------------------------------
 
 # RFC 5424-ish syslog line (decoding/format/syslog.rs; same shape as the
