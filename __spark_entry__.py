@@ -1123,6 +1123,52 @@ FROM events e JOIN range(0, 3) r ON r.range < e.event_id % 3
 """
 
 
+def _q_stream_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregate run to completion
+    (availableNow) over the events table read AS A STREAM — the §2.6
+    flush-state equivalence (streaming.py::stream_aggregate ≙
+    src/transforms/aggregate.rs:59-148) proven against the batch oracle:
+    the streaming result must equal the plain batch group-by."""
+    from vector_spark.streaming import stream_aggregate, stream_from_directory
+
+    stream = stream_from_directory(
+        spark,
+        sf_dir,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+        pathGlobFilter="events.parquet",
+    ).withColumn("kind", F.lit("incremental"))
+    agg = stream_aggregate(
+        stream, interval_secs=600, keys=("event_type",), value_col="value"
+    )
+    name = "stream_agg_oracle_out"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.col("event_type"),
+        F.round("sum_incremental", 6).alias("sum_incremental"),
+        F.col("n_samples"),
+    )
+
+
+_SQL_STREAM_AGGREGATE = """
+SELECT strftime(to_timestamp(CAST(FLOOR(epoch(ts) / 600) AS BIGINT) * 600),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       ROUND(SUM(value), 6) AS sum_incremental,
+       COUNT(*) AS n_samples
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def _q_aggregate_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDSketch metric value (operators/metrics.py::ddsketch_aggregate;
     reference lib/vector-core/src/event/metric/value.rs:77-80) — per
@@ -1667,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_pandas_fanout": _q_map_pandas_fanout,
         "vrl_type_checks": _q_vrl_type_checks,
         "aggregate_sketch": _q_aggregate_sketch,
+        "stream_aggregate": _q_stream_aggregate,
     }
 
 
@@ -1718,4 +1765,5 @@ def oracle_sql() -> dict[str, str]:
         "map_pandas_fanout": _SQL_MAP_PANDAS_FANOUT,
         "vrl_type_checks": _SQL_VRL_TYPE_CHECKS,
         "aggregate_sketch": _sql_aggregate_sketch(),
+        "stream_aggregate": _SQL_STREAM_AGGREGATE,
     }

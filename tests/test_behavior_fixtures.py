@@ -444,3 +444,21 @@ def test_ddsketch_accuracy_and_zero_store(spark):
     for q, est in ((0.5, out["q50_est"]), (0.95, out["q95_est"])):
         true = svals[max(math.ceil(q * len(svals)), 1) - 1]
         assert abs(est - true) / true <= 0.01 + 1e-9, (q, est, true)
+
+
+def test_reduce_max_events_flush(spark):
+    """reduce max_events (reduce/mod.rs:64-67): the open group flushes
+    every max_events rows in event-time order."""
+    from vector_spark.operators.reduce import reduce_events
+
+    rows = [("k", f"2024-01-01 00:00:0{i}", 1, f"m{i}") for i in range(7)]
+    df = spark.createDataFrame(rows, ["key", "ts_s", "n", "msg"]).select(
+        "key", F.to_timestamp("ts_s").alias("ts"), "n", "msg"
+    )
+    out = reduce_events(
+        df, ["key"], merge_strategies={"msg": "concat"}, order_col="ts",
+        max_events=3,
+    ).orderBy("ts").collect()
+    assert [(r["n"], r["msg"]) for r in out] == [
+        (3, "m0 m1 m2"), (3, "m3 m4 m5"), (1, "m6"),
+    ]

@@ -309,3 +309,16 @@ def test_frame_length_delimited(spark):
     assert [bytes(r["message"]) for r in a] == [b"one", b"two22"]
     b = [r for r in out if r["conn"] == "b"]
     assert len(b) == 1 and b[0]["_decode_error"] is not None
+
+
+def test_encode_avro_gated(spark):
+    """avro encoder seam: works when the spark-avro module jar is present,
+    otherwise raises the documented gating error (zstd-codec pattern)."""
+    from vector_spark.sinks import encode_avro_rows
+
+    df = spark.createDataFrame([(1, "a")], ["id", "s"])
+    try:
+        out = encode_avro_rows(df).collect()
+        assert len(out) == 1 and isinstance(bytes(out[0]["value"]), bytes)
+    except RuntimeError as e:
+        assert "spark-avro" in str(e)

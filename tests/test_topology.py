@@ -80,7 +80,7 @@ def test_end_to_end_topology(spark, tmp_path):
             },
         },
     }
-    res = run_topology(spark, cfg)
+    res = run_topology(spark, cfg, verify_counts=True)
     assert [r["id"] for r in res["err_sink"].collect()] == [1]
     assert [r["id"] for r in res["info_sink"].collect()] == [2]
     d = res["dropped_sink"].collect()

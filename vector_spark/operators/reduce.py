@@ -65,6 +65,7 @@ def reduce_events(
     ends_when: Column | None = None,
     starts_when: Column | None = None,
     ts_col: str | None = None,
+    max_events: int | None = None,
 ) -> DataFrame:
     """Collapse each group to one row.
 
@@ -75,6 +76,9 @@ def reduce_events(
     ``starts_when`` marks a group-OPENING row: the previous session is
     flushed and the marker row begins the new one (reduce/mod.rs:404-409).
     Mutually exclusive, as in the reference (reduce/mod.rs:315-316).
+    ``max_events`` flushes every time the open group reaches that many
+    rows (reduce/mod.rs:64-67,297-303); composes with the marker
+    conditions by sub-chunking each marker session.
     """
     merge_strategies = merge_strategies or {}
     ts_col = ts_col or order_col
@@ -100,6 +104,19 @@ def reduce_events(
         )
         keys = keys + ["_session"]
 
+    if max_events is not None:
+        # flush when the open group reaches max_events
+        # (reduce/mod.rs:64-67,297-303): every run of max_events rows in
+        # event-time order closes a session — composes with
+        # ends_when/starts_when by sub-chunking each marker session.
+        if max_events < 1:
+            raise ValueError("max_events must be >= 1")
+        wc = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+        work = work.withColumn(
+            "_chunk", F.floor((F.row_number().over(wc) - 1) / max_events)
+        )
+        keys = keys + ["_chunk"]
+
     aggs: list[Column] = []
     for c, dtype in work.dtypes:
         if c in keys or c == "_session":
@@ -114,6 +131,7 @@ def reduce_events(
         else:
             aggs.append(F.min_by(F.col(c), F.col(order_col)).alias(c))
     out = work.groupBy(*keys).agg(*aggs)
-    if "_session" in out.columns:
-        out = out.drop("_session")
+    for helper in ("_session", "_chunk"):
+        if helper in out.columns:
+            out = out.drop(helper)
     return out

@@ -78,6 +78,32 @@ def encode_gelf_rows(
     return df.select(F.to_json(F.struct(*fields)).alias("value"))
 
 
+def encode_avro_rows(df: DataFrame, fields: list[str] | None = None) -> DataFrame:
+    """avro encoder (lib/codecs/src/encoding/format/avro.rs): each row's
+    selected fields as one Avro-serialized binary value.
+
+    Gated seam: uses Spark's own `to_avro` (JVM, codegen) — requires the
+    ``spark-avro`` module jar on the classpath (``--packages
+    org.apache.spark:spark-avro_2.13:<ver>``).  This sandbox ships core
+    avro jars but not the module, so calling this here raises with that
+    instruction (same gating pattern as the zstd codec)."""
+    cols = fields or df.columns
+    try:
+        from pyspark.sql.avro.functions import to_avro
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "encode_avro_rows needs the spark-avro module "
+            "(--packages org.apache.spark:spark-avro_2.13)"
+        ) from e
+    try:
+        return df.select(to_avro(F.struct(*[F.col(c) for c in cols])).alias("value"))
+    except Exception as e:
+        raise RuntimeError(
+            "encode_avro_rows needs the spark-avro module jar on the "
+            "classpath (--packages org.apache.spark:spark-avro_2.13)"
+        ) from e
+
+
 # --- sinks -----------------------------------------------------------------
 
 

@@ -184,8 +184,15 @@ def build_topology(spark: SparkSession, config: dict) -> Topology:
     return topo
 
 
-def run_topology(spark: SparkSession, config: dict) -> dict[str, object]:
-    """Build then execute every sink; returns {sink: rows_written | DataFrame}."""
+def run_topology(
+    spark: SparkSession, config: dict, verify_counts: bool = False
+) -> dict[str, object]:
+    """Build then execute every sink; returns {sink: rows_written | DataFrame}.
+
+    ``verify_counts=True`` re-reads each parquet sink and returns its row
+    count — a parity check for tests, OFF by default because it doubles
+    sink I/O (the production runner's lineage comes from the pipeline
+    manifest instead)."""
     topo = build_topology(spark, config)
     results: dict[str, object] = {}
     for name, spec in config.get("sinks", {}).items():
@@ -199,7 +206,9 @@ def run_topology(spark: SparkSession, config: dict) -> dict[str, object]:
             if spec.get("partition_by"):
                 writer = writer.partitionBy(*spec["partition_by"])
             writer.parquet(spec["path"])
-            results[name] = spark.read.parquet(spec["path"]).count()
+            results[name] = (
+                spark.read.parquet(spec["path"]).count() if verify_counts else None
+            )
         elif kind == "blackhole":
             results[name] = df.count()
         elif kind == "console":
