@@ -1489,6 +1489,45 @@ def _sql_minhash_pairs() -> str:
     return sql_minhash_lsh_pairs("documents")
 
 
+def _q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise minhash-LSH output resolved into dedup groups (connected
+    components, dedup.py::dedup_components): one row per doc in any
+    near-dup pair, its component id (min reachable doc_id), and whether it
+    is the canonical keeper."""
+    from vector_spark.dedup import dedup_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir))
+    comps = dedup_components(pairs)
+    return comps.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+    )
+
+
+def _sql_dedup_groups() -> str:
+    from vector_spark.dedup import sql_minhash_lsh_pairs
+
+    return f"""
+WITH RECURSIVE pairs AS ({sql_minhash_lsh_pairs("documents")}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+)
+SELECT src AS doc_id,
+       MIN(dst) AS component,
+       src = MIN(dst) AS is_canonical
+FROM reach
+GROUP BY src
+"""
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.dedup import simhash
 
@@ -1714,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vrl_type_checks": _q_vrl_type_checks,
         "aggregate_sketch": _q_aggregate_sketch,
         "stream_aggregate": _q_stream_aggregate,
+        "dedup_groups": _q_dedup_groups,
     }
 
 
@@ -1766,4 +1806,5 @@ def oracle_sql() -> dict[str, str]:
         "vrl_type_checks": _SQL_VRL_TYPE_CHECKS,
         "aggregate_sketch": _sql_aggregate_sketch(),
         "stream_aggregate": _SQL_STREAM_AGGREGATE,
+        "dedup_groups": _sql_dedup_groups(),
     }

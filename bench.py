@@ -58,7 +58,12 @@ def main() -> None:
     # fast=True, the xxhash64 production hash, vs the md5 oracle hash).
     bench_names = [
         n for n in qmap
-        if n not in ("parse_grok", "ngram_jaccard", "embedding_dup", "minhash_lsh_pairs")
+        if n not in (
+            "parse_grok", "ngram_jaccard", "embedding_dup", "minhash_lsh_pairs",
+            # dedup_groups' contract path runs over the md5-oracle pairs;
+            # the production path (fast xxhash64 pairs) is benched below
+            "dedup_groups",
+        )
     ]
 
     timings: dict[str, float] = {}
@@ -95,6 +100,17 @@ def main() -> None:
     except Exception as e:
         timings["minhash_lsh_fast"] = -1.0
         print(f"# bench query minhash_lsh_fast failed: {e}", file=sys.stderr)
+
+    # production-path dedup groups: components over the fast-hash pairs
+    t0 = time.time()
+    try:
+        from vector_spark.dedup import dedup_components
+
+        _materialize(dedup_components(minhash_lsh_pairs(docs, fast=True)))
+        timings["dedup_groups_fast"] = round(time.time() - t0, 3)
+    except Exception as e:
+        timings["dedup_groups_fast"] = -1.0
+        print(f"# bench query dedup_groups_fast failed: {e}", file=sys.stderr)
 
     for name in bench_names:
         if name == "pipeline_sink_aggregates":

@@ -178,3 +178,17 @@ def test_topk_numpy_matches_hof(spark):
     assert set(hof) == set(npk)
     for key in hof:
         assert abs(hof[key] - npk[key]) < 1e-5
+
+
+def test_dedup_components_label_propagation(spark):
+    """Connected components over dup pairs: chains collapse to one group
+    labeled by the min id; disjoint pairs stay separate."""
+    from vector_spark.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(3, 5), (5, 9), (9, 11), (20, 21), (40, 2)], ["id_a", "id_b"]
+    )
+    got = {
+        r["doc_id"]: r["component"] for r in dedup_components(pairs).collect()
+    }
+    assert got == {3: 3, 5: 3, 9: 3, 11: 3, 20: 20, 21: 20, 40: 2, 2: 2}

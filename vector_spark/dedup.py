@@ -395,3 +395,56 @@ def embedding_dup_pairs(
         F.col(f"b.{id_col}").alias("id_b"),
         F.round(cs, 6).alias("cos"),
     ).filter(F.col("cos") >= threshold)
+
+
+def dedup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into dedup GROUPS: connected components by
+    min-label propagation, the step that turns pairwise LSH output into an
+    actual keep/drop decision per document.
+
+    Each round is one distributed join + one min-aggregate; labels converge
+    in O(diameter) <= O(log n) rounds for near-dup graphs (clusters are
+    dense, diameters tiny).  The driver loop only checks a one-row
+    convergence aggregate per round — no per-row driver work — and
+    localCheckpoints every few rounds to truncate lineage.  At 10^12-doc
+    scale swap the propagation for the large-star/small-star formulation
+    (same join primitive, provably O(log n)); the output contract is
+    identical.
+
+    Returns one row per document that appears in ``pairs``:
+    (doc_id, component) with component = min doc id reachable.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        # materialize ONCE — without this every round's action re-executes
+        # the (possibly expensive) pair-generation lineage upstream
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select("src").distinct().withColumn("label", F.col("src"))
+    prev_sig = None
+    for _ in range(max_iter):
+        neigh = edges.join(
+            labels.withColumnRenamed("src", "dst"), "dst"
+        ).select("src", "label")
+        labels = (
+            labels.union(neigh)
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+            # labels are one row per node in a dup pair — tiny relative to
+            # the corpus; checkpointing each round keeps the lineage flat
+            .localCheckpoint(eager=True)
+        )
+        sig = labels.agg(
+            F.sum(F.hash("label").cast("long")).alias("s"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        sig = (sig["s"], sig["n"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return labels.select(F.col("src").alias("doc_id"), F.col("label").alias("component"))
