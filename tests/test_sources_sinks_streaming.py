@@ -322,3 +322,17 @@ def test_encode_avro_gated(spark):
         assert len(out) == 1 and isinstance(bytes(out[0]["value"]), bytes)
     except RuntimeError as e:
         assert "spark-avro" in str(e)
+
+
+def test_encode_protobuf_gated(spark, tmp_path):
+    """protobuf encoder seam: raises the documented gating error without
+    the spark-protobuf module jar (or encodes if one is present)."""
+    from vector_spark.sinks import encode_protobuf_rows
+
+    df = spark.createDataFrame([(1, "a")], ["id", "s"])
+    desc = tmp_path / "dummy.desc"
+    desc.write_bytes(b"")
+    try:
+        encode_protobuf_rows(df, str(desc), "Msg").collect()
+    except RuntimeError as e:
+        assert "spark-protobuf" in str(e)

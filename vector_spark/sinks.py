@@ -104,6 +104,38 @@ def encode_avro_rows(df: DataFrame, fields: list[str] | None = None) -> DataFram
         ) from e
 
 
+def encode_protobuf_rows(
+    df: DataFrame, desc_file: str, message_name: str, fields: list[str] | None = None
+) -> DataFrame:
+    """protobuf encoder (Vector's `native` wire codec,
+    lib/codecs/src/encoding/format/native.rs): each row's selected fields
+    as one protobuf-serialized binary value via Spark's own `to_protobuf`
+    (JVM, codegen) against a compiled descriptor file.
+
+    Gated seam like :func:`encode_avro_rows`: needs the ``spark-protobuf``
+    module jar (``--packages org.apache.spark:spark-protobuf_2.13``),
+    absent in this sandbox."""
+    cols = fields or df.columns
+    try:
+        from pyspark.sql.protobuf.functions import to_protobuf
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "encode_protobuf_rows needs the spark-protobuf module "
+            "(--packages org.apache.spark:spark-protobuf_2.13)"
+        ) from e
+    try:
+        return df.select(
+            to_protobuf(
+                F.struct(*[F.col(c) for c in cols]), message_name, descFilePath=desc_file
+            ).alias("value")
+        )
+    except Exception as e:
+        raise RuntimeError(
+            "encode_protobuf_rows needs the spark-protobuf module jar on "
+            "the classpath (--packages org.apache.spark:spark-protobuf_2.13)"
+        ) from e
+
+
 # --- sinks -----------------------------------------------------------------
 
 
