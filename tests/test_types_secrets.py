@@ -167,3 +167,36 @@ def test_for_each_and_debug(frame):
         VT.vrl_assert(frame, F.col("id") > 1, "id too small")
     VT.vrl_assert_eq(frame, F.col("s"), F.col("s"))
     assert VT.vrl_log(frame, "hello") is frame
+
+
+def test_is_json_agrees_with_python_json(spark):
+    """is_json must agree with Python's json.loads on a diverse corpus of
+    valid and invalid candidates (one Spark job, not per-example)."""
+    import json as pyjson
+
+    cands = [
+        "{}", "[]", '""', '"x"', "0", "-1.5", "1e9", "null", "true", "false",
+        '{"a": [1, 2, {"b": null}]}', "[1,2,3]", '  {"a":1}  ',
+        "{", "}", "[1,", '{"a":}', "nul", "True", "NaN", "0x10", "1.2.3",
+        "", "-", "hello world", '{"a" "b"}', "[1 2]", '"unterminated',
+    ]
+    rows = [(i, c) for i, c in enumerate(cands)]
+    df = spark.sparkSession.createDataFrame(rows, "i long, v string") if hasattr(spark, "sparkSession") else spark.createDataFrame(rows, "i long, v string")
+    from vector_spark.functions.types import is_json
+
+    got = {
+        r["i"]: r["j"]
+        for r in df.select("i", is_json("v").alias("j")).collect()
+    }
+    def _strict(_):
+        # json.loads accepts non-standard NaN/Infinity; RFC 8259 (and the
+        # reference's serde_json) rejects them — make the oracle strict
+        raise ValueError("non-standard constant")
+
+    for i, c in rows:
+        try:
+            pyjson.loads(c, parse_constant=_strict)
+            want = True
+        except Exception:
+            want = False
+        assert got[i] == want, (c, got[i], want)
