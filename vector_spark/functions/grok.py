@@ -135,10 +135,13 @@ def compile_grok(pattern: str, anchored: bool = True) -> CompiledGrok:
 
 
 def _cast(col: Column, typ: str) -> Column:
+    # try_cast, not cast: a typed field whose capture is empty ('') must
+    # yield NULL (VRL fallible-coercion semantics) instead of throwing under
+    # ANSI-on sessions.  Identical result on clean captures in either mode.
     if typ == "int":
-        return col.cast("long")
+        return col.try_cast("long")
     if typ == "float":
-        return col.cast("double")
+        return col.try_cast("double")
     return col
 
 
@@ -164,7 +167,7 @@ def regex_columns(src: Column | str, g: CompiledGrok, prefix: str = "") -> list[
     parts = regex_parts(src, g)
     out = []
     for i, (name, typ) in enumerate(zip(g.fields, g.types)):
-        c = parts.getItem(i + 1)
+        c = F.get(parts, F.lit(i + 1))
         if typ == "string":
             c = F.nullif(c, F.lit(""))
         out.append(_cast(c, typ).alias(prefix + name))
@@ -189,9 +192,9 @@ def regex_sql_exprs(expr: str, g: CompiledGrok, prefix: str = "") -> list[str]:
             extract = f"regexp_extract({expr}, '{re_lit}', {i})"
         base = f"CASE WHEN regexp_matches({expr}, '{re_lit}') THEN {extract} END"
         if typ == "int":
-            base = f"CAST({base} AS BIGINT)"
+            base = f"TRY_CAST({base} AS BIGINT)"
         elif typ == "float":
-            base = f"CAST({base} AS DOUBLE)"
+            base = f"TRY_CAST({base} AS DOUBLE)"
         else:
             base = f"NULLIF({base}, '')"
         out.append(f"{base} AS {prefix}{name}")
@@ -233,7 +236,10 @@ def grok_columns(src: Column | str, pattern: str, prefix: str = "") -> list[Colu
     parts, g = grok_parts(src, pattern)
     out = []
     for i, (name, typ) in enumerate(zip(g.fields, g.types)):
-        out.append(_cast(parts.getItem(i + 1), typ).alias(prefix + name))
+        # F.get (not getItem): NULL on out-of-bounds in BOTH ANSI modes —
+        # getItem throws INVALID_ARRAY_INDEX under ANSI-on sessions on the
+        # size-1 non-match array.
+        out.append(_cast(F.get(parts, F.lit(i + 1)), typ).alias(prefix + name))
     return out
 
 
@@ -269,9 +275,9 @@ def grok_sql_exprs(expr: str, pattern: str, prefix: str = "") -> list[str]:
             f"THEN regexp_extract({expr}, '{re_lit}', {i}) END"
         )
         if typ == "int":
-            base = f"CAST({base} AS BIGINT)"
+            base = f"TRY_CAST({base} AS BIGINT)"
         elif typ == "float":
-            base = f"CAST({base} AS DOUBLE)"
+            base = f"TRY_CAST({base} AS DOUBLE)"
         out.append(f"{base} AS {prefix}{name}")
     return out
 
@@ -345,6 +351,6 @@ def groks_columns(
         for i, (parts, g) in enumerate(compiled):
             if name in g.fields:
                 idx = g.fields.index(name)
-                expr = F.when(winner == i, parts.getItem(idx + 1)).otherwise(expr)
+                expr = F.when(winner == i, F.get(parts, F.lit(idx + 1))).otherwise(expr)
         out.append(_cast(expr, typ).alias(prefix + name))
     return out

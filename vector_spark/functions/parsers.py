@@ -238,9 +238,11 @@ def parse_aws_vpc_flow_log(col: Column | str, format: str | None = None) -> list
     parts = F.split(_c(col), r" ")
     out = []
     for i, name in enumerate(names):
-        c = _null_dash(parts.getItem(i))
+        # F.get + try_cast: short records / non-numeric garbage yield NULL
+        # instead of throwing under ANSI-on sessions.
+        c = _null_dash(F.get(parts, F.lit(i)))
         if name in _VPC_INT_FIELDS:
-            c = c.cast("bigint")
+            c = c.try_cast("bigint")
         out.append(c.alias(name))
     return out
 
@@ -251,7 +253,7 @@ def sql_parse_aws_vpc_flow_log(expr: str, format: str | None = None, prefix: str
     for i, name in enumerate(names):
         base = f"NULLIF(string_split({expr}, ' ')[{i + 1}], '-')"
         if name in _VPC_INT_FIELDS:
-            base = f"CAST({base} AS BIGINT)"
+            base = f"TRY_CAST({base} AS BIGINT)"
         out.append(f"{base} AS {prefix}{name}")
     return out
 

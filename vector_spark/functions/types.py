@@ -173,11 +173,24 @@ def get_path(df: DataFrame, path: str) -> Column:
     """get (get.cue): fetch by path; missing segments yield NULL (VRL's
     fallible-get with `?? null`)."""
     parts = path.split(".")
-    if _dtype(df, parts[0]) is None:
+    dt = _dtype(df, parts[0])
+    if dt is None:
         return F.lit(None)
     cur = F.col(parts[0])
     for seg in parts[1:]:
-        cur = cur.getItem(seg)
+        # dtype-directed access so missing segments are NULL in both ANSI
+        # modes: struct fields resolve at plan time, map keys through
+        # try_element_at (element_at/getItem throw on absent keys under
+        # ANSI sessions).
+        if isinstance(dt, T.StructType):
+            names = {f.name: f.dataType for f in dt.fields}
+            if seg not in names:
+                return F.lit(None)
+            cur, dt = cur.getField(seg), names[seg]
+        elif isinstance(dt, T.MapType):
+            cur, dt = F.try_element_at(cur, F.lit(seg)), dt.valueType
+        else:
+            return F.lit(None)
     return cur
 
 
@@ -211,8 +224,9 @@ remove = del_path
 
 
 def get_secret(secrets: Column | str, name: str) -> Column:
-    """get_secret: NULL when absent (VRL: fallible)."""
-    return F.element_at(_c(secrets), F.lit(name))
+    """get_secret: NULL when absent (VRL: fallible) — try_element_at so an
+    absent key is NULL under ANSI sessions too."""
+    return F.try_element_at(_c(secrets), F.lit(name))
 
 
 def set_secret(secrets: Column | str, name: str, value: Column | str) -> Column:

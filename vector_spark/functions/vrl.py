@@ -86,10 +86,11 @@ def parse_timestamp(col: Column | str, fmt: str) -> Column:
 
 
 def parse_int(col: Column | str, base: int = 10) -> Column:
-    """parse_int: string -> int; supports non-10 bases via conv()."""
+    """parse_int: string -> int; supports non-10 bases via conv().
+    NULL on unparseable input (VRL fallible) in both ANSI modes."""
     if base == 10:
-        return _c(col).cast("long")
-    return F.conv(_c(col), base, 10).cast("long")
+        return _c(col).try_cast("long")
+    return F.conv(_c(col), base, 10).try_cast("long")
 
 
 def parse_duration(col: Column | str, unit: str = "s") -> Column:
@@ -97,7 +98,7 @@ def parse_duration(col: Column | str, unit: str = "s") -> Column:
     (reference parse_duration.cue; VRL parses to float seconds).  Regex
     split of number + suffix, one pass."""
     c = _c(col)
-    num = F.regexp_extract(c, r"^([0-9.]+)\s*([a-zµ]+)$", 1).cast("double")
+    num = F.regexp_extract(c, r"^([0-9.]+)\s*([a-zµ]+)$", 1).try_cast("double")
     suf = F.regexp_extract(c, r"^([0-9.]+)\s*([a-zµ]+)$", 2)
     to_secs = (
         F.when(suf == "ns", num / 1e9)
@@ -148,7 +149,9 @@ def encode_base64(col: Column | str) -> Column:
 
 
 def decode_base64(col: Column | str) -> Column:
-    return F.unbase64(_c(col)).cast("string")
+    # try_to_binary: NULL on malformed input in both ANSI modes (unbase64
+    # throws on invalid base64 under ANSI sessions).
+    return F.try_to_binary(_c(col), F.lit("base64")).cast("string")
 
 
 def encode_base16(col: Column | str) -> Column:
@@ -156,7 +159,7 @@ def encode_base16(col: Column | str) -> Column:
 
 
 def decode_base16(col: Column | str) -> Column:
-    return F.unhex(_c(col)).cast("string")
+    return F.try_to_binary(_c(col), F.lit("hex")).cast("string")
 
 
 def encode_json(col: Column | str) -> Column:
@@ -337,11 +340,14 @@ def join_(col: Column | str, separator: str = "") -> Column:
 # to_syslog_severity.cue, abs.cue, ceil.cue, floor.cue, round.cue, mod.cue,
 # format_number.cue)
 
-to_int = lambda c: _c(c).cast("long")  # noqa: E731
-to_float = lambda c: _c(c).cast("double")  # noqa: E731
-to_bool = lambda c: _c(c).cast("boolean")  # noqa: E731
+# try_cast throughout: VRL's to_*! are fallible calls whose error arm is
+# NULL in this rebuild; plain cast would throw under ANSI-on sessions
+# (default in Spark 4) on the first dirty row.
+to_int = lambda c: _c(c).try_cast("long")  # noqa: E731
+to_float = lambda c: _c(c).try_cast("double")  # noqa: E731
+to_bool = lambda c: _c(c).try_cast("boolean")  # noqa: E731
 to_string = lambda c: _c(c).cast("string")  # noqa: E731
-to_timestamp = lambda c: _c(c).cast("timestamp")  # noqa: E731
+to_timestamp = lambda c: _c(c).try_cast("timestamp")  # noqa: E731
 to_unix_timestamp = lambda c: F.unix_timestamp(_c(c))  # noqa: E731
 
 abs_ = lambda c: F.abs(_c(c))  # noqa: E731
@@ -392,7 +398,7 @@ def to_syslog_facility(code: Column | str) -> Column:
     m = F.create_map(
         *[x for i, kw in enumerate(_SYSLOG_FACILITIES) for x in (F.lit(i), F.lit(kw))]
     )
-    return m[_c(code).cast("int")]
+    return F.try_element_at(m, _c(code).try_cast("int"))
 
 
 def get_env_var(name: str) -> Column:
@@ -414,12 +420,12 @@ def get_hostname() -> Column:
 
 def to_syslog_level(sev: Column | str) -> Column:
     m = F.create_map(*[x for i, lv in enumerate(_SYSLOG_LEVELS) for x in (F.lit(i), F.lit(lv))])
-    return m[_c(sev).cast("int")]
+    return F.try_element_at(m, _c(sev).try_cast("int"))
 
 
 def to_syslog_severity(level: Column | str) -> Column:
     m = F.create_map(*[x for i, lv in enumerate(_SYSLOG_LEVELS) for x in (F.lit(lv), F.lit(i))])
-    return m[F.lower(_c(level))]
+    return F.try_element_at(m, F.lower(_c(level)))
 
 
 # ---------------------------------------------------------------------------
@@ -430,11 +436,13 @@ def ip_aton(col: Column | str) -> Column:
     """ip_aton: dotted-quad IPv4 -> uint32 as bigint (pure bit math,
     codegen-friendly)."""
     p = F.split(_c(col), r"\.")
+    # F.get + try_cast: malformed addresses (short split / non-numeric
+    # octet) yield NULL instead of throwing under ANSI-on sessions.
     return (
-        p.getItem(0).cast("long") * 16777216
-        + p.getItem(1).cast("long") * 65536
-        + p.getItem(2).cast("long") * 256
-        + p.getItem(3).cast("long")
+        F.get(p, F.lit(0)).try_cast("long") * 16777216
+        + F.get(p, F.lit(1)).try_cast("long") * 65536
+        + F.get(p, F.lit(2)).try_cast("long") * 256
+        + F.get(p, F.lit(3)).try_cast("long")
     )
 
 
@@ -461,8 +469,11 @@ def ip_cidr_contains(cidr: str, col: Column | str) -> Column:
 
 
 def is_ipv4(col: Column | str) -> Column:
+    # try_cast inside the lambda: Spark's & evaluates BOTH sides, so the
+    # forall runs on non-matching rows too ('hello' -> ['hello']) and a
+    # plain cast would throw under ANSI.
     return _c(col).rlike(r"^(\d{1,3}\.){3}\d{1,3}$") & F.forall(
-        F.split(_c(col), r"\."), lambda o: o.cast("int") <= 255
+        F.split(_c(col), r"\."), lambda o: o.try_cast("int") <= 255
     )
 
 

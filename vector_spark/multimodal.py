@@ -61,8 +61,9 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def synth_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
-    """Deterministic synthetic media table (seeded payload bytes)."""
+def _synth_media_rows(n: int = 64, seed: int = 7) -> list[tuple]:
+    """The deterministic row set shared by :func:`synth_media` (Spark DF)
+    and :func:`ensure_media_parquet` (the oracle's parquet twin)."""
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
@@ -81,9 +82,50 @@ def synth_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
                 payload,
             )
         )
+    return rows
+
+
+def synth_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
+    """Deterministic synthetic media table (seeded payload bytes)."""
+    rows = _synth_media_rows(n, seed)
     # few rows, blob-heavy: a handful of partitions avoids paying one
     # Python-worker startup per (mostly empty) default partition
     return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(max(2, n // 32))
+
+
+def ensure_media_parquet(n: int = 64, seed: int = 7, path: str | None = None) -> str:
+    """Write (once) the synthetic media table as parquet so the DuckDB
+    oracle can recompute byte lengths and content hashes over the SAME
+    payload blobs the Spark query reads (closes the round-2 rows-only gap
+    on media_features)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = path or os.path.join(
+        os.environ.get("SPARK_GRAFT_DATA_ROOT", "/root/repo/data/tokenlogs"),
+        "..", "media", f"media_n{n}_s{seed}.parquet",
+    )
+    path = os.path.abspath(path)
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        rows = _synth_media_rows(n, seed)
+        cols = list(zip(*rows))
+        table = pa.table(
+            {
+                "media_id": pa.array(cols[0], pa.string()),
+                "kind": pa.array(cols[1], pa.string()),
+                "mime": pa.array(cols[2], pa.string()),
+                "width": pa.array(cols[3], pa.int32()),
+                "height": pa.array(cols[4], pa.int32()),
+                "sample_rate": pa.array(cols[5], pa.int32()),
+                "duration_ms": pa.array(cols[6], pa.int64()),
+                "payload": pa.array(cols[7], pa.binary()),
+            }
+        )
+        pq.write_table(table, path)
+    return path
 
 
 def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
@@ -113,7 +155,11 @@ def extract_features(df: DataFrame, dim: int = 8, fake: bool = True) -> DataFram
             nbytes = []
             for payload in pdf["payload"]:
                 b = bytes(payload) if payload is not None else b""
-                shas.append(hashlib.sha256(b).hexdigest())
+                # fingerprint = sha256 of the lowercase-hex rendering: the
+                # DuckDB oracle can only hash VARCHAR, so hex-normalizing
+                # first makes the digest engine-portable
+                # (sha256(lower(hex(payload))) on the oracle side).
+                shas.append(hashlib.sha256(b.hex().encode()).hexdigest())
                 nbytes.append(len(b))
                 if fake:
                     feats.append(_fake_decode(b, dim).tolist())

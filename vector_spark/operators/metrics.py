@@ -155,7 +155,7 @@ def ddsketch_aggregate(
 
     gamma = (1.0 + alpha) / (1.0 - alpha)
     lg = math.log(gamma)
-    v = F.col(value_col).cast("double")
+    v = F.col(value_col).try_cast("double")
     # zero store = bucket LONG_MIN-ish sentinel, ordered before any real one
     ZERO = -(1 << 62)
     bucket = F.when(
@@ -225,7 +225,9 @@ def log_to_metric(
         value = F.lit(None).cast("double")
         value_str = F.col(field).cast("string")
     else:
-        value = F.col(field).cast("double")
+        # try_cast: a non-numeric field is a render failure -> NULL ->
+        # dropped by the filter below (never an ANSI error).
+        value = F.col(field).try_cast("double")
     kind = F.lit("absolute" if metric_type == "gauge" else "incremental")
     tag_pairs = []
     for k, v in (tags or {}).items():
@@ -255,7 +257,7 @@ def metric_to_log(df: DataFrame, host_tag: str = "host") -> DataFrame:
     return df.select(
         F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("message"),
         F.col("ts").alias("timestamp"),
-        F.element_at(F.col("tags"), host_tag).alias("host"),
+        F.try_element_at(F.col("tags"), F.lit(host_tag)).alias("host"),
         F.lit("metric_to_log").alias("source_type"),
     )
 

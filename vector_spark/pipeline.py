@@ -54,11 +54,13 @@ def parse_stage(df: DataFrame) -> DataFrame:
     parts, g = grok_parts("message", CANNED["tokenlog"])
     cols = []
     for i, (name, typ) in enumerate(zip(g.fields, g.types)):
-        c = parts.getItem(i + 1)
+        # F.get: NULL on the size-1 non-match array in both ANSI modes
+        # (getItem throws under ANSI-on sessions, e.g. default Spark 4).
+        c = F.get(parts, F.lit(i + 1))
         if typ == "int":
-            c = c.cast("long")
+            c = c.try_cast("long")
         elif typ == "float":
-            c = c.cast("double")
+            c = c.try_cast("double")
         cols.append(c.alias(name))
     # matched ⇔ the one-pass split produced K+1 parts (see grok_parts)
     return df.select(
@@ -173,7 +175,12 @@ def run_pipeline(
     run_id = run_id or f"run-{int(time.time())}"
     manifest_path = os.path.join(out_dir, "_manifest")
     done: set[str] = set()
-    if os.path.exists(manifest_path):
+    # Hadoop-FS existence check (not os.path.exists): on object storage the
+    # driver-local check returns False and silently disables resume.
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    mpath = jvm.org.apache.hadoop.fs.Path(manifest_path)
+    if mpath.getFileSystem(hconf).exists(mpath):
         try:
             prior = spark.read.parquet(manifest_path)
             done = {
