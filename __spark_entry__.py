@@ -1688,6 +1688,43 @@ SELECT query_id, vec_id, cos FROM (
 """
 
 
+def _q_embedding_dup_lsh_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of embedding_dup_lsh: same bucket topology, but the
+    in-bucket all-pairs cosine is one BLAS GEMM per bucket chunk inside
+    applyInPandas (similarity.embedding_dup_pairs_lsh_gemm) instead of
+    interpreted HOF lambdas.  Shares the embedding_dup_lsh oracle."""
+    from vector_spark.similarity import embedding_dup_pairs_lsh_gemm
+
+    return embedding_dup_pairs_lsh_gemm(
+        _embs(spark, sf_dir), threshold=0.5, n_planes=4, dim=64
+    )
+
+
+def _q_ann_topk_lsh_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of ann_topk_lsh: bucket-pruned scan + per-bucket GEMM
+    scoring via mapInPandas (no corpus shuffle).  Shares the ann_topk_lsh
+    oracle."""
+    from vector_spark.similarity import topk_cosine_lsh_gemm
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return topk_cosine_lsh_gemm(embs, queries_df, k=5, n_planes=4, dim=64)
+
+
+def _q_ann_topk_ivf_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of ann_topk_ivf: cell-pruned scan + per-cell GEMM
+    scoring.  Shares the ann_topk_ivf oracle."""
+    from vector_spark.similarity import topk_cosine_ivf_gemm
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return topk_cosine_ivf_gemm(embs, queries_df, k=5, n_cells=8, dim=64)
+
+
 def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.similarity import topk_cosine_ivf
 
@@ -1877,6 +1914,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_numpy": _q_ann_topk_numpy,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
+        "embedding_dup_lsh_gemm": _q_embedding_dup_lsh_gemm,
+        "ann_topk_lsh_gemm": _q_ann_topk_lsh_gemm,
+        "ann_topk_ivf_gemm": _q_ann_topk_ivf_gemm,
         "media_features": _q_media_features,
         "reduce_sessions": _q_reduce_sessions,
         "reduce_starts_when": _q_reduce_starts_when,
@@ -1931,6 +1971,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_numpy": _sql_ann_topk(),
         "ann_topk_lsh": _sql_ann_topk_lsh(),
         "ann_topk_ivf": _sql_ann_topk_ivf(),
+        "embedding_dup_lsh_gemm": _sql_embedding_dup_lsh(),
+        "ann_topk_lsh_gemm": _sql_ann_topk_lsh(),
+        "ann_topk_ivf_gemm": _sql_ann_topk_ivf(),
         "media_features": _sql_media_features(),
         "reduce_sessions": _SQL_REDUCE_SESSIONS,
         "reduce_starts_when": _SQL_REDUCE_STARTS_WHEN,

@@ -192,3 +192,50 @@ def test_dedup_components_label_propagation(spark):
         r["doc_id"]: r["component"] for r in dedup_components(pairs).collect()
     }
     assert got == {3: 3, 5: 3, 9: 3, 11: 3, 20: 20, 21: 20, 40: 2, 2: 2}
+
+
+def test_gemm_twins_match_hof_twins(spark):
+    """The per-bucket GEMM production twins must agree exactly (after
+    round-6) with their interpreted-HOF counterparts on the fixture corpus —
+    same buckets, same candidates, same scores, same tie-breaks."""
+    from vector_spark.similarity import (
+        embedding_dup_pairs_lsh,
+        embedding_dup_pairs_lsh_gemm,
+        topk_cosine_ivf,
+        topk_cosine_ivf_gemm,
+        topk_cosine_lsh,
+        topk_cosine_lsh_gemm,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    # sf0.001 embeddings are near-orthogonal, so use a low threshold to get a
+    # non-trivial pair set (8k pairs); chunk=7 forces the chunked-GEMM path
+    hof_pairs = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_dup_pairs_lsh(embs, threshold=-0.5, n_planes=4, dim=64).collect()
+    }
+    gemm_pairs = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_dup_pairs_lsh_gemm(
+            embs, threshold=-0.5, n_planes=4, dim=64, chunk=7
+        ).collect()
+    }
+    assert hof_pairs == gemm_pairs and len(hof_pairs) > 0
+
+    for hof_fn, gemm_fn, kw in (
+        (topk_cosine_lsh, topk_cosine_lsh_gemm, {"n_planes": 4}),
+        (topk_cosine_ivf, topk_cosine_ivf_gemm, {"n_cells": 8}),
+    ):
+        hof = {
+            (r["query_id"], r["vec_id"]): r["cos"]
+            for r in hof_fn(embs, q, k=5, dim=64, **kw).collect()
+        }
+        gemm = {
+            (r["query_id"], r["vec_id"]): r["cos"]
+            for r in gemm_fn(embs, q, k=5, dim=64, **kw).collect()
+        }
+        assert hof == gemm and len(hof) > 0

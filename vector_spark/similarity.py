@@ -248,6 +248,170 @@ def embedding_dup_pairs_lsh(
     ).filter(F.col("cos") >= threshold)
 
 
+def embedding_dup_pairs_lsh_gemm(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n_planes: int = 4,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    chunk: int = 4096,
+) -> DataFrame:
+    """Production twin of :func:`embedding_dup_pairs_lsh`: identical bucket
+    topology (one shuffle on the 2^n_planes bucket key) but the in-bucket
+    all-pairs scoring is a BLAS GEMM per bucket chunk inside
+    ``applyInPandas`` instead of interpreted per-pair HOF lambdas — the one
+    remaining interpreted hot spot from the round-2 audit.  Rows are chunked
+    so task memory stays O(chunk x bucket) even for degenerate buckets; the
+    cosine is computed in the exact ``dot / outer(norms)`` form the oracle
+    rounds, so the two twins share one DuckDB oracle.
+    """
+    import pandas as pd
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes)
+    b = df.select(id_col, vec_col).withColumn("_b", lsh_bucket(F.col(vec_col), planes))
+
+    def _pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)[order]
+        nrm = np.linalg.norm(mat, axis=1)
+        n = len(ids)
+        cols = np.arange(n)
+        out = []
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            sims = np.round((mat[s:e] @ mat.T) / np.outer(nrm[s:e], nrm), 6)
+            rows_idx = np.arange(s, e)
+            # ids ascending => column index > row index <=> id_b > id_a
+            mask = (sims >= threshold) & (cols[None, :] > rows_idx[:, None])
+            ii, jj = np.nonzero(mask)
+            out.append(
+                pd.DataFrame(
+                    {"id_a": ids[rows_idx[ii]], "id_b": ids[jj], "cos": sims[ii, jj]}
+                )
+            )
+        if not out:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        return pd.concat(out)
+
+    return b.groupBy("_b").applyInPandas(_pairs, schema="id_a long, id_b long, cos double")
+
+
+def _bucket_queries(qrows, vec_col: str, qid_col: str):
+    """Collected query rows (tiny by construction) -> bucket -> (qids, qmat,
+    qnorms), with qids ascending for deterministic emission order."""
+    by_bucket: dict[int, list] = {}
+    for r in qrows:
+        by_bucket.setdefault(r["_b"], []).append((r[qid_col], list(r[vec_col])))
+    out = {}
+    for bkt, rows in by_bucket.items():
+        rows.sort(key=lambda t: t[0])
+        qids = np.asarray([t[0] for t in rows], dtype=np.int64)
+        qmat = np.asarray([t[1] for t in rows], dtype=np.float64)
+        out[bkt] = (qids, qmat, np.linalg.norm(qmat, axis=1))
+    return out
+
+
+def _topk_bucketed_gemm(
+    corpus_b: DataFrame,
+    bucket_queries: dict,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    qid_col: str,
+) -> DataFrame:
+    """Score corpus rows against the queries of their own bucket with one
+    GEMM per (Arrow batch x bucket) group; emit batch-local top-k, merge in
+    a tiny global window.  The ``isin`` filter prunes the scan to buckets
+    that actually hold a query — with the corpus table partitioned by bucket
+    this is partition pruning, the IVF/LSH scale mechanism.  No corpus
+    shuffle at all: the only exchange is |batches| x |queries| x k rows."""
+    import pandas as pd
+
+    pruned = corpus_b.filter(
+        F.col("_b").isin([int(b) for b in bucket_queries])
+    ).select(id_col, vec_col, "_b")
+
+    def _run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for bkt, sub in pdf.groupby("_b"):
+                qids, qmat, qnorm = bucket_queries[bkt]
+                mat = np.asarray(sub[vec_col].tolist(), dtype=np.float64)
+                cnorm = np.linalg.norm(mat, axis=1)
+                # round BEFORE ranking, tie-break by ascending id — matches
+                # the global (cos desc, id asc) window and the oracle
+                sims = np.round((mat @ qmat.T) / np.outer(cnorm, qnorm), 6)
+                ids = sub[id_col].to_numpy()
+                for j, qid in enumerate(qids):
+                    col = sims[:, j]
+                    top = np.lexsort((ids, -col))[:k]
+                    out.append(
+                        pd.DataFrame({qid_col: qid, id_col: ids[top], "cos": col[top]})
+                    )
+            if out:
+                yield pd.concat(out)
+
+    partial = pruned.mapInPandas(_run, schema=f"{qid_col} long, {id_col} long, cos double")
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return partial.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
+
+
+def topk_cosine_lsh_gemm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """Production twin of :func:`topk_cosine_lsh` — same single-probe bucket
+    pruning, but in-bucket scoring is GEMM via mapInPandas.  Query buckets
+    are computed with the SAME Spark expression as the corpus side (then
+    collected — queries are small by construction) so assignment is
+    bit-identical between the twins."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes)
+    qrows = queries.withColumn("_b", lsh_bucket(F.col(vec_col), planes)).collect()
+    corpus_b = corpus.withColumn("_b", lsh_bucket(F.col(vec_col), planes))
+    return _topk_bucketed_gemm(
+        corpus_b, _bucket_queries(qrows, vec_col, qid_col), k, vec_col, id_col, qid_col
+    )
+
+
+def topk_cosine_ivf_gemm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """Production twin of :func:`topk_cosine_ivf` (nprobe=1): cell-pruned
+    scan + per-cell GEMM scoring.  Same oracle as the HOF twin."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    cents = centroids(dim, n_cells)
+    qrows = (
+        queries.withColumn("_b", ivf_cell(F.col(vec_col), cents)).collect()
+    )
+    corpus_b = corpus.withColumn("_b", ivf_cell(F.col(vec_col), cents))
+    return _topk_bucketed_gemm(
+        corpus_b, _bucket_queries(qrows, vec_col, qid_col), k, vec_col, id_col, qid_col
+    )
+
+
 def topk_cosine_lsh(
     corpus: DataFrame,
     queries: DataFrame,
