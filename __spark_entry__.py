@@ -1089,6 +1089,8 @@ def _q_datadog_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mid": dd.compile("@value:[100 TO 200]"),
         "clicky": dd.compile("type:c* AND NOT @value:<10"),
         "kw": dd.compile("purchase"),
+        # grouped values + quoted field name (round-3 grammar completion)
+        "grouped": dd.compile('"type":(error OR purchase)'),
     }
     routed = route(ev, conds)
     return routed.union_labeled("route_key").select("route_key", "event_id")
@@ -1103,7 +1105,8 @@ WITH e AS (
          value >= 300 AS c_big,
          value BETWEEN 100 AND 200 AS c_mid,
          event_type LIKE 'c%' AND NOT value < 10 AS c_clicky,
-         event_type = 'purchase' AS c_kw
+         event_type = 'purchase' AS c_kw,
+         event_type IN ('error', 'purchase') AS c_grouped
   FROM e
 )
 SELECT route_key, event_id FROM (
@@ -1112,8 +1115,9 @@ SELECT route_key, event_id FROM (
   UNION ALL SELECT 'mid', event_id FROM m WHERE c_mid
   UNION ALL SELECT 'clicky', event_id FROM m WHERE c_clicky
   UNION ALL SELECT 'kw', event_id FROM m WHERE c_kw
+  UNION ALL SELECT 'grouped', event_id FROM m WHERE c_grouped
   UNION ALL SELECT '_unmatched', event_id FROM m
-  WHERE NOT (c_errors OR c_big OR c_mid OR c_clicky OR c_kw)
+  WHERE NOT (c_errors OR c_big OR c_mid OR c_clicky OR c_kw OR c_grouped)
 )
 """
 

@@ -93,6 +93,20 @@ CHECKS = [
     # NOT over missing fields is true (reference matcher returns false for
     # absent fields; negation flips it)
     ("NOT host:foo", {}, {"host": "foo"}),
+    # grouped values: field distributes over the group, OR semantics
+    ("host:(foo OR bar)", {"host": "bar"}, {"host": "baz"}),
+    ("host:(foo bar)", {"host": "foo"}, {"host": "baz"}),
+    ("@a:(bla blub)", {"a": "blub"}, {"a": "x"}),
+    ("a:(bla OR blub)", {"tags": ["a:blub"]}, {"tags": ["a:x"]}),
+    ('@a:("with space" OR bla)', {"a": "with space"}, {"a": "x"}),
+    ("NOT host:(foo OR bar)", {"host": "baz"}, {"host": "foo"}),
+    ("host:(f* OR bar)", {"host": "fxx"}, {"host": "baz"}),
+    # quoted field names (attributes with spaces/specials)
+    ('"@a":bla', {"a": "bla"}, {"a": "foo"}),
+    ('"a":bla', {"tags": ["a:bla"]}, {"tags": ["a:foo"]}),
+    ('"host":foo', {"host": "foo"}, {"host": "bar"}),
+    ('NOT "host":foo', {"host": "bar"}, {"host": "foo"}),
+    ('"host":(foo OR bar)', {"host": "bar"}, {"host": "baz"}),
 ]
 
 

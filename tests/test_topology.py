@@ -179,3 +179,17 @@ def test_parse_groks_first_match_wins(spark):
     # first pattern did NOT match the syslog line; second did
     assert rows["<165>1 "]["priority"] == 165 and rows["<165>1 "]["level"] is None
     assert rows["garbage"]["msg"] is None and rows["garbage"]["priority"] is None
+
+
+def test_hot_keys_sampled_agrees_with_exact(spark):
+    """The sampled path (forced via a tiny sample_threshold) must find the
+    same hot keys as the exact path on the Zipf-skewed tokenlog corpus."""
+    from vector_spark.pipeline import load_corpus
+    from vector_spark.skew import hot_keys
+
+    df = load_corpus(spark, 0.001)
+    exact = hot_keys(df, "source", sample_threshold=10**12)
+    sampled = hot_keys(
+        df, "source", sample_threshold=100, sample_fraction=0.1, seed=7
+    )
+    assert exact and sampled == exact

@@ -278,8 +278,11 @@ class DatadogSearchCompiler:
             return inner
         if kind == "quoted":
             phrase = val[1:-1].replace('\\"', '"')
+            # quoted FIELD name ("a b":value — attributes with spaces/
+            # specials; datadog_search.rs quoted-attribute arm)
             if self._peek()[0] == "colon":
-                raise ValueError("datadog_search: quoted field names unsupported")
+                self._next()
+                return self._field_rest(phrase)
             return self._leaf_keyword(phrase)
         if kind != "word":
             raise ValueError(f"datadog_search: unexpected token {val!r}")
@@ -287,7 +290,11 @@ class DatadogSearchCompiler:
         if self._peek()[0] != "colon":
             return self._leaf_keyword(name)
         self._next()  # consume ':'
-        # _exists_ / _missing_
+        return self._field_rest(name)
+
+    def _field_rest(self, name: str) -> Column:
+        """Everything after ``name:`` — exists/missing, compare, range,
+        grouped values, or a single (quoted) value."""
         if name == "_exists_":
             return self._leaf_exists(self._next()[1])
         if name == "_missing_":
@@ -305,6 +312,9 @@ class DatadogSearchCompiler:
             if self._next()[0] != "rbrack":
                 raise ValueError("datadog_search: unbalanced range bracket")
             return self._leaf_range(name, lo, hi)
+        if kind2 == "lparen":
+            self._next()
+            return self._grouped_values(name)
         if kind2 == "quoted":
             self._next()
             return self._leaf_field_value(name, val2[1:-1].replace('\\"', '"'), True)
@@ -312,6 +322,36 @@ class DatadogSearchCompiler:
             self._next()
             return self._leaf_field_value(name, val2, False)
         raise ValueError(f"datadog_search: expected value after {name!r}:")
+
+    def _grouped_values(self, name: str) -> Column:
+        """Grouped values ``field:(a OR b)`` — the field distributes over
+        every term, OR semantics (explicit OR and implicit separator are the
+        same; datadog_search.rs grouped-term arm)."""
+        terms: list[Column] = []
+        while True:
+            kind, val = self._next()
+            if kind == "rparen":
+                break
+            if kind == "op" and val == "OR":
+                continue
+            if kind == "quoted":
+                terms.append(
+                    self._leaf_field_value(name, val[1:-1].replace('\\"', '"'), True)
+                )
+            elif kind == "word":
+                terms.append(self._leaf_field_value(name, val, False))
+            elif kind == "eof":
+                raise ValueError("datadog_search: unbalanced value group")
+            else:
+                raise ValueError(
+                    f"datadog_search: unexpected {val!r} in value group"
+                )
+        if not terms:
+            raise ValueError("datadog_search: empty value group")
+        out = terms[0]
+        for t in terms[1:]:
+            out = out | t
+        return out
 
 
 def compile_datadog_search(

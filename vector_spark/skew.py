@@ -84,13 +84,33 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(*combiners)
 
 
-def hot_keys(df: DataFrame, key: str, top_n: int = 5, min_share: float = 0.2) -> list:
+def hot_keys(
+    df: DataFrame,
+    key: str,
+    top_n: int = 5,
+    min_share: float = 0.2,
+    sample_fraction: float = 0.01,
+    sample_threshold: int = 1_000_000,
+    seed: int = 42,
+) -> list:
     """Detect hot key values: any of the top-N values holding more than
-    ``min_share`` of sampled rows (drive the salting decision from data,
-    not guesses).  Uses a 1% sample at scale — exact count here since the
-    fixture corpus is small."""
+    ``min_share`` of rows (drive the salting decision from data, not
+    guesses).
+
+    Above ``sample_threshold`` rows the share is estimated on a seeded
+    ``sample_fraction`` Bernoulli sample — at 10^12 rows an exact
+    groupBy-count is itself the skewed shuffle we're trying to avoid, and a
+    1% sample estimates a >=20% share with sampling error ~sqrt(p(1-p)/n)
+    << min_share.  Below the threshold the count is exact.  Both paths are
+    one aggregate + a top_n-row collect."""
     total = df.count()
     if total == 0:
         return []
-    top = df.groupBy(key).count().orderBy(F.col("count").desc()).limit(top_n).collect()
+    scan = df
+    if total > sample_threshold:
+        scan = df.sample(fraction=sample_fraction, seed=seed)
+        total = scan.count()
+        if total == 0:
+            return []
+    top = scan.groupBy(key).count().orderBy(F.col("count").desc()).limit(top_n).collect()
     return [r[key] for r in top if r["count"] / total >= min_share]
