@@ -1789,6 +1789,30 @@ _DIRTY_PATTERN = (
 )
 
 
+def _q_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native protobuf wire codec roundtrip (jar-free EventWrapper encode +
+    decode, functions/native_proto.py; lib/codecs/src/{encoding,decoding}/
+    format/native.rs + lib/vector-core/proto/event.proto).  The oracle is
+    the identity projection — encode o decode must be exact over typed
+    fields, gated on the whole events table."""
+    from vector_spark.functions.native_proto import (
+        decode_native_rows,
+        encode_native_rows,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    enc = encode_native_rows(ev)
+    return decode_native_rows(
+        enc, {"event_id": "long", "event_type": "string", "value": "double"}
+    ).drop("_decode_error")
+
+
+def _sql_native_roundtrip() -> str:
+    return "SELECT event_id, event_type, value FROM events"
+
+
 def _q_parse_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.functions import vrl
     from vector_spark.functions.grok import grok_parts
@@ -1940,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_apache_log": _q_parse_apache,
         "parse_multi": _q_parse_multi,
         "parse_dirty": _q_parse_dirty,
+        "native_roundtrip": _q_native_roundtrip,
         "multiline_stacktrace": _q_multiline,
         "datadog_route": _q_datadog_route,
         "map_pandas_fanout": _q_map_pandas_fanout,
@@ -1997,6 +2022,7 @@ def oracle_sql() -> dict[str, str]:
         "parse_apache_log": _sql_parse_apache(),
         "parse_multi": _sql_parse_multi(),
         "parse_dirty": _sql_parse_dirty(),
+        "native_roundtrip": _sql_native_roundtrip(),
         "multiline_stacktrace": _sql_multiline(),
         "datadog_route": _SQL_DATADOG_ROUTE,
         "map_pandas_fanout": _SQL_MAP_PANDAS_FANOUT,
