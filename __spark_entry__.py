@@ -125,7 +125,13 @@ def _q_parse_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame(_DIRTY_GROK_ROWS, "doc_id string, message string")
     )
     cols = grok_columns("message", CANNED["tokenlog"])
-    return src.select("doc_id", *cols).withColumnRenamed("timestamp", "parsed_ts")
+    out = src.select("doc_id", *cols).withColumnRenamed("timestamp", "parsed_ts")
+    # int fields carry NULLs on the malformed rows; nullable ints become
+    # float64 through pandas on the oracle side ('200.0' vs '200'), so both
+    # sides compare them as VARCHAR (driver-contract rule)
+    for c in ("user_id", "status", "bytes"):
+        out = out.withColumn(c, F.col(c).cast("string"))
+    return out
 
 
 def _sql_parse_grok() -> str:
@@ -139,10 +145,17 @@ WITH src AS (
   SELECT doc_id, message FROM read_parquet('{path}')
   UNION ALL
   SELECT * FROM (VALUES {dirty}) t(doc_id, message)
-)
+), parsed AS (
 SELECT doc_id,
        {body}
-FROM src"""
+FROM src
+)
+SELECT doc_id, parsed_ts, level, service,
+       CAST(user_id AS VARCHAR) AS user_id,
+       CAST(status AS VARCHAR) AS status,
+       CAST(bytes AS VARCHAR) AS bytes,
+       msg
+FROM parsed"""
 
 
 # ---------------------------------------------------------------------------
@@ -947,7 +960,14 @@ def _q_parse_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         PP.VPC_FLOW_DEFAULT_FORMAT.split(),
         "vp_",
     )
-    return lines.select("event_id", *ng, *gl, *kl, *au, *vp)
+    out = lines.select("event_id", *ng, *gl, *kl, *au, *vp)
+    # malformed rows leave the numeric fields NULL; nullable ints become
+    # float NaN through the oracle's pandas fetch, so both sides compare
+    # every parsed field as VARCHAR (driver-contract rule)
+    return out.select(
+        "event_id",
+        *[out[c].cast("string").alias(c) for c in out.columns if c != "event_id"],
+    )
 
 
 def _sql_parse_multi() -> str:
@@ -996,15 +1016,27 @@ def _sql_parse_multi() -> str:
     body = ",\n       ".join(ng + gl + kl + au + vp)
     bad = "'@@malformed ' || CAST(event_id AS VARCHAR)"
     mk = lambda expr: f"CASE WHEN event_id % 97 = 0 THEN {bad} ELSE {expr} END"  # noqa: E731
+    names = (
+        [f"ng_{f}" for f in PP.NGINX_COMBINED.fields]
+        + [f"gl_{n}" for n in ("level", "ts_s", "id", "file", "line", "message")]
+        + [f"kl_{n}" for n in ("level", "ts_s", "id", "file", "line", "message")]
+        + [f"au_{n}" for n in ("ts_s", "hostname", "appname", "procid", "message")]
+        + [f"vp_{f}" for f in PP.VPC_FLOW_DEFAULT_FORMAT.split()]
+    )
+    outer = ",\n       ".join(f'CAST("{c}" AS VARCHAR) AS "{c}"' for c in names)
     return f"""
 WITH lines AS (
   SELECT event_id, {mk(nginx)} AS l_ng, {mk(glog)} AS l_gl, {mk(klog)} AS l_kl,
          {mk(auth)} AS l_au, {mk(vpc)} AS l_vp
   FROM events
-)
+), parsed AS (
 SELECT event_id,
        {body}
 FROM lines
+)
+SELECT event_id,
+       {outer}
+FROM parsed
 """
 
 
@@ -1856,7 +1888,8 @@ def _q_parse_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(t_parsed, "yyyy-MM-dd HH:mm:ss").alias("t_parsed"),
         ip_num.cast("string").alias("ip_num"),
         user_p.cast("string").alias("user_parsed"),
-        F.round(dur_s, 6).alias("dur_s"),
+        # nullable double: compare as VARCHAR (pandas NaN-vs-None quirk)
+        F.round(dur_s, 6).cast("string").alias("dur_s"),
         b64_dec.alias("b64_decoded"),
     )
 
@@ -1909,13 +1942,44 @@ SELECT event_id,
   strftime(t_parsed, '%Y-%m-%d %H:%M:%S') AS t_parsed,
   CAST(ip_num AS VARCHAR) AS ip_num,
   CAST(user_i AS VARCHAR) AS user_parsed,
-  ROUND(dur_s, 6) AS dur_s,
+  CAST(ROUND(dur_s, 6) AS VARCHAR) AS dur_s,
   b64_decoded
 FROM c"""
 
 
 # ---------------------------------------------------------------------------
 # contract
+
+
+# ---------------------------------------------------------------------------
+# training-sequence packing (LLM-data-pipeline extension; vector_spark/packing.py)
+
+_PACK_SEQ_LEN = 2048
+_PACK_EOS = 50256
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.packing import pack_sequences
+
+    src = _corpus(spark, sf_dir).select("doc_id", "tokens")
+    packed = pack_sequences(src, _PACK_SEQ_LEN, eos=_PACK_EOS)
+    return packed.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.array_join("tokens", ",").alias("tokens_csv"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+def _sql_pack_sequences() -> str:
+    from vector_spark.packing import sql_pack_sequences
+
+    path = _corpus_sql_path()
+    return sql_pack_sequences(
+        f"(SELECT doc_id, tokens FROM read_parquet('{path}'))",
+        _PACK_SEQ_LEN,
+        eos=_PACK_EOS,
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1972,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregate_sketch": _q_aggregate_sketch,
         "stream_aggregate": _q_stream_aggregate,
         "dedup_groups": _q_dedup_groups,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -2030,4 +2095,5 @@ def oracle_sql() -> dict[str, str]:
         "aggregate_sketch": _sql_aggregate_sketch(),
         "stream_aggregate": _SQL_STREAM_AGGREGATE,
         "dedup_groups": _sql_dedup_groups(),
+        "pack_sequences": _sql_pack_sequences(),
     }

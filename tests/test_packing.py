@@ -1,0 +1,50 @@
+"""Unit semantics for training-sequence packing (vector_spark/packing.py).
+
+The oracle-parity gate covers the sf0.01 corpus; these pin the edge
+semantics on tiny inputs: fragment order, EOS insertion, multi-sequence
+span, short tail sequence, and empty-doc drop.
+"""
+
+from __future__ import annotations
+
+from vector_spark.packing import pack_sequences
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "doc_id string, tokens array<int>")
+
+
+def test_pack_basic_order_and_tail(spark):
+    df = _rows(spark, [("a", [1, 2, 3]), ("b", [4, 5, 6, 7, 8]), ("c", [9, 10])])
+    out = pack_sequences(df, 4).orderBy("seq_id").collect()
+    assert [r["tokens"] for r in out] == [[1, 2, 3, 4], [5, 6, 7, 8], [9, 10]]
+    assert [r["n_docs"] for r in out] == [2, 1, 1]
+    assert [r["n_tok"] for r in out] == [4, 4, 2]
+
+
+def test_pack_eos_separator(spark):
+    df = _rows(spark, [("a", [1, 2, 3]), ("b", [4, 5, 6, 7, 8]), ("c", [9, 10])])
+    out = pack_sequences(df, 4, eos=99).orderBy("seq_id").collect()
+    flat = [t for r in out for t in r["tokens"]]
+    assert flat == [1, 2, 3, 99, 4, 5, 6, 7, 8, 99, 9, 10, 99]
+    assert all(r["n_tok"] == len(r["tokens"]) for r in out)
+
+
+def test_pack_doc_spans_three_sequences(spark):
+    df = _rows(spark, [("a", list(range(11)))])
+    out = pack_sequences(df, 4).orderBy("seq_id").collect()
+    assert [r["tokens"] for r in out] == [[0, 1, 2, 3], [4, 5, 6, 7], [8, 9, 10]]
+    assert [r["n_docs"] for r in out] == [1, 1, 1]
+
+
+def test_pack_empty_docs_dropped(spark):
+    df = _rows(spark, [("a", []), ("b", [1, 2]), ("c", [])])
+    out = pack_sequences(df, 4).collect()
+    assert len(out) == 1 and out[0]["tokens"] == [1, 2]
+
+
+def test_pack_order_is_doc_id_lexicographic(spark):
+    # rows arrive out of order; packing order follows doc_id
+    df = _rows(spark, [("z", [7, 8]), ("a", [1, 2]), ("m", [5, 6])])
+    out = pack_sequences(df, 6).collect()
+    assert len(out) == 1 and out[0]["tokens"] == [1, 2, 5, 6, 7, 8]
