@@ -1961,8 +1961,9 @@ _PACK_EOS = 50256
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.packing import pack_sequences
 
-    src = _corpus(spark, sf_dir).select("doc_id", "tokens")
-    packed = pack_sequences(src, _PACK_SEQ_LEN, eos=_PACK_EOS)
+    src = _corpus(spark, sf_dir).select("doc_id", "tokens", "n_tok")
+    # n_col lets the prefix-sum pass prune the token column from its scan
+    packed = pack_sequences(src, _PACK_SEQ_LEN, eos=_PACK_EOS, n_col="n_tok")
     return packed.select(
         F.col("seq_id").cast("long").alias("seq_id"),
         F.array_join("tokens", ",").alias("tokens_csv"),
