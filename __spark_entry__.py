@@ -1983,6 +1983,36 @@ def _sql_pack_sequences() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# domain-mixture sampling (LLM-data-pipeline extension; vector_spark/mixture.py)
+
+_MIX_WEIGHTS = {"app": 0.25, "web": 0.30, "db": 0.20, "cache": 0.15, "edge": 0.10}
+_MIX_BUDGET_SF001 = 8_000_000  # ~52% of the sf0.01 corpus' tokens
+
+
+def _mix_budget(sf: float) -> int:
+    return int(_MIX_BUDGET_SF001 * sf / 0.01)
+
+
+def _q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.mixture import mixture_summary
+
+    sf = datagen.sf_from_dir(sf_dir)
+    src = _corpus(spark, sf_dir).select("doc_id", "source", "n_tok")
+    return mixture_summary(src, _MIX_WEIGHTS, _mix_budget(sf))
+
+
+def _sql_mixture() -> str:
+    from vector_spark.mixture import sql_mixture_summary
+
+    path = _corpus_sql_path()
+    return sql_mixture_summary(
+        f"(SELECT doc_id, source, n_tok FROM read_parquet('{path}'))",
+        _MIX_WEIGHTS,
+        _mix_budget(CORPUS_SF),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_sink_aggregates": _q_pipeline_aggregates,
@@ -2038,6 +2068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_aggregate": _q_stream_aggregate,
         "dedup_groups": _q_dedup_groups,
         "pack_sequences": _q_pack_sequences,
+        "mixture_sample": _q_mixture,
     }
 
 
@@ -2097,4 +2128,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_aggregate": _SQL_STREAM_AGGREGATE,
         "dedup_groups": _sql_dedup_groups(),
         "pack_sequences": _sql_pack_sequences(),
+        "mixture_sample": _sql_mixture(),
     }

