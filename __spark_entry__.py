@@ -2013,6 +2013,42 @@ def _sql_mixture() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# benchmark decontamination (LLM-data-pipeline extension; vector_spark/decontam.py)
+# benchmark set ≙ 40-token excerpts of ~0.5% of docs (deterministic pick),
+# simulating eval questions quoted verbatim from training documents
+
+_DECON_N = 8
+_DECON_SLICE = (17, 40)  # (start, length) of the quoted excerpt
+_DECON_MOD = 200  # 1-in-200 docs contribute an excerpt
+
+
+def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.decontam import decontaminate
+    from vector_spark.hashing import portable_hash64
+
+    src = _corpus(spark, sf_dir).select("doc_id", "tokens")
+    bench = src.filter(portable_hash64(F.col("doc_id")) % _DECON_MOD == 0).select(
+        "doc_id", F.slice("tokens", *_DECON_SLICE).alias("tokens")
+    )
+    return decontaminate(src, bench, n=_DECON_N)
+
+
+def _sql_decontam() -> str:
+    from vector_spark.decontam import sql_decontaminate
+    from vector_spark.hashing import portable_hash64_sql
+
+    path = _corpus_sql_path()
+    lo, ln = _DECON_SLICE
+    corpus = f"(SELECT doc_id, tokens FROM read_parquet('{path}'))"
+    bench = (
+        f"(SELECT doc_id, list_slice(tokens, {lo}, {lo + ln - 1}) AS tokens"
+        f" FROM read_parquet('{path}')"
+        f" WHERE {portable_hash64_sql('doc_id')} % {_DECON_MOD} = 0)"
+    )
+    return sql_decontaminate(corpus, bench, n=_DECON_N)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_sink_aggregates": _q_pipeline_aggregates,
@@ -2069,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": _q_dedup_groups,
         "pack_sequences": _q_pack_sequences,
         "mixture_sample": _q_mixture,
+        "decontaminate": _q_decontam,
     }
 
 
@@ -2129,4 +2166,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_groups": _sql_dedup_groups(),
         "pack_sequences": _sql_pack_sequences(),
         "mixture_sample": _sql_mixture(),
+        "decontaminate": _sql_decontam(),
     }

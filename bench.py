@@ -63,6 +63,9 @@ def main() -> None:
             # dedup_groups' contract path runs over the md5-oracle pairs;
             # the production path (fast xxhash64 pairs) is benched below
             "dedup_groups",
+            # decontaminate's contract path hashes grams with the portable
+            # md5 (oracle twin); the xxhash64 production twin is benched
+            "decontaminate",
         )
     ]
 
@@ -111,6 +114,24 @@ def main() -> None:
     except Exception as e:
         timings["dedup_groups_fast"] = -1.0
         print(f"# bench query dedup_groups_fast failed: {e}", file=sys.stderr)
+
+    # production-path decontamination (codegen xxhash64 gram hashing)
+    t0 = time.time()
+    try:
+        from pyspark.sql import functions as F
+
+        from vector_spark.decontam import decontaminate
+        from vector_spark.hashing import portable_hash64
+
+        corpus = P.load_corpus(spark, sf).select("doc_id", "tokens")
+        bench_docs = corpus.filter(portable_hash64(F.col("doc_id")) % 200 == 0).select(
+            "doc_id", F.slice("tokens", 17, 40).alias("tokens")
+        )
+        _materialize(decontaminate(corpus, bench_docs, fast=True))
+        timings["decontaminate_fast"] = round(time.time() - t0, 3)
+    except Exception as e:
+        timings["decontaminate_fast"] = -1.0
+        print(f"# bench query decontaminate_fast failed: {e}", file=sys.stderr)
 
     for name in bench_names:
         if name == "pipeline_sink_aggregates":
