@@ -2049,6 +2049,27 @@ def _sql_decontam() -> str:
     return sql_decontaminate(corpus, bench, n=_DECON_N)
 
 
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality filters; vector_spark/repetition.py)
+# contract runs the PRODUCTION mapInArrow kernel — the DuckDB oracle counts
+# exact grams, so a kernel hash collision or offset bug would hash-mismatch
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.repetition import repetition_signals
+
+    return repetition_signals(_corpus(spark, sf_dir).select("doc_id", "tokens"))
+
+
+def _sql_repetition() -> str:
+    from vector_spark.repetition import sql_repetition_signals
+
+    path = _corpus_sql_path()
+    return sql_repetition_signals(
+        f"(SELECT doc_id, tokens FROM read_parquet('{path}'))"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_sink_aggregates": _q_pipeline_aggregates,
@@ -2106,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "mixture_sample": _q_mixture,
         "decontaminate": _q_decontam,
+        "repetition_signals": _q_repetition,
     }
 
 
@@ -2167,4 +2189,5 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _sql_pack_sequences(),
         "mixture_sample": _sql_mixture(),
         "decontaminate": _sql_decontam(),
+        "repetition_signals": _sql_repetition(),
     }
