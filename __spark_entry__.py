@@ -2070,6 +2070,48 @@ def _sql_repetition() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# PII scrub (VRL redact named-filter semantics, redact.cue; vector_spark/pii.py)
+# the word-salad documents carry no PII, so the query injects deterministic
+# PII spans (email/ipv4/ssn/card derived from doc_id) with the SAME string
+# expression on both engines, then counts + scrubs them
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.pii import pii_scrub
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    inj = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0, F.concat(F.lit(" mail user"), s, F.lit("@example.com"))).otherwise(""),
+            F.when(did % 5 == 0, F.concat(F.lit(" src 10."), (did % 200).cast("string"), F.lit(".3."), (did % 250).cast("string"))).otherwise(""),
+            F.when(did % 7 == 0, F.concat(F.lit(" ssn 123-45-"), (1000 + did % 9000).cast("string"))).otherwise(""),
+            F.when(did % 11 == 0, F.concat(F.lit(" card 4111-1111-1111-"), (1000 + did % 9000).cast("string"))).otherwise(""),
+        ).alias("text"),
+    )
+    return pii_scrub(inj, "text")
+
+
+def _sql_pii_scrub() -> str:
+    from vector_spark.pii import sql_pii_scrub
+
+    inj = """(
+SELECT doc_id,
+  text
+  || CASE WHEN doc_id % 3 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN ' src 10.' || CAST(doc_id % 200 AS VARCHAR) || '.3.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+  || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END
+  || CASE WHEN doc_id % 11 = 0 THEN ' card 4111-1111-1111-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END
+  AS text
+FROM documents
+)"""
+    return sql_pii_scrub(inj)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_sink_aggregates": _q_pipeline_aggregates,
@@ -2128,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture,
         "decontaminate": _q_decontam,
         "repetition_signals": _q_repetition,
+        "pii_scrub": _q_pii_scrub,
     }
 
 
@@ -2190,4 +2233,5 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": _sql_mixture(),
         "decontaminate": _sql_decontam(),
         "repetition_signals": _sql_repetition(),
+        "pii_scrub": _sql_pii_scrub(),
     }
