@@ -572,10 +572,12 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
-# geoip enrichment (src/enrichment_tables/geoip.rs) — bucketed broadcast
-# range join over a synthetic range table (mmdb loader stubbed: no
-# maxminddb wheel in this environment; the range-table shape is the
-# flattened prefix trie)
+# geoip enrichment (src/enrichment_tables/geoip.rs) — the range table is
+# loaded from a REAL MaxMind-DB file (written by the deterministic
+# fixture writer, read by the jar-free spec reader in
+# vector_spark/functions/mmdb.py), then consumed by the bucketed
+# broadcast range join.  The oracle stays the closed-form BETWEEN over
+# the same ranges, so the loader's trie flattening is hash-gated too.
 
 GEO_ROWS = [
     (1 << 24, (51 << 24) - 1, "US", "nyc", "America/New_York"),
@@ -584,8 +586,30 @@ GEO_ROWS = [
 ]
 
 
+def _geo_mmdb_fixture() -> str:
+    """Write GEO_ROWS as a spec-valid mmdb under data/ (byte-deterministic,
+    so rewriting is idempotent) and return the path."""
+    import os
+
+    from vector_spark.functions.mmdb import range_to_cidrs, write_mmdb
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "geoip_fixture.mmdb")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    entries = []
+    for start, end, cc, city, tz in GEO_ROWS:
+        payload = {
+            "country": {"iso_code": cc},
+            "city": {"names": {"en": city}},
+            "location": {"time_zone": tz},
+        }
+        entries.extend((cidr, payload) for cidr in range_to_cidrs(start, end))
+    entries.sort(key=lambda e: e[0])
+    write_mmdb(path, entries)
+    return path
+
+
 def _q_geoip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vector_spark.enrichment import geoip_enrich
+    from vector_spark.enrichment import geoip_enrich, load_geoip_mmdb
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     eid, uid = F.col("event_id"), F.col("user_id")
@@ -597,8 +621,8 @@ def _q_geoip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((eid * 7) % 256).cast("string"),
     )
     events = ev.select("event_id", ip.alias("ip"))
-    geo = spark.createDataFrame(
-        GEO_ROWS, ["ip_start", "ip_end", "country_code", "city_name", "timezone"]
+    geo = load_geoip_mmdb(spark, _geo_mmdb_fixture()).select(
+        "ip_start", "ip_end", "country_code", "city_name", "timezone"
     )
     return geoip_enrich(events, geo, "ip")
 

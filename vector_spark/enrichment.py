@@ -143,19 +143,53 @@ def enrich_get(
     return out.drop("_match_cnt")
 
 
-def load_geoip_mmdb(spark: SparkSession, path: str) -> DataFrame:
+def load_geoip_mmdb(spark: SparkSession, path: str, locale: str = "en") -> DataFrame:
     """MaxMind mmdb -> range DataFrame (reference
     src/enrichment_tables/geoip.rs:10-47: City / ISP / ASN databases).
 
-    The mmdb reader (`maxminddb` wheel) is not in this environment, so the
-    LOADER is stubbed; everything downstream (:func:`geoip_enrich`) is real
-    and tested against synthetic range tables of the same shape
-    ``(ip_start, ip_end, country_code, city_name, latitude, longitude,
-    timezone, isp, asn)`` — ip_start/ip_end are inclusive u32 bounds, the
-    flattened form of the mmdb prefix trie."""
-    raise NotImplementedError(
-        "maxminddb is not available in this environment; provide a range "
-        "DataFrame (ip_start, ip_end, ...fields) to geoip_enrich instead"
+    The ``maxminddb`` wheel is absent, so the file is read by the
+    jar-free spec implementation in :mod:`vector_spark.functions.mmdb`
+    (public MaxMind DB format).  Field flattening mirrors
+    geoip.rs:156-201: City databases yield country_code / city_name /
+    latitude / longitude / timezone; ISP/ASN databases yield isp /
+    organization / autonomous_system_number /
+    autonomous_system_organization.  Rows are (ip_start, ip_end,
+    fields...) with inclusive u32 bounds — the flattened prefix trie
+    :func:`geoip_enrich` consumes.  The trie decode happens once on the
+    driver (mmdb files are MBs); the table then broadcasts."""
+    from vector_spark.functions.mmdb import read_mmdb
+
+    _, nets = read_mmdb(path)
+
+    def g(d: dict, *ks):
+        for k in ks:
+            d = d.get(k) if isinstance(d, dict) else None
+            if d is None:
+                return None
+        return d
+
+    rows = [
+        (
+            start,
+            end,
+            g(d, "country", "iso_code"),
+            g(d, "city", "names", locale),
+            float(g(d, "location", "latitude")) if g(d, "location", "latitude") is not None else None,
+            float(g(d, "location", "longitude")) if g(d, "location", "longitude") is not None else None,
+            g(d, "location", "time_zone"),
+            g(d, "isp"),
+            g(d, "organization"),
+            g(d, "autonomous_system_number"),
+            g(d, "autonomous_system_organization"),
+        )
+        for start, end, d in nets
+    ]
+    return spark.createDataFrame(
+        rows,
+        "ip_start long, ip_end long, country_code string, city_name string,"
+        " latitude double, longitude double, timezone string, isp string,"
+        " organization string, autonomous_system_number long,"
+        " autonomous_system_organization string",
     )
 
 
