@@ -1545,6 +1545,47 @@ def _sql_lang_id() -> str:
     return f"SELECT doc_id, lang, {T.sql_lang_id('text')} AS lang_pred FROM documents"
 
 
+# ---------------------------------------------------------------------------
+# script-first language ID (textstats.lang_id_script).  The documents
+# corpus is ASCII word salad, so deterministic doc subsets get their text
+# REPLACED by non-Latin script samples (same CASE on both engines) —
+# exercising the Han/kana split, Hangul, Cyrillic, Arabic and the
+# mostly-Latin fallback threshold (the %31 mixed row keeps enough Latin
+# that script counts must NOT win).
+
+_SCRIPT_SAMPLES = [
+    (13, "中文处理系统的性能评估与测试"),                       # han only -> zh
+    (17, "это русский текст для проверки системы"),             # cyrillic -> ru
+    (19, "اختبار النص العربي لنظام المعالجة"),                  # arabic -> ar
+    (23, "こんにちは世界のテストです形態素解析"),               # kana+han -> ja
+    (29, "한국어 텍스트 처리 시스템 테스트"),                   # hangul -> ko
+    (31, "mostly latin words with a bit of 中文 inside"),       # fallback
+]
+
+
+def _q_lang_id_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark import textstats as T
+
+    text = F.col("text")
+    for mod, sample in reversed(_SCRIPT_SAMPLES):
+        text = F.when(F.col("doc_id") % mod == 0, F.lit(sample)).otherwise(text)
+    inj = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    return inj.select("doc_id", T.lang_id_script("text").alias("lang_pred"))
+
+
+def _sql_lang_id_script() -> str:
+    from vector_spark import textstats as T
+
+    branches = " ".join(
+        f"WHEN doc_id % {mod} = 0 THEN '{sample}'" for mod, sample in _SCRIPT_SAMPLES
+    )
+    inj = f"(SELECT doc_id, CASE {branches} ELSE text END AS text FROM documents)"
+    return (
+        f"SELECT doc_id, {T.sql_lang_id_script('text')} AS lang_pred"
+        f" FROM {inj} AS d"
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.dedup import dedup_exact
 
@@ -2082,16 +2123,32 @@ def _sql_decontam() -> str:
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.repetition import repetition_signals
 
-    return repetition_signals(_corpus(spark, sf_dir).select("doc_id", "tokens"))
+    out = repetition_signals(_corpus(spark, sf_dir).select("doc_id", "tokens"))
+    # contract surface: too-short docs yield NULL fracs in the library;
+    # the driver compares DuckDB results through pandas, where a NULL
+    # double becomes NaN and can't match Spark's None — sentinel-gate to
+    # -1.0 on BOTH engines (same trick as the VARCHAR-gated parse fields)
+    sent = [
+        F.coalesce(F.col(c), F.lit(-1.0)).alias(c)
+        for c in ("dup_unigram_frac", "top_bigram_frac", "dup_5gram_frac")
+    ]
+    return out.select("doc_id", "n_tok", *sent)
 
 
 def _sql_repetition() -> str:
     from vector_spark.repetition import sql_repetition_signals
 
     path = _corpus_sql_path()
-    return sql_repetition_signals(
+    inner = sql_repetition_signals(
         f"(SELECT doc_id, tokens FROM read_parquet('{path}'))"
     )
+    return f"""
+SELECT doc_id, n_tok,
+       COALESCE(dup_unigram_frac, -1.0) AS dup_unigram_frac,
+       COALESCE(top_bigram_frac, -1.0) AS top_bigram_frac,
+       COALESCE(dup_5gram_frac, -1.0) AS dup_5gram_frac
+FROM ({inner})
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2134,6 +2191,71 @@ SELECT doc_id,
 FROM documents
 )"""
     return sql_pii_scrub(inj)
+
+
+# ---------------------------------------------------------------------------
+# duplicate-span detection (Lee et al.-style substring dedup at k-gram
+# granularity; vector_spark/dupspans.py).  The word-salad corpus has no
+# natural repeats (uniform tokens), so the query plants two boilerplate
+# templates into deterministic doc subsets with the SAME expression on
+# both engines: template A (40 tokens) at positions 11-50 of every
+# hash%200==0 doc, template B (20 tokens) at 61-80 of every hash%150==1
+# doc.  Spark runs the PRODUCTION rolling-hash Arrow kernel; the oracle
+# groups exact gram strings — kernel hash or offset bugs hash-mismatch.
+
+_DUP_K = 8
+_DUP_TMPL_A = list(range(50100, 50140))  # 40 tokens, inside vocab (50257)
+_DUP_TMPL_B = list(range(49000, 49020))  # 20 tokens
+_DUP_MOD_A, _DUP_MOD_B = 200, 150
+
+
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.dupspans import dup_span_stats
+    from vector_spark.hashing import portable_hash64
+
+    src = _corpus(spark, sf_dir).select("doc_id", "tokens")
+    t, h = F.col("tokens"), portable_hash64(F.col("doc_id"))
+    a = F.array(*[F.lit(v) for v in _DUP_TMPL_A])
+    b = F.array(*[F.lit(v) for v in _DUP_TMPL_B])
+    withA = F.when(
+        (h % _DUP_MOD_A == 0) & (F.size(t) >= 50),
+        F.concat(F.slice(t, 1, 10), a, F.slice(t, 51, F.size(t) - 50)),
+    ).otherwise(t)
+    withB = F.when(
+        (h % _DUP_MOD_B == 1) & (F.size(t) >= 80),
+        F.concat(F.slice(withA, 1, 60), b, F.slice(withA, 81, F.size(t) - 80)),
+    ).otherwise(withA)
+    inj = src.select("doc_id", withB.alias("tokens"))
+    # the corpus parquet exposes only 8 splits; the gram kernel is CPU-bound,
+    # so spread it across every core first (measured 4.4x: 96s -> 22s).  On a
+    # real cluster input splits already provide this — partitioning is the
+    # caller's deployment decision, so it stays out of the library.
+    inj = inj.repartition(spark.sparkContext.defaultParallelism)
+    return dup_span_stats(inj, k=_DUP_K, min_count=2, fast=True)
+
+
+def _sql_dup_spans() -> str:
+    from vector_spark.dupspans import sql_dup_span_stats
+    from vector_spark.hashing import portable_hash64_sql
+
+    path = _corpus_sql_path()
+    h = portable_hash64_sql("doc_id")
+    a = "[" + ", ".join(map(str, _DUP_TMPL_A)) + "]"
+    b = "[" + ", ".join(map(str, _DUP_TMPL_B)) + "]"
+    inj = f"""(
+SELECT doc_id,
+       CASE WHEN {h} % {_DUP_MOD_B} = 1 AND len(tokens) >= 80
+            THEN list_concat(list_concat(tokens[1:60], {b}), tokens[81:])
+            ELSE tokens END AS tokens
+FROM (
+  SELECT doc_id,
+         CASE WHEN {h} % {_DUP_MOD_A} = 0 AND len(tokens) >= 50
+              THEN list_concat(list_concat(tokens[1:10], {a}), tokens[51:])
+              ELSE tokens END AS tokens
+  FROM read_parquet('{path}')
+)
+)"""
+    return sql_dup_span_stats(inj, k=_DUP_K, min_count=2)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2195,6 +2317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontam,
         "repetition_signals": _q_repetition,
         "pii_scrub": _q_pii_scrub,
+        "dup_spans": _q_dup_spans,
+        "lang_id_script": _q_lang_id_script,
     }
 
 
@@ -2258,4 +2382,6 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _sql_decontam(),
         "repetition_signals": _sql_repetition(),
         "pii_scrub": _sql_pii_scrub(),
+        "dup_spans": _sql_dup_spans(),
+        "lang_id_script": _sql_lang_id_script(),
     }

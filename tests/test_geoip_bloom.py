@@ -41,8 +41,10 @@ def test_geoip_plan_is_hash_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_geoip_mmdb_loader_stubbed(spark):
-    with pytest.raises(NotImplementedError):
+def test_geoip_mmdb_loader_missing_file(spark):
+    # loader is real now (functions/mmdb.py); a missing path surfaces as
+    # the file error, not a stub
+    with pytest.raises(FileNotFoundError):
         load_geoip_mmdb(spark, "/nonexistent/GeoLite2-City.mmdb")
 
 

@@ -79,6 +79,85 @@ def lang_id(col: Column | str) -> Column:
     return best_lang
 
 
+# Unicode script blocks (public Unicode ranges) for script-first language
+# ID.  Patterns are plain character-class ranges built from literal
+# codepoints, so the SAME pattern string is valid in Java regex (Spark)
+# and RE2 (DuckDB).
+_SCRIPT_RANGES: dict[str, list[tuple[int, int]]] = {
+    "han": [(0x4E00, 0x9FFF)],
+    "kana": [(0x3040, 0x309F), (0x30A0, 0x30FF)],
+    "hangul": [(0xAC00, 0xD7AF)],
+    "cyrillic": [(0x0400, 0x04FF)],
+    "arabic": [(0x0600, 0x06FF)],
+    "devanagari": [(0x0900, 0x097F)],
+    "greek": [(0x0370, 0x03FF)],
+    "hebrew": [(0x0590, 0x05FF)],
+    "thai": [(0x0E00, 0x0E7F)],
+    "latin": [(0x41, 0x5A), (0x61, 0x7A)],
+}
+
+# priority-ordered (first match wins) mapping from dominant script to
+# language; CJK is special-cased: kana presence >= 10% of han separates
+# Japanese from Chinese
+_SCRIPT_LANGS = [
+    ("hangul", "ko"),
+    ("cyrillic", "ru"),
+    ("arabic", "ar"),
+    ("devanagari", "hi"),
+    ("greek", "el"),
+    ("hebrew", "he"),
+    ("thai", "th"),
+]
+
+
+def _script_class(name: str) -> str:
+    return "[" + "".join(f"{chr(a)}-{chr(b)}" for a, b in _SCRIPT_RANGES[name]) + "]"
+
+
+def script_count(col: Column | str, script: str) -> Column:
+    """Number of characters of ``script`` in the text (explicit Unicode
+    block ranges)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(_script_class(script)), F.lit(0)))
+
+
+def lang_id_script(col: Column | str) -> Column:
+    """Script-first language ID: when a non-Latin script dominates
+    (count*4 >= Latin count), classify by the script — 'ja' when kana is
+    >= 10% of the CJK mass, 'zh' for the Han remainder, then
+    ko/ru/ar/hi/el/he/th by first-match priority; otherwise fall back to
+    the stopword-argmax :func:`lang_id` (which covers the Latin-script
+    languages).  Every term is a plain regexp count, so the DuckDB twin
+    reproduces it bit-for-bit."""
+    n = {s: script_count(col, s) for s in _SCRIPT_RANGES}
+    cjk = n["han"] + n["kana"]
+    nl_max = F.greatest(cjk, *[n[s] for s, _ in _SCRIPT_LANGS])
+    expr = F.when((nl_max == 0) | (nl_max * 4 < n["latin"]), lang_id(col)).when(
+        (cjk == nl_max) & (n["kana"] * 10 >= n["han"]), F.lit("ja")
+    ).when(cjk == nl_max, F.lit("zh"))
+    for s, lg in _SCRIPT_LANGS:
+        expr = expr.when(n[s] == nl_max, F.lit(lg))
+    return expr.otherwise(F.lit("und"))  # unreachable: nl_max is one of them
+
+
+def sql_script_count(expr: str, script: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{_script_class(script)}'))"
+
+
+def sql_lang_id_script(expr: str) -> str:
+    """DuckDB twin of :func:`lang_id_script` (same CASE chain)."""
+    n = {s: sql_script_count(expr, s) for s in _SCRIPT_RANGES}
+    cjk = f"({n['han']} + {n['kana']})"
+    nl_max = "GREATEST(" + ", ".join([cjk] + [n[s] for s, _ in _SCRIPT_LANGS]) + ")"
+    branches = [
+        f"WHEN {nl_max} = 0 OR {nl_max} * 4 < {n['latin']} THEN {sql_lang_id(expr)}",
+        f"WHEN {cjk} = {nl_max} AND {n['kana']} * 10 >= {n['han']} THEN 'ja'",
+        f"WHEN {cjk} = {nl_max} THEN 'zh'",
+    ]
+    branches += [f"WHEN {n[s]} = {nl_max} THEN '{lg}'" for s, lg in _SCRIPT_LANGS]
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
 def quality_score(col: Column | str) -> Column:
     """Composite quality score in [0,1]: mean of
     - length score      : min(n_chars/500, 1)
