@@ -55,6 +55,13 @@ def test_fast_kernel_matches_oracle_twin(docs_df):
     assert _stats(docs_df, fast=True) == _stats(docs_df, fast=False)
 
 
+def test_join_plan_matches_window_plan(docs_df):
+    assert _stats(docs_df, plan="join") == _stats(docs_df, plan="window")
+    # every dup gram in the fixture occurs exactly twice
+    assert _stats(docs_df, plan="join", max_count=2) == EXPECT
+    assert _stats(docs_df, plan="join", max_count=1) == {}
+
+
 def test_spans_exact_bounds(docs_df):
     spans = {
         (r["doc_id"], r["span_start"], r["span_end"])

@@ -16,18 +16,17 @@ LLM-data-pipeline extension alongside SURVEY.md §2.
 Scale design (10^12-sequence corpus):
 
 - The exact suffix-array construction of the paper is a dedicated-machine
-  batch job; the distributed approximation here is two hash-partitioned
-  passes over the gram stream, which is how you run it on a cluster:
-  1. ``(gram_hash) -> count``: map-side partial aggregation, then a
-     shuffle keyed on the 64-bit gram hash.  Random keys mean partials
-     rarely combine, so the exchange carries ~O(total tokens) 12-byte
-     rows — inherent to the problem (every token position must meet its
-     twins somewhere) and embarrassingly hash-parallel.
-  2. gram occurrences join the duplicated-hash set on gram_hash
-     (sort-merge/shuffled hash; NOT broadcast — the dup set is unbounded).
-     AQE skew-join splits pathological grams (padding runs etc.);
-     ``max_count`` can additionally drop grams frequent enough to be
-     corpus "stop-grams" rather than duplication evidence.
+  batch job; the distributed approximation is ONE hash-partitioned pass
+  over the gram stream (default ``plan='window'``): every (id, pos,
+  gram_hash) occurrence shuffles once on the 64-bit gram hash and a
+  ``COUNT(*) OVER (PARTITION BY gram_hash)`` filter keeps the duplicated
+  positions.  The exchange carries ~O(total tokens) 12-byte rows —
+  inherent to the problem (every position must meet its twins somewhere)
+  and embarrassingly hash-parallel.  ``plan='join'`` (count-aggregate +
+  dup-set join; gram stream computed twice) trades a second pass for AQE
+  skew-join handling when a degenerate gram (padding runs) would
+  overload one window partition; ``max_count`` drops such corpus
+  "stop-grams" on either plan.
 - Everything after the join is per-doc: a window over (doc, pos) merges
   overlapping windows into maximal spans (gaps-and-islands), so state
   never exceeds one doc's gram list per task.
@@ -134,20 +133,40 @@ def dup_spans(
     tok_col: str = "tokens",
     fast: bool = False,
     max_count: int | None = None,
+    plan: str = "window",
 ) -> DataFrame:
     """(id, span_start, span_end) — maximal duplicated spans (1-based,
     inclusive).  A k-gram is "duplicated" when it occurs >= ``min_count``
     times corpus-wide (within-doc repeats count); overlapping/adjacent
     duplicated windows merge into one span.  ``max_count`` optionally
-    excludes grams more frequent than it (corpus stop-grams)."""
+    excludes grams more frequent than it (corpus stop-grams).
+
+    ``plan='window'`` (default) filters occurrences with one
+    ``COUNT(*) OVER (PARTITION BY gram_hash)`` pass: ONE gram-stream
+    materialization + ONE shuffle, no join (measured 7x the join plan at
+    sf0.1: 35s vs 241s).  Caveat: a window partition cannot be split, so
+    a pathologically frequent gram lands on one task; ``plan='join'``
+    (count-aggregate + dup-set join, gram stream computed twice) keeps
+    AQE skew-join handling for corpora with degenerate padding runs —
+    or exclude those via ``max_count`` and stay on the window plan."""
     grams = gram_positions(df, k, id_col, tok_col, fast)
-    counts = grams.groupBy("gram_hash").agg(F.count(F.lit(1)).alias("_cnt"))
-    pred = F.col("_cnt") >= min_count
-    if max_count is not None:
-        pred = pred & (F.col("_cnt") <= max_count)
-    hits = grams.join(counts.filter(pred).select("gram_hash"), "gram_hash").select(
-        id_col, "pos"
-    )
+    if plan == "window":
+        wc = Window.partitionBy("gram_hash")
+        c = F.count(F.lit(1)).over(wc)
+        pred = c >= min_count
+        if max_count is not None:
+            pred = pred & (c <= max_count)
+        hits = grams.withColumn("_keep", pred).filter("_keep").select(id_col, "pos")
+    elif plan == "join":
+        counts = grams.groupBy("gram_hash").agg(F.count(F.lit(1)).alias("_cnt"))
+        pred = F.col("_cnt") >= min_count
+        if max_count is not None:
+            pred = pred & (F.col("_cnt") <= max_count)
+        hits = grams.join(
+            counts.filter(pred).select("gram_hash"), "gram_hash"
+        ).select(id_col, "pos")
+    else:
+        raise ValueError(f"dup_spans: unknown plan {plan!r}")
 
     w = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max(F.col("pos") + k - 1).over(
@@ -173,11 +192,12 @@ def dup_span_stats(
     tok_col: str = "tokens",
     fast: bool = False,
     max_count: int | None = None,
+    plan: str = "window",
 ) -> DataFrame:
     """One row per doc WITH duplicated content: (id, n_tok, n_spans,
     dup_tokens, dup_ratio) — the drop/trim list.  ``dup_ratio`` =
     dup_tokens / n_tok rounded to 6 places."""
-    spans = dup_spans(df, k, min_count, id_col, tok_col, fast, max_count)
+    spans = dup_spans(df, k, min_count, id_col, tok_col, fast, max_count, plan)
     per_doc = spans.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum(F.col("span_end") - F.col("span_start") + 1)
