@@ -2123,7 +2123,11 @@ def _sql_decontam() -> str:
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.repetition import repetition_signals
 
-    out = repetition_signals(_corpus(spark, sf_dir).select("doc_id", "tokens"))
+    src = _corpus(spark, sf_dir).select("doc_id", "tokens")
+    # spread the CPU-bound Arrow kernel over every core (the corpus
+    # parquet exposes only 8 splits; same fix as dup_spans)
+    src = src.repartition(spark.sparkContext.defaultParallelism)
+    out = repetition_signals(src)
     # contract surface: too-short docs yield NULL fracs in the library;
     # the driver compares DuckDB results through pandas, where a NULL
     # double becomes NaN and can't match Spark's None — sentinel-gate to
@@ -2258,6 +2262,64 @@ FROM (
     return sql_dup_span_stats(inj, k=_DUP_K, min_count=2)
 
 
+def _q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal companion to dup_spans: same injected corpus, duplicated
+    spans stripped; token arrays cross the compare as comma-joined
+    strings (same convention as routed_tokens)."""
+    from vector_spark.dupspans import strip_dup_spans
+    from vector_spark.hashing import portable_hash64
+
+    src = _corpus(spark, sf_dir).select("doc_id", "tokens")
+    t, h = F.col("tokens"), portable_hash64(F.col("doc_id"))
+    a = F.array(*[F.lit(v) for v in _DUP_TMPL_A])
+    b = F.array(*[F.lit(v) for v in _DUP_TMPL_B])
+    withA = F.when(
+        (h % _DUP_MOD_A == 0) & (F.size(t) >= 50),
+        F.concat(F.slice(t, 1, 10), a, F.slice(t, 51, F.size(t) - 50)),
+    ).otherwise(t)
+    withB = F.when(
+        (h % _DUP_MOD_B == 1) & (F.size(t) >= 80),
+        F.concat(F.slice(withA, 1, 60), b, F.slice(withA, 81, F.size(t) - 80)),
+    ).otherwise(withA)
+    inj = src.select("doc_id", withB.alias("tokens")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = strip_dup_spans(inj, k=_DUP_K, min_count=2, fast=True)
+    return out.select(
+        "doc_id",
+        F.array_join("tokens", ",").alias("tokens_str"),
+        "n_removed",
+    )
+
+
+def _sql_strip_dup_spans() -> str:
+    from vector_spark.dupspans import sql_strip_dup_spans
+    from vector_spark.hashing import portable_hash64_sql
+
+    path = _corpus_sql_path()
+    h = portable_hash64_sql("doc_id")
+    a = "[" + ", ".join(map(str, _DUP_TMPL_A)) + "]"
+    b = "[" + ", ".join(map(str, _DUP_TMPL_B)) + "]"
+    inj = f"""(
+SELECT doc_id,
+       CASE WHEN {h} % {_DUP_MOD_B} = 1 AND len(tokens) >= 80
+            THEN list_concat(list_concat(tokens[1:60], {b}), tokens[81:])
+            ELSE tokens END AS tokens
+FROM (
+  SELECT doc_id,
+         CASE WHEN {h} % {_DUP_MOD_A} = 0 AND len(tokens) >= 50
+              THEN list_concat(list_concat(tokens[1:10], {a}), tokens[51:])
+              ELSE tokens END AS tokens
+  FROM read_parquet('{path}')
+)
+)"""
+    inner = sql_strip_dup_spans(inj, k=_DUP_K, min_count=2)
+    return f"""
+SELECT doc_id, array_to_string(tokens, ',') AS tokens_str, n_removed
+FROM ({inner})
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_sink_aggregates": _q_pipeline_aggregates,
@@ -2319,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "dup_spans": _q_dup_spans,
         "lang_id_script": _q_lang_id_script,
+        "strip_dup_spans": _q_strip_dup_spans,
     }
 
 
@@ -2384,4 +2447,5 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _sql_pii_scrub(),
         "dup_spans": _sql_dup_spans(),
         "lang_id_script": _sql_lang_id_script(),
+        "strip_dup_spans": _sql_strip_dup_spans(),
     }

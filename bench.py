@@ -127,6 +127,9 @@ def main() -> None:
         bench_docs = corpus.filter(portable_hash64(F.col("doc_id")) % 200 == 0).select(
             "doc_id", F.slice("tokens", 17, 40).alias("tokens")
         )
+        # the corpus parquet exposes 8 splits; the Arrow scorer is
+        # CPU-bound, so spread it over every core (same fix as dup_spans)
+        corpus = corpus.repartition(spark.sparkContext.defaultParallelism)
         _materialize(decontaminate(corpus, bench_docs, fast=True))
         timings["decontaminate_fast"] = round(time.time() - t0, 3)
     except Exception as e:

@@ -11,6 +11,8 @@ from vector_spark.dupspans import (
     dup_span_stats,
     dup_spans,
     sql_dup_span_stats,
+    sql_strip_dup_spans,
+    strip_dup_spans,
 )
 
 # k=3, min_count=2 fixture:
@@ -91,6 +93,42 @@ def test_max_count_excludes_stop_grams(spark):
 def test_min_count_three(docs_df):
     # no 3-gram occurs 3x except C's within-doc pair (only 2x) -> empty
     assert dup_span_stats(docs_df, k=3, min_count=3).count() == 0
+
+
+STRIPPED = {
+    "A": ([9, 9, 9], 5),
+    "B": ([7, 8, 20, 21], 5),
+    "C": ([40], 6),
+    "D": ([50, 51], 0),
+    "E": ([], 6),
+    "F": ([99], 6),
+}
+
+
+def test_strip_dup_spans_handcomputed(docs_df):
+    got = {
+        r["doc_id"]: (list(r["tokens"]), r["n_removed"])
+        for r in strip_dup_spans(docs_df, k=3, min_count=2).collect()
+    }
+    assert got == STRIPPED
+
+
+def test_strip_fast_matches_slow(docs_df):
+    slow = strip_dup_spans(docs_df, k=3, min_count=2, fast=False).collect()
+    fast = strip_dup_spans(docs_df, k=3, min_count=2, fast=True).collect()
+    key = lambda rows: {r["doc_id"]: (list(r["tokens"]), r["n_removed"]) for r in rows}
+    assert key(slow) == key(fast)
+
+
+def test_strip_duckdb_oracle_agrees(spark, docs_df, tmp_path):
+    p = str(tmp_path / "docs2.parquet")
+    docs_df.write.mode("overwrite").parquet(p)
+    sql = sql_strip_dup_spans(
+        f"(SELECT doc_id, tokens FROM read_parquet('{p}/*.parquet'))",
+        k=3, min_count=2,
+    )
+    got = {r[0]: (list(r[1]), r[2]) for r in duckdb.sql(sql).fetchall()}
+    assert got == STRIPPED
 
 
 def test_duckdb_oracle_agrees(spark, docs_df, tmp_path):

@@ -21,4 +21,15 @@ execution strategy is Catalyst/Tungsten's, declared via the DataFrame API.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# glibc malloc tuning for the numpy kernels (decontam/repetition/dupspans):
+# by default every >32MB numpy temporary is a fresh mmap whose pages fault
+# on first touch — on this host that dominates kernel wall time (measured
+# 145s -> 7s steady-state per 4.8M-token batch once large allocations stay
+# in a reused brk arena).  Set BEFORE the PySpark worker daemon forks so
+# workers inherit it; setdefault so a deployment can override.
+_os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+_os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+
 from vector_spark.session import get_spark  # noqa: F401

@@ -112,6 +112,9 @@ def _decontaminate_broadcast(
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        from vector_spark.arena import warm_numpy_arena
+
+        warm_numpy_arena()
         bench = bc.value
         out_schema = pa.schema(
             [(id_col, pa.string()), ("n_grams", pa.int64()), ("hits", pa.int64())]

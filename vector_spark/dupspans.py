@@ -95,6 +95,9 @@ def gram_positions(
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        from vector_spark.arena import warm_numpy_arena
+
+        warm_numpy_arena()
         out_schema = pa.schema(
             [(id_col, pa.string()), ("pos", pa.int64()), ("gram_hash", pa.int64())]
         )
@@ -212,6 +215,97 @@ def dup_span_stats(
         "dup_tokens",
         F.round(F.col("dup_tokens") / F.col("n_tok"), 6).alias("dup_ratio"),
     )
+
+
+def strip_dup_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    tok_col: str = "tokens",
+    fast: bool = False,
+    max_count: int | None = None,
+    plan: str = "window",
+) -> DataFrame:
+    """Remove every token inside a duplicated span: one row per input doc
+    with (id, tokens, n_removed) — ``tokens`` is the cleaned array (empty,
+    never NULL, when a doc was entirely duplicated), ``n_removed`` the
+    token count stripped.  Removes ALL copies (deterministic; no
+    keep-first tie-break, which would need a global occurrence order).
+
+    Plan: the span list joins back LEFT (docs without spans pass through
+    with an empty span array) and a positional HOF filter drops covered
+    tokens — per-doc work, O(n_tok x n_spans) with n_spans small; no
+    extra shuffle beyond :func:`dup_spans`."""
+    spans = (
+        dup_spans(df, k, min_count, id_col, tok_col, fast, max_count, plan)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+        )
+    )
+    joined = df.select(id_col, tok_col).join(spans, id_col, "left")
+    sp = F.coalesce(F.col("_spans"), F.array().cast(
+        "array<struct<span_start:long,span_end:long>>"
+    ))
+    cleaned = F.filter(
+        F.col(tok_col),
+        lambda x, i: ~F.exists(
+            sp, lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"])
+        ),
+    )
+    return joined.select(
+        id_col,
+        cleaned.alias(tok_col),
+        (F.size(tok_col) - F.size(cleaned)).cast("long").alias("n_removed"),
+    )
+
+
+def sql_strip_dup_spans(
+    corpus_sql: str,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    tok_col: str = "tokens",
+    max_count: int | None = None,
+) -> str:
+    """DuckDB oracle for :func:`strip_dup_spans`: positions anti-join the
+    duplicated-position set, then re-aggregate in position order."""
+    extra = f"AND c <= {max_count}" if max_count is not None else ""
+    return f"""
+WITH corpus AS (
+  SELECT * FROM {corpus_sql}
+), g0 AS (
+  SELECT {id_col}, {tok_col} AS t,
+         unnest(range(1, len({tok_col}) - {k} + 2)) AS pos
+  FROM corpus WHERE len({tok_col}) >= {k}
+), g AS (
+  SELECT {id_col}, pos, list_slice(t, pos, pos + {k} - 1) AS gram
+  FROM g0
+), hit AS (
+  SELECT {id_col}, pos FROM (
+    SELECT {id_col}, pos, COUNT(*) OVER (PARTITION BY gram) AS c FROM g
+  ) WHERE c >= {min_count} {extra}
+), covered AS (  -- every token position inside any duplicated window
+  SELECT DISTINCT {id_col}, pos + off AS tpos
+  FROM hit, (SELECT unnest(range(0, {k})) AS off)
+), toks AS (
+  SELECT {id_col}, unnest({tok_col}) AS tok,
+         unnest(range(1, len({tok_col}) + 1)) AS tpos
+  FROM corpus
+), kept AS (
+  SELECT t.{id_col}, t.tok, t.tpos
+  FROM toks t ANTI JOIN covered c USING ({id_col}, tpos)
+)
+SELECT c.{id_col},
+       COALESCE(k.toks, []) AS {tok_col},
+       CAST(len(c.{tok_col}) - COALESCE(k.n, 0) AS BIGINT) AS n_removed
+FROM corpus c
+LEFT JOIN (
+  SELECT {id_col}, list(tok ORDER BY tpos) AS toks, COUNT(*) AS n
+  FROM kept GROUP BY {id_col}
+) k USING ({id_col})
+"""
 
 
 def sql_dup_span_stats(

@@ -90,6 +90,9 @@ def repetition_signals(
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        from vector_spark.arena import warm_numpy_arena
+
+        warm_numpy_arena()
         out_schema = pa.schema(
             [(id_col, pa.string()), ("n_tok", pa.int64())]
             + [(f"_t{n}", pa.int64()) for n in _NS]
