@@ -131,7 +131,14 @@ def _decontaminate_broadcast(
             if not len(flat):
                 continue
             h, rows_of = _rolling_hashes(flat, lens, n)
-            member = np.isin(h, bench)
+            # bench is sorted (np.unique); searchsorted membership avoids
+            # np.isin's per-batch sort of the 4.8M-element concatenation
+            if len(bench):
+                idx = np.searchsorted(bench, h)
+                idx[idx == len(bench)] = 0
+                member = bench[idx] == h
+            else:
+                member = np.zeros(len(h), bool)
             hits = np.bincount(rows_of[member], minlength=batch.num_rows)
             keep = np.nonzero(hits > 0)[0]
             if not len(keep):
