@@ -2078,6 +2078,30 @@ def _sql_mixture() -> str:
     )
 
 
+# deterministic stratified train/val/test split (mixture.stratified_split):
+# shuffle-free hash-threshold assignment; per-(source, split) audit with a
+# selected-set checksum is the contract surface
+
+_SPLIT_FRACTIONS = {"train": 0.98, "val": 0.01, "test": 0.01}
+
+
+def _q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.mixture import split_summary
+
+    src = _corpus(spark, sf_dir).select("doc_id", "source", "n_tok")
+    return split_summary(src, _SPLIT_FRACTIONS)
+
+
+def _sql_split() -> str:
+    from vector_spark.mixture import sql_split_summary
+
+    path = _corpus_sql_path()
+    return sql_split_summary(
+        f"(SELECT doc_id, source, n_tok FROM read_parquet('{path}'))",
+        _SPLIT_FRACTIONS,
+    )
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination (LLM-data-pipeline extension; vector_spark/decontam.py)
 # benchmark set ≙ 40-token excerpts of ~0.5% of docs (deterministic pick),
@@ -2382,6 +2406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "lang_id_script": _q_lang_id_script,
         "strip_dup_spans": _q_strip_dup_spans,
+        "stratified_split": _q_split,
     }
 
 
@@ -2448,4 +2473,5 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _sql_dup_spans(),
         "lang_id_script": _sql_lang_id_script(),
         "strip_dup_spans": _sql_strip_dup_spans(),
+        "stratified_split": _sql_split(),
     }

@@ -41,3 +41,67 @@ def test_unweighted_source_dropped(spark):
 
 def test_normalized_weights():
     assert normalized_weights({"a": 2.0, "b": 6.0}) == {"a": 0.25, "b": 0.75}
+
+
+# --- stratified train/val/test splitting ----------------------------------
+
+
+def _split_docs(spark, n=3000):
+    rows = [(f"d{i:05d}", "web" if i % 3 else "code", 10 + i % 50) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id string, source string, n_tok int")
+
+
+def test_split_thresholds_normalize_and_close():
+    from vector_spark.mixture import split_thresholds
+
+    cuts = split_thresholds({"train": 49, "val": 0.5, "test": 0.5})
+    assert cuts == [("test", 10_000), ("train", 990_000), ("val", 1_000_000)]
+
+
+def test_split_covers_everything_and_is_deterministic(spark):
+    from vector_spark.mixture import stratified_split
+
+    df = _split_docs(spark)
+    out1 = {r["doc_id"]: r["split"] for r in stratified_split(
+        df, {"train": 0.9, "val": 0.1}).collect()}
+    out2 = {r["doc_id"]: r["split"] for r in stratified_split(
+        df, {"train": 0.9, "val": 0.1}).collect()}
+    assert out1 == out2 and len(out1) == 3000
+    assert set(out1.values()) == {"train", "val"}
+    # roughly proportional (hash-threshold: ~1/sqrt(n) error)
+    n_val = sum(1 for v in out1.values() if v == "val")
+    assert 200 < n_val < 400
+
+
+def test_split_exact_hits_boundaries_per_stratum(spark):
+    from pyspark.sql import functions as F
+
+    from vector_spark.mixture import stratified_split
+
+    df = _split_docs(spark)
+    out = stratified_split(df, {"train": 0.9, "val": 0.1}, exact=True)
+    counts = {
+        (r["source"], r["split"]): r["c"]
+        for r in out.groupBy("source", "split").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    # web stratum: 2000 docs -> exactly 1800/200; code: 1000 -> 900/100
+    assert counts[("web", "train")] == 1800 and counts[("web", "val")] == 200
+    assert counts[("code", "train")] == 900 and counts[("code", "val")] == 100
+
+
+def test_split_summary_matches_duckdb(spark, tmp_path):
+    import duckdb
+
+    from vector_spark.mixture import split_summary, sql_split_summary
+
+    df = _split_docs(spark, 2000)
+    p = str(tmp_path / "split.parquet")
+    df.write.mode("overwrite").parquet(p)
+    fr = {"train": 0.98, "val": 0.01, "test": 0.01}
+    want = {
+        (r["source"], r["split"]): (r["n_docs"], r["n_tokens"], r["sel_sum"])
+        for r in split_summary(df, fr).collect()
+    }
+    sql = sql_split_summary(f"(SELECT * FROM read_parquet('{p}/*.parquet'))", fr)
+    got = {(r[0], r[1]): (r[2], r[3], r[4]) for r in duckdb.sql(sql).fetchall()}
+    assert got == want

@@ -147,3 +147,118 @@ SELECT {source_col}, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(b) AS BIGINT) AS sel_sum
 FROM sel GROUP BY {source_col}, rate_ppm
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test splitting
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    """Named cumulative ppm cut points (ordered by name for determinism);
+    fractions are normalized so they need not sum to exactly 1."""
+    total = float(sum(fractions.values()))
+    if total <= 0:
+        raise ValueError("split fractions must sum to > 0")
+    out, cum = [], 0.0
+    items = sorted(fractions.items())
+    for name, f in items:
+        cum += f / total
+        out.append((name, int(round(cum * _PPM))))
+    out[-1] = (out[-1][0], _PPM)  # close rounding gaps: last split absorbs
+    return out
+
+
+def stratified_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    exact: bool = False,
+) -> DataFrame:
+    """Deterministic train/val/test assignment, stratified by
+    ``strata_col``: adds a ``split`` column naming each row's subset.
+
+    Default (``exact=False``) is the 10^12-scale path: a row's split is a
+    pure function of ``portable_hash64(id) % 1e6`` against cumulative ppm
+    thresholds — SHUFFLE-FREE, order-independent, resumable, and
+    per-stratum proportions hold to ~1/sqrt(n_stratum) (negligible at
+    corpus scale).  ``exact=True`` ranks rows by the hash WITHIN each
+    stratum and cuts at exact integer boundaries
+    (``(rank-1) * 1e6 < cum_ppm * stratum_count``, all-integer so the
+    DuckDB twin reproduces it bit-for-bit) — exact proportions, but each
+    stratum sorts inside one window partition, so reserve it for strata
+    that fit a task.
+    """
+    cuts = split_thresholds(fractions)
+    if exact:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(strata_col)
+        rn = F.row_number().over(
+            w.orderBy(portable_hash64(F.col(id_col)), F.col(id_col))
+        )
+        cnt = F.count(F.lit(1)).over(w)
+        pos = (rn - 1) * _PPM  # compare against cum_ppm * cnt, all-integer
+        # CASE in threshold order: earliest cut wins
+        expr = None
+        for name, cum in cuts[:-1]:
+            cond = pos < cum * cnt
+            expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        expr = F.lit(cuts[0][0]) if expr is None else expr.otherwise(F.lit(cuts[-1][0]))
+        return df.withColumn("split", expr)
+    bucket = portable_hash64(F.col(id_col)) % _PPM
+    expr = None
+    for name, cum in cuts[:-1]:
+        cond = bucket < cum
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(cuts[0][0]) if expr is None else expr.otherwise(F.lit(cuts[-1][0]))
+    return df.withColumn("split", expr)
+
+
+def split_summary(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    n_col: str = "n_tok",
+    exact: bool = False,
+) -> DataFrame:
+    """Per (stratum, split) audit: docs, tokens, and a selected-set
+    checksum (sum of hash buckets) pinning the exact assignment."""
+    s = stratified_split(df, fractions, id_col, strata_col, exact)
+    bucket = portable_hash64(F.col(id_col)) % _PPM
+    return (
+        s.groupBy(strata_col, "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_col).cast("long").alias("n_tokens"),
+            F.sum(bucket).cast("long").alias("sel_sum"),
+        )
+        .select(strata_col, "split", "n_docs", "n_tokens", "sel_sum")
+    )
+
+
+def sql_split_summary(
+    src_sql: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    n_col: str = "n_tok",
+) -> str:
+    """DuckDB twin of :func:`split_summary` (hash-threshold path)."""
+    cuts = split_thresholds(fractions)
+    bucket = f"({portable_hash64_sql(id_col)} % {_PPM})"
+    branches = " ".join(
+        f"WHEN {bucket} < {cum} THEN '{name}'" for name, cum in cuts[:-1]
+    )
+    case = f"CASE {branches} ELSE '{cuts[-1][0]}' END"
+    return f"""
+WITH src AS (
+  SELECT * FROM {src_sql}
+)
+SELECT {strata_col}, {case} AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM({n_col}) AS BIGINT) AS n_tokens,
+       CAST(SUM({bucket}) AS BIGINT) AS sel_sum
+FROM src GROUP BY {strata_col}, {case}
+"""
