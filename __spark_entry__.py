@@ -1910,6 +1910,35 @@ def _sql_native_roundtrip() -> str:
     return "SELECT event_id, event_type, value FROM events"
 
 
+_AVRO_SCHEMA = {
+    "name": "event",
+    "type": "record",
+    "fields": [
+        {"name": "event_id", "type": "long"},
+        {"name": "event_type", "type": "string"},
+        {"name": "value", "type": ["null", "double"]},
+    ],
+}
+
+
+def _q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro datum codec roundtrip (jar-free from-spec implementation,
+    functions/avro.py; lib/codecs/src/encoding/format/avro.rs).  Same
+    identity-oracle shape as native_roundtrip; `value` goes through the
+    ["null", double] union branch."""
+    from vector_spark.functions.avro import decode_avro_rows, encode_avro_rows
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    enc = encode_avro_rows(ev, _AVRO_SCHEMA)
+    return decode_avro_rows(enc, _AVRO_SCHEMA).drop("_decode_error")
+
+
+def _sql_avro_roundtrip() -> str:
+    return "SELECT event_id, event_type, value FROM events"
+
+
 def _q_parse_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.functions import vrl
     from vector_spark.functions.grok import grok_parts
@@ -2407,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_script": _q_lang_id_script,
         "strip_dup_spans": _q_strip_dup_spans,
         "stratified_split": _q_split,
+        "avro_roundtrip": _q_avro_roundtrip,
     }
 
 
@@ -2474,4 +2504,5 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_script": _sql_lang_id_script(),
         "strip_dup_spans": _sql_strip_dup_spans(),
         "stratified_split": _sql_split(),
+        "avro_roundtrip": _sql_avro_roundtrip(),
     }

@@ -86,7 +86,10 @@ def encode_avro_rows(df: DataFrame, fields: list[str] | None = None) -> DataFram
     ``spark-avro`` module jar on the classpath (``--packages
     org.apache.spark:spark-avro_2.13:<ver>``).  This sandbox ships core
     avro jars but not the module, so calling this here raises with that
-    instruction (same gating pattern as the zstd codec)."""
+    instruction (same gating pattern as the zstd codec).  A jar-free
+    from-spec datum codec lives in ``functions/avro.py``
+    (`encode_avro_rows(df, schema)` / `decode_avro_rows`) — same binary
+    encoding, Python-side; prefer THIS function when the jar exists."""
     cols = fields or df.columns
     try:
         from pyspark.sql.avro.functions import to_avro
