@@ -1910,6 +1910,29 @@ def _sql_native_roundtrip() -> str:
     return "SELECT event_id, event_type, value FROM events"
 
 
+def _q_native_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """native_json codec roundtrip — the {"log": {...}} serde envelope,
+    fully JVM-side to_json/from_json (functions/native_json.py;
+    lib/codecs/src/{encoding,decoding}/format/native_json.rs).  Identity
+    oracle over typed fields, same shape as native_roundtrip."""
+    from vector_spark.functions.native_json import (
+        decode_native_json_rows,
+        encode_native_json_rows,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    enc = encode_native_json_rows(ev)
+    return decode_native_json_rows(
+        enc, {"event_id": "long", "event_type": "string", "value": "double"}
+    ).drop("_decode_error")
+
+
+def _sql_native_json_roundtrip() -> str:
+    return "SELECT event_id, event_type, value FROM events"
+
+
 _AVRO_SCHEMA = {
     "name": "event",
     "type": "record",
@@ -2437,6 +2460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_dup_spans": _q_strip_dup_spans,
         "stratified_split": _q_split,
         "avro_roundtrip": _q_avro_roundtrip,
+        "native_json_roundtrip": _q_native_json_roundtrip,
     }
 
 
@@ -2505,4 +2529,5 @@ def oracle_sql() -> dict[str, str]:
         "strip_dup_spans": _sql_strip_dup_spans(),
         "stratified_split": _sql_split(),
         "avro_roundtrip": _sql_avro_roundtrip(),
+        "native_json_roundtrip": _sql_native_json_roundtrip(),
     }

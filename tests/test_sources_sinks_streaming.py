@@ -387,3 +387,58 @@ def test_native_proto_stream_via_length_delimited_framing(spark):
     dec = decode_native_rows(frames, {"msg": "string", "n": "long"}, src="message")
     got = sorted((r["msg"], r["n"]) for r in dec.collect())
     assert got == [("one", 1), ("three", 3), ("two", 2)]
+
+
+def test_native_json_roundtrip(spark):
+    """encode_native_json_rows -> decode_native_json_rows is identity over
+    typed fields (the {"log": {...}} serde envelope,
+    encoding/format/native_json.rs + decoding/format/native_json.rs);
+    malformed JSON and non-log variants land on _decode_error."""
+    from vector_spark.functions.native_json import (
+        decode_native_json_rows,
+        encode_native_json_rows,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.5, True), ("b", -7, -0.25, False), (None, 0, 0.0, True)],
+        "s string, i long, d double, b boolean",
+    )
+    enc = encode_native_json_rows(df)
+    assert enc.columns == ["value"]
+    assert '"log"' in enc.first()["value"]
+    dec = decode_native_json_rows(
+        enc, {"s": "string", "i": "long", "d": "double", "b": "boolean"}
+    )
+    got = {
+        (r["s"], r["i"], r["d"], r["b"], r["_decode_error"]) for r in dec.collect()
+    }
+    assert got == {
+        ("a", 1, 1.5, True, None), ("b", -7, -0.25, False, None),
+        (None, 0, 0.0, True, None),
+    }
+
+    bad = spark.createDataFrame(
+        [("not json",), ('{"log": 42}',), ('{"metric": {"i": 1}}',)],
+        "value string",
+    )
+    errs = {r["_decode_error"] for r in decode_native_json_rows(bad, {"i": "long"}).collect()}
+    assert errs == {"native_json: malformed", "native_json: not a log event"}
+    assert all(
+        r["i"] is None for r in decode_native_json_rows(bad, {"i": "long"}).collect()
+    )
+
+
+def test_native_json_plan_is_jvm_only(spark):
+    """Both directions must stay in whole-stage codegen — no Python
+    worker (mapInPandas/BatchEvalPython) in the decode plan."""
+    from vector_spark.functions.native_json import (
+        decode_native_json_rows,
+        encode_native_json_rows,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "s string, i long")
+    dec = decode_native_json_rows(
+        encode_native_json_rows(df), {"s": "string", "i": "long"}
+    )
+    plan = dec._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "InPandas" not in plan and "ArrowEval" not in plan
