@@ -1910,6 +1910,35 @@ def _sql_native_roundtrip() -> str:
     return "SELECT event_id, event_type, value FROM events"
 
 
+_BM25_TERMS = [17, 4242, 31337, 42, 49999]
+_BM25_K = 25
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval over the token corpus (retrieval.py) — a
+    curation/audit primitive: one 1-row stats reduce (N, avgdl, per-term
+    df), arrays_overlap candidate prune, codegen array_remove tf, and a
+    TakeOrderedAndProject global top-k.  Score rounded to 6dp at the
+    contract layer only (both engines compute the identical IEEE
+    expression tree)."""
+    from vector_spark.retrieval import bm25_topk
+
+    top = bm25_topk(_corpus(spark, sf_dir), _BM25_TERMS, k=_BM25_K)
+    return top.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _sql_bm25_topk() -> str:
+    from vector_spark.retrieval import sql_bm25_topk
+
+    path = _corpus_sql_path()
+    inner = sql_bm25_topk(
+        f"(SELECT doc_id, tokens, n_tok FROM read_parquet('{path}'))",
+        _BM25_TERMS,
+        k=_BM25_K,
+    )
+    return f"SELECT doc_id, ROUND(score, 6) AS score FROM ({inner})"
+
+
 def _q_native_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """native_json codec roundtrip — the {"log": {...}} serde envelope,
     fully JVM-side to_json/from_json (functions/native_json.py;
@@ -2461,6 +2490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_split": _q_split,
         "avro_roundtrip": _q_avro_roundtrip,
         "native_json_roundtrip": _q_native_json_roundtrip,
+        "bm25_topk": _q_bm25_topk,
     }
 
 
@@ -2530,4 +2560,5 @@ def oracle_sql() -> dict[str, str]:
         "stratified_split": _sql_split(),
         "avro_roundtrip": _sql_avro_roundtrip(),
         "native_json_roundtrip": _sql_native_json_roundtrip(),
+        "bm25_topk": _sql_bm25_topk(),
     }
