@@ -2340,7 +2340,12 @@ def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # real cluster input splits already provide this — partitioning is the
     # caller's deployment decision, so it stays out of the library.
     inj = inj.repartition(spark.sparkContext.defaultParallelism)
-    return dup_span_stats(inj, k=_DUP_K, min_count=2, fast=True)
+    # pin the gram-hash exchange to 256 partitions: the window sort
+    # buffers one gram partition per task, and an unknown harness session
+    # may run 32 concurrent tasks in a 1 GiB heap — ~30M gram rows / 256
+    # ≈ 7 MB per task survives that; the session default (32) did not
+    # (observed OOM after 57 queries of session debris)
+    return dup_span_stats(inj, k=_DUP_K, min_count=2, fast=True, num_partitions=256)
 
 
 def _sql_dup_spans() -> str:
@@ -2389,7 +2394,8 @@ def _q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     inj = src.select("doc_id", withB.alias("tokens")).repartition(
         spark.sparkContext.defaultParallelism
     )
-    out = strip_dup_spans(inj, k=_DUP_K, min_count=2, fast=True)
+    # same 256-way gram-hash pin as dup_spans (1 GiB-heap harness safety)
+    out = strip_dup_spans(inj, k=_DUP_K, min_count=2, fast=True, num_partitions=256)
     return out.select(
         "doc_id",
         F.array_join("tokens", ",").alias("tokens_str"),

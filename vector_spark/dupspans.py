@@ -137,6 +137,7 @@ def dup_spans(
     fast: bool = False,
     max_count: int | None = None,
     plan: str = "window",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(id, span_start, span_end) — maximal duplicated spans (1-based,
     inclusive).  A k-gram is "duplicated" when it occurs >= ``min_count``
@@ -151,8 +152,18 @@ def dup_spans(
     a pathologically frequent gram lands on one task; ``plan='join'``
     (count-aggregate + dup-set join, gram stream computed twice) keeps
     AQE skew-join handling for corpora with degenerate padding runs —
-    or exclude those via ``max_count`` and stay on the window plan."""
+    or exclude those via ``max_count`` and stay on the window plan.
+
+    ``num_partitions`` pins the gram-hash exchange width (a
+    REPARTITION_BY_NUM shuffle, which AQE never coalesces and the window
+    reuses — no extra exchange).  The window sort buffers one gram
+    partition per task, so this is the per-task memory knob: size it so
+    total_grams/num_partitions rows (~60 B each) fit comfortably in one
+    task's share of executor memory.  Default leaves the session's
+    shuffle parallelism in charge."""
     grams = gram_positions(df, k, id_col, tok_col, fast)
+    if num_partitions is not None:
+        grams = grams.repartition(num_partitions, "gram_hash")
     if plan == "window":
         wc = Window.partitionBy("gram_hash")
         c = F.count(F.lit(1)).over(wc)
@@ -196,11 +207,14 @@ def dup_span_stats(
     fast: bool = False,
     max_count: int | None = None,
     plan: str = "window",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """One row per doc WITH duplicated content: (id, n_tok, n_spans,
     dup_tokens, dup_ratio) — the drop/trim list.  ``dup_ratio`` =
     dup_tokens / n_tok rounded to 6 places."""
-    spans = dup_spans(df, k, min_count, id_col, tok_col, fast, max_count, plan)
+    spans = dup_spans(
+        df, k, min_count, id_col, tok_col, fast, max_count, plan, num_partitions
+    )
     per_doc = spans.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum(F.col("span_end") - F.col("span_start") + 1)
@@ -226,6 +240,7 @@ def strip_dup_spans(
     fast: bool = False,
     max_count: int | None = None,
     plan: str = "window",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Remove every token inside a duplicated span: one row per input doc
     with (id, tokens, n_removed) — ``tokens`` is the cleaned array (empty,
@@ -238,7 +253,9 @@ def strip_dup_spans(
     tokens — per-doc work, O(n_tok x n_spans) with n_spans small; no
     extra shuffle beyond :func:`dup_spans`."""
     spans = (
-        dup_spans(df, k, min_count, id_col, tok_col, fast, max_count, plan)
+        dup_spans(
+            df, k, min_count, id_col, tok_col, fast, max_count, plan, num_partitions
+        )
         .groupBy(id_col)
         .agg(
             F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
