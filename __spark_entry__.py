@@ -39,6 +39,45 @@ from vector_spark.operators import (
 
 CORPUS_SF = 0.01  # driver correctness scale
 
+_SHIPPED_APPS: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``vector_spark`` importable on Python workers regardless of the
+    driver's working directory.
+
+    Pandas-UDF closures (mapInPandas stages in multimodal/dupspans/
+    repetition/codecs) pickle by reference to ``vector_spark.*`` modules, so
+    the *worker* interpreter must be able to import the package.  In local
+    mode workers inherit the driver's cwd — which only works when the harness
+    happens to launch from the repo root.  Shipping ``dist/vector_spark.zip``
+    via ``addPyFile`` (the programmatic twin of ``spark-submit --py-files``)
+    removes that luck, here and on a real cluster.
+    """
+    sc = spark.sparkContext
+    app = sc.applicationId
+    if app in _SHIPPED_APPS:
+        return
+    from vector_spark.package import build
+
+    try:
+        sc.addPyFile(build())
+    except Exception:
+        # dist/ unwritable or the zip already shipped via --py-files under
+        # the same name — workers can already import either way.
+        pass
+    _SHIPPED_APPS.add(app)
+
+
+def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ship_package(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.load_corpus(spark, datagen.sf_from_dir(sf_dir))
@@ -61,6 +100,7 @@ def _enrich_values_sql() -> str:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full pipeline per-sink aggregates at sf0.001."""
+    _ship_package(spark)
     src = P.load_corpus(spark, 0.001)
     enriched = P.parsed_enriched(spark, src)
     return P.sink_aggregates(P.route_stage(enriched))
@@ -2432,6 +2472,10 @@ FROM ({inner})
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: _shipped(fn) for name, fn in _QUERY_FNS().items()}
+
+
+def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_sink_aggregates": _q_pipeline_aggregates,
         "routed_tokens": _routed_tokens,

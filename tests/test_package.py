@@ -21,3 +21,17 @@ def test_zip_has_init_for_every_package(tmp_path):
     for mod in ("pipeline", "retrieval", "functions/grok", "functions/avro",
                 "operators/core"):
         assert f"vector_spark/{mod}.py" in names
+
+
+def test_contract_queries_ship_package(spark):
+    """The driver contract must work when the harness launches from a cwd
+    other than the repo root: pandas-UDF closures pickle by reference to
+    vector_spark.* modules, so queries() has to addPyFile the package zip
+    (CORRECTNESS pre-flight regression: ModuleNotFoundError on workers)."""
+    import __spark_entry__ as E
+
+    df = E.queries()["media_features"](spark, "/root/testdata/sf0.001")
+    assert df.count() > 0
+    assert any(
+        f.endswith("vector_spark.zip") for f in spark.sparkContext.listFiles
+    ), "queries() must ship dist/vector_spark.zip to workers via addPyFile"
