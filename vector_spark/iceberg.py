@@ -1,0 +1,957 @@
+"""From-scratch, jar-free Apache Iceberg v2 table layer (PUBLIC spec).
+
+The north-star topology is *batch over Iceberg*: the pre-tokenized
+training corpus is an Iceberg table and the route fan-out lands in
+per-sink Iceberg tables.  No Iceberg runtime jar or pyiceberg wheel
+exists in this environment (install refusal recorded in BENCH.md), so
+the table format itself — metadata JSON, Avro manifest lists, Avro
+manifests, the snapshot commit protocol, and scan planning with
+partition + column-stats pruning — is implemented here directly from the
+public spec (https://iceberg.apache.org/spec/, format-version 2).
+
+Division of labour, and why it scales:
+
+- **Metadata is driver-side and O(files), never O(rows)** — exactly like
+  the real Iceberg library, where planning walks manifest files, not
+  data.  The manifest-list layer means a scan first prunes whole
+  manifests by partition-range summaries, then prunes files inside the
+  surviving manifests by per-file partition values + min/max column
+  bounds.  At 10^12 rows / ~10^6 data files that is a few hundred MB of
+  Avro spread over many manifests; per-manifest pruning keeps the
+  driver's working set at the surviving subset.
+- **Data stays distributed**: the planned file list feeds
+  ``spark.read.parquet(*files)``, so the scan itself is ordinary
+  distributed parquet with Spark's own row-group pruning underneath.
+- **Commits are atomic** via write-new-version + rename of the
+  version-hint file (the HadoopTableOperations protocol from the spec);
+  concurrent writers conflict on the versioned metadata filename, giving
+  Iceberg's optimistic-concurrency failure mode instead of lost updates.
+
+Determinism: snapshot ids are sequence numbers, the table UUID and OCF
+sync markers hash from the location, and commit timestamps can be pinned
+— rebuilding the same table from the same input is byte-identical, which
+the oracle tests rely on.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+from hashlib import md5
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vector_spark.functions.avro_ocf import read_ocf, write_ocf
+
+# ---------------------------------------------------------------------------
+# Iceberg schema <-> Spark schema
+
+_SPARK_TO_ICE = {
+    "string": "string",
+    "long": "long",
+    "bigint": "long",
+    "integer": "int",
+    "int": "int",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "binary": "binary",
+    "date": "date",
+    "timestamp": "timestamptz",
+}
+
+_ICE_TO_SPARK = {
+    "string": "string",
+    "long": "bigint",
+    "int": "int",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "binary": "binary",
+    "date": "date",
+    "timestamptz": "timestamp",
+}
+
+
+def schema_from_spark(spark_schema) -> dict:
+    """Assign Iceberg field-ids (pre-order, like AssignFreshIds) and build
+    the schema JSON for a Spark StructType (flat + array<primitive>)."""
+    next_id = [0]
+
+    def nid() -> int:
+        next_id[0] += 1
+        return next_id[0]
+
+    fields = []
+    pending_elements = []
+    for f in spark_schema.fields:
+        tn = f.dataType.typeName()
+        fid = nid()
+        if tn == "array":
+            el = f.dataType.elementType.typeName()
+            fields.append(
+                {
+                    "id": fid,
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": {
+                        "type": "list",
+                        "element-id": None,  # patched below (ids are pre-order)
+                        "element": _SPARK_TO_ICE[el],
+                        "element-required": not f.dataType.containsNull,
+                    },
+                }
+            )
+            pending_elements.append(fields[-1]["type"])
+        else:
+            fields.append(
+                {"id": fid, "name": f.name, "required": not f.nullable, "type": _SPARK_TO_ICE[tn]}
+            )
+    for t in pending_elements:
+        t["element-id"] = nid()
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+def schema_to_spark_ddl(schema: dict) -> str:
+    parts = []
+    for f in schema["fields"]:
+        t = f["type"]
+        if isinstance(t, dict) and t.get("type") == "list":
+            parts.append(f"{f['name']} array<{_ICE_TO_SPARK[t['element']]}>")
+        else:
+            parts.append(f"{f['name']} {_ICE_TO_SPARK[t]}")
+    return ", ".join(parts)
+
+
+def _field_type(schema: dict, name: str) -> str:
+    for f in schema["fields"]:
+        if f["name"] == name:
+            return f["type"] if isinstance(f["type"], str) else "list"
+    raise KeyError(name)
+
+
+def _field_id(schema: dict, name: str) -> int:
+    for f in schema["fields"]:
+        if f["name"] == name:
+            return f["id"]
+    raise KeyError(name)
+
+
+# ---------------------------------------------------------------------------
+# single-value serialization (spec "Binary single-value serialization")
+
+
+def ser_bound(value, ice_type: str) -> bytes:
+    import struct as _s
+
+    if ice_type == "int":
+        return _s.pack("<i", int(value))
+    if ice_type == "long":
+        return _s.pack("<q", int(value))
+    if ice_type == "double":
+        return _s.pack("<d", float(value))
+    if ice_type == "float":
+        return _s.pack("<f", float(value))
+    if ice_type == "string":
+        return str(value).encode("utf-8")
+    if ice_type == "timestamptz":
+        return _s.pack("<q", int(value))  # micros since epoch
+    raise ValueError(f"no single-value serialization for {ice_type}")
+
+
+def deser_bound(raw: bytes, ice_type: str):
+    import struct as _s
+
+    if ice_type == "int":
+        return _s.unpack("<i", raw)[0]
+    if ice_type == "long":
+        return _s.unpack("<q", raw)[0]
+    if ice_type == "double":
+        return _s.unpack("<d", raw)[0]
+    if ice_type == "float":
+        return _s.unpack("<f", raw)[0]
+    if ice_type == "string":
+        return raw.decode("utf-8")
+    if ice_type == "timestamptz":
+        return _s.unpack("<q", raw)[0]
+    raise ValueError(f"no single-value serialization for {ice_type}")
+
+
+# ---------------------------------------------------------------------------
+# manifest Avro schemas (field-id attrs per spec appendix; the array-of-
+# key/value-record encoding is Iceberg's own representation of int-keyed maps)
+
+_KV_LONG = {
+    "type": "array",
+    "items": {
+        "type": "record",
+        "name": "k_v_long",
+        "fields": [
+            {"name": "key", "type": "int", "field-id": 117},
+            {"name": "value", "type": "long", "field-id": 118},
+        ],
+    },
+}
+
+_KV_BYTES = {
+    "type": "array",
+    "items": {
+        "type": "record",
+        "name": "k_v_bytes",
+        "fields": [
+            {"name": "key", "type": "int", "field-id": 126},
+            {"name": "value", "type": "bytes", "field-id": 127},
+        ],
+    },
+}
+
+
+def _manifest_schema(partition_fields: list[dict]) -> dict:
+    part_record = {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {
+                "name": pf["name"],
+                "type": ["null", pf["avro_type"]],
+                "default": None,
+                "field-id": pf["field-id"],
+            }
+            for pf in partition_fields
+        ],
+    }
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": part_record, "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {"name": "null_value_counts", "type": ["null", _KV_LONG], "default": None, "field-id": 110},
+            {"name": "lower_bounds", "type": ["null", _KV_BYTES], "default": None, "field-id": 125},
+            # valid Avro: the second occurrence references the named type
+            {
+                "name": "upper_bounds",
+                "type": ["null", {"type": "array", "items": "k_v_bytes"}],
+                "default": None,
+                "field-id": 128,
+            },
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"], "default": None, "field-id": 4},
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+_FIELD_SUMMARY = {
+    "type": "record",
+    "name": "r508",
+    "fields": [
+        {"name": "contains_null", "type": "boolean", "field-id": 509},
+        {"name": "contains_nan", "type": ["null", "boolean"], "default": None, "field-id": 518},
+        {"name": "lower_bound", "type": ["null", "bytes"], "default": None, "field-id": 510},
+        {"name": "upper_bound", "type": ["null", "bytes"], "default": None, "field-id": 511},
+    ],
+}
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {
+            "name": "partitions",
+            "type": ["null", {"type": "array", "items": _FIELD_SUMMARY}],
+            "default": None,
+            "field-id": 507,
+        },
+    ],
+}
+
+_AVRO_OF_ICE = {"string": "string", "long": "long", "int": "int", "double": "double",
+                "float": "float", "timestamptz": "long", "date": "int", "boolean": "boolean"}
+
+
+# ---------------------------------------------------------------------------
+# data-file discovery (parquet footers via pyarrow — metadata-only reads)
+
+
+def _discover_data_files(
+    data_dir: str, partition_cols: list[str], stat_cols: list[str], schema: dict
+) -> list[dict]:
+    """Walk a Spark-written parquet directory; one descriptor per data
+    file with hive-style partition values parsed from the path and
+    min/max/null-count column stats merged across row groups."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for root, _dirs, files in os.walk(data_dir):
+        rel = os.path.relpath(root, data_dir)
+        part_vals: dict[str, str] = {}
+        if rel != ".":
+            for seg in rel.split(os.sep):
+                m = re.match(r"([^=]+)=(.*)", seg)
+                if m:
+                    part_vals[m.group(1)] = unquote(m.group(2))
+        for fname in sorted(files):
+            if not fname.endswith(".parquet") or fname.startswith(("_", ".")):
+                continue
+            path = os.path.join(root, fname)
+            meta = pq.ParquetFile(path).metadata
+            lower: dict[int, bytes] = {}
+            upper: dict[int, bytes] = {}
+            nulls: dict[int, int] = {}
+            name_to_idx = {meta.schema.column(i).path: i for i in range(meta.num_columns)}
+            for col in stat_cols:
+                if col not in name_to_idx:
+                    continue
+                idx = name_to_idx[col]
+                ice_t = _field_type(schema, col)
+                fid = _field_id(schema, col)
+                mins, maxs, nn = [], [], 0
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        mins = []
+                        break
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                    nn += st.null_count or 0
+                if mins:
+                    lo, hi = min(mins), max(maxs)
+                    if ice_t == "timestamptz":
+                        lo, hi = _ts_micros(lo), _ts_micros(hi)
+                    lower[fid] = ser_bound(lo, ice_t)
+                    upper[fid] = ser_bound(hi, ice_t)
+                    nulls[fid] = nn
+            out.append(
+                {
+                    "file_path": os.path.abspath(path),
+                    "file_size_in_bytes": os.path.getsize(path),
+                    "record_count": meta.num_rows,
+                    "partition": {c: part_vals.get(c) for c in partition_cols},
+                    "lower_bounds": lower,
+                    "upper_bounds": upper,
+                    "null_value_counts": nulls,
+                }
+            )
+    return out
+
+
+def _ts_micros(v) -> int:
+    if hasattr(v, "timestamp"):
+        return int(v.timestamp() * 1_000_000)
+    return int(v)
+
+
+# ---------------------------------------------------------------------------
+# the table
+
+
+class IcebergTable:
+    """A format-v2 Iceberg table rooted at a filesystem location.
+
+    ``create`` → empty table (metadata v1, no snapshot); each
+    ``append_parquet_dir``/``append_df`` commit adds one snapshot whose
+    manifest list layers the new manifest over all previous ones
+    (fast-append, the spec's default append path)."""
+
+    def __init__(self, location: str):
+        self.location = os.path.abspath(location)
+        self.meta_dir = os.path.join(self.location, "metadata")
+        self.meta = self._load_metadata()
+
+    # -- creation / loading
+
+    @classmethod
+    def create(
+        cls,
+        location: str,
+        spark_schema,
+        partition_by: list[str] | None = None,
+        properties: dict | None = None,
+        commit_ts_ms: int | None = None,
+    ) -> "IcebergTable":
+        location = os.path.abspath(location)
+        meta_dir = os.path.join(location, "metadata")
+        os.makedirs(meta_dir, exist_ok=True)
+        if os.path.exists(os.path.join(meta_dir, "version-hint.text")):
+            raise FileExistsError(f"iceberg table already exists at {location}")
+        schema = schema_from_spark(spark_schema)
+        partition_by = partition_by or []
+        spec_fields = []
+        for i, col in enumerate(partition_by):
+            spec_fields.append(
+                {
+                    "name": col,
+                    "transform": "identity",
+                    "source-id": _field_id(schema, col),
+                    "field-id": 1000 + i,
+                }
+            )
+        meta = {
+            "format-version": 2,
+            "table-uuid": _uuid_for(location),
+            "location": location,
+            "last-sequence-number": 0,
+            "last-updated-ms": commit_ts_ms if commit_ts_ms is not None else _now_ms(),
+            "last-column-id": max(_all_ids(schema)),
+            "current-schema-id": 0,
+            "schemas": [schema],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "last-partition-id": 999 + len(spec_fields),
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": properties or {},
+            "current-snapshot-id": -1,
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+        }
+        t = cls.__new__(cls)
+        t.location = location
+        t.meta_dir = meta_dir
+        t.meta = meta
+        t._write_metadata(1)
+        return t
+
+    def _load_metadata(self) -> dict:
+        hint = os.path.join(self.meta_dir, "version-hint.text")
+        with open(hint) as f:
+            version = int(f.read().strip())
+        with open(os.path.join(self.meta_dir, f"v{version}.metadata.json")) as f:
+            meta = json.load(f)
+        meta["_version"] = version
+        return meta
+
+    def _write_metadata(self, version: int) -> None:
+        """HadoopTableOperations commit: the versioned metadata file is
+        create-if-absent (concurrent committers collide there, not on the
+        hint), then the hint is swapped in atomically via rename."""
+        path = os.path.join(self.meta_dir, f"v{version}.metadata.json")
+        if os.path.exists(path):
+            raise FileExistsError(f"commit conflict: {path} already exists")
+        body = {k: v for k, v in self.meta.items() if not k.startswith("_")}
+        with open(path, "w") as f:
+            json.dump(body, f, indent=1)
+        tmp = os.path.join(self.meta_dir, f".version-hint.{version}.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, os.path.join(self.meta_dir, "version-hint.text"))
+        self.meta["_version"] = version
+
+    # -- properties
+
+    @property
+    def schema(self) -> dict:
+        return self.meta["schemas"][self.meta["current-schema-id"]]
+
+    @property
+    def spec_fields(self) -> list[dict]:
+        return self.meta["partition-specs"][self.meta["default-spec-id"]]["fields"]
+
+    @property
+    def partition_cols(self) -> list[str]:
+        return [f["name"] for f in self.spec_fields]
+
+    def snapshots(self) -> list[dict]:
+        return self.meta["snapshots"]
+
+    def current_snapshot(self) -> dict | None:
+        sid = self.meta["current-snapshot-id"]
+        for s in self.meta["snapshots"]:
+            if s["snapshot-id"] == sid:
+                return s
+        return None
+
+    # -- append commit
+
+    def append_parquet_dir(
+        self, data_dir: str, stat_cols: list[str] | None = None, commit_ts_ms: int | None = None
+    ) -> dict:
+        """Commit every parquet file under ``data_dir`` as one fast-append
+        snapshot.  Partition values parse from hive-style paths; column
+        stats come from parquet footers (metadata-only: no row is read)."""
+        schema = self.schema
+        stat_cols = stat_cols if stat_cols is not None else [
+            f["name"] for f in schema["fields"] if isinstance(f["type"], str)
+            and f["type"] in _AVRO_OF_ICE
+        ]
+        files = _discover_data_files(data_dir, self.partition_cols, stat_cols, schema)
+        if not files:
+            raise ValueError(f"no parquet data files under {data_dir}")
+        return self._commit_append(files, commit_ts_ms)
+
+    def append_new_files(self, data_dir: str, commit_ts_ms: int | None = None) -> dict | None:
+        """Idempotent append: commit only the files under ``data_dir`` not
+        already referenced by the current snapshot (the resume-safe
+        add_files path — re-running a completed registration is a no-op,
+        a partially-new staging dir gets exactly its delta)."""
+        known = {f["file_path"] for f in self.plan_files()}
+        schema = self.schema
+        stat_cols = [
+            f["name"] for f in schema["fields"]
+            if isinstance(f["type"], str) and f["type"] in _AVRO_OF_ICE
+        ]
+        files = [
+            f
+            for f in _discover_data_files(data_dir, self.partition_cols, stat_cols, schema)
+            if f["file_path"] not in known
+        ]
+        if not files:
+            return None
+        return self._commit_append(files, commit_ts_ms)
+
+    def _commit_append(self, files: list[dict], commit_ts_ms: int | None = None) -> dict:
+        seq = self.meta["last-sequence-number"] + 1
+        snap_id = seq  # deterministic snapshot ids (documented in module doc)
+        ts = commit_ts_ms if commit_ts_ms is not None else _now_ms()
+        pf_meta = [
+            {
+                "name": f["name"],
+                "field-id": f["field-id"],
+                "avro_type": _AVRO_OF_ICE[_part_source_type(self.schema, f)],
+                "ice_type": _part_source_type(self.schema, f),
+            }
+            for f in self.spec_fields
+        ]
+        man_schema = _manifest_schema(pf_meta)
+        entries = []
+        added_rows = 0
+        summaries = [
+            {"contains_null": False, "contains_nan": None, "lower_bound": None, "upper_bound": None}
+            for _ in pf_meta
+        ]
+        for f in files:
+            part = {}
+            for i, pf in enumerate(pf_meta):
+                raw = f["partition"].get(pf["name"])
+                val = _coerce_part(raw, pf["ice_type"])
+                part[pf["name"]] = val
+                if val is None:
+                    summaries[i]["contains_null"] = True
+                else:
+                    b = ser_bound(val, pf["ice_type"])
+                    lo, hi = summaries[i]["lower_bound"], summaries[i]["upper_bound"]
+                    summaries[i]["lower_bound"] = b if lo is None or _cmp_bound(val, lo, pf["ice_type"]) < 0 else lo
+                    summaries[i]["upper_bound"] = b if hi is None or _cmp_bound(val, hi, pf["ice_type"]) > 0 else hi
+            entries.append(
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": snap_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": f["file_path"],
+                        "file_format": "PARQUET",
+                        "partition": part,
+                        "record_count": f["record_count"],
+                        "file_size_in_bytes": f["file_size_in_bytes"],
+                        "null_value_counts": [
+                            {"key": k, "value": v} for k, v in sorted(f["null_value_counts"].items())
+                        ],
+                        "lower_bounds": [
+                            {"key": k, "value": v} for k, v in sorted(f["lower_bounds"].items())
+                        ],
+                        "upper_bounds": [
+                            {"key": k, "value": v} for k, v in sorted(f["upper_bounds"].items())
+                        ],
+                    },
+                }
+            )
+            added_rows += f["record_count"]
+        man_path = os.path.join(self.meta_dir, f"manifest-{seq}-{snap_id}.avro")
+        man_len = write_ocf(
+            man_path,
+            man_schema,
+            entries,
+            metadata={
+                "schema": json.dumps(self.schema),
+                "partition-spec": json.dumps(self.spec_fields),
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        new_manifest = {
+            "manifest_path": man_path,
+            "manifest_length": man_len,
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(files),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": added_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": summaries if pf_meta else None,
+        }
+        prev = self.current_snapshot()
+        prev_manifests = []
+        if prev is not None:
+            _, _, prev_manifests = read_ocf(prev["manifest-list"])
+        list_path = os.path.join(self.meta_dir, f"snap-{snap_id}-manifest-list.avro")
+        write_ocf(
+            list_path,
+            _MANIFEST_LIST_SCHEMA,
+            [new_manifest] + prev_manifests,
+            metadata={"format-version": "2"},
+        )
+        snapshot = {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": ts,
+            "manifest-list": list_path,
+            "summary": {
+                "operation": "append",
+                "added-data-files": str(len(files)),
+                "added-records": str(added_rows),
+            },
+            "schema-id": self.meta["current-schema-id"],
+        }
+        if prev is not None:
+            snapshot["parent-snapshot-id"] = prev["snapshot-id"]
+        self.meta["snapshots"].append(snapshot)
+        self.meta["snapshot-log"].append({"timestamp-ms": ts, "snapshot-id": snap_id})
+        self.meta["current-snapshot-id"] = snap_id
+        self.meta["last-sequence-number"] = seq
+        self.meta["last-updated-ms"] = ts
+        self._write_metadata(self.meta["_version"] + 1)
+        return snapshot
+
+    def append_df(
+        self,
+        df: DataFrame,
+        subdir: str | None = None,
+        commit_ts_ms: int | None = None,
+    ) -> dict:
+        """Write ``df`` as parquet under ``<location>/data/<subdir>`` (one
+        pass, partitioned by the table's spec) and commit the files."""
+        data_dir = os.path.join(self.location, "data", subdir or f"s{self.meta['last-sequence-number'] + 1}")
+        w = df.write.mode("errorifexists")
+        if self.partition_cols:
+            w = w.partitionBy(*self.partition_cols)
+        w.parquet(data_dir)
+        return self.append_parquet_dir(data_dir, commit_ts_ms=commit_ts_ms)
+
+    # -- scan planning
+
+    def plan_files(
+        self, filters: list[tuple] | None = None, snapshot_id: int | None = None
+    ) -> list[dict]:
+        """Prune manifests by partition summaries, then files by partition
+        values and column min/max bounds.  ``filters`` are conjunctive
+        ``(column, op, value)`` with op in = < <= > >= in.  Driver-side,
+        metadata-only, O(surviving manifest entries)."""
+        snap = self.current_snapshot() if snapshot_id is None else self._snapshot(snapshot_id)
+        if snap is None:
+            return []
+        filters = filters or []
+        part_idx = {f["name"]: i for i, f in enumerate(self.spec_fields)}
+        part_types = {
+            f["name"]: _part_source_type(self.schema, f) for f in self.spec_fields
+        }
+        _, _, manifests = read_ocf(snap["manifest-list"])
+        out = []
+        for m in manifests:
+            if not _manifest_survives(m, filters, part_idx, part_types):
+                continue
+            _, _, entries = read_ocf(m["manifest_path"])
+            for e in entries:
+                if e["status"] == 2:  # DELETED
+                    continue
+                if _file_survives(e["data_file"], filters, part_types, self.schema):
+                    out.append(e["data_file"])
+        return out
+
+    def scan(
+        self,
+        spark: SparkSession,
+        filters: list[tuple] | None = None,
+        snapshot_id: int | None = None,
+        with_partition_cols: bool = True,
+    ) -> DataFrame:
+        """Planned file list → one distributed parquet read.  Partition
+        columns (stripped from file contents by the hive layout) are
+        re-attached from manifest partition values via a per-file-group
+        union of lit() columns — no basePath coupling, so tables whose
+        manifests point at files outside ``location`` scan identically."""
+        files = self.plan_files(filters, snapshot_id)
+        ddl_fields = []
+        for f in self.schema["fields"]:
+            if f["name"] in self.partition_cols:
+                continue
+            t = f["type"]
+            if isinstance(t, dict):
+                ddl_fields.append(f"{f['name']} array<{_ICE_TO_SPARK[t['element']]}>")
+            else:
+                ddl_fields.append(f"{f['name']} {_ICE_TO_SPARK[t]}")
+        ddl = ", ".join(ddl_fields)
+        if not files:
+            empty = spark.createDataFrame([], ddl)
+            return _attach_parts(empty, {c: None for c in self.partition_cols}, self.schema) \
+                if (with_partition_cols and self.partition_cols) else empty
+        if not (with_partition_cols and self.partition_cols):
+            return _apply_residual(
+                spark.read.schema(ddl).parquet(*[f["file_path"] for f in files]), filters
+            )
+        groups: dict[tuple, list[str]] = {}
+        for f in files:
+            key = tuple(f["partition"][c] for c in self.partition_cols)
+            groups.setdefault(key, []).append(f["file_path"])
+        dfs = []
+        for key, paths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
+            part_vals = dict(zip(self.partition_cols, key))
+            dfs.append(_attach_parts(spark.read.schema(ddl).parquet(*paths), part_vals, self.schema))
+        df = dfs[0]
+        for other in dfs[1:]:
+            df = df.unionByName(other)
+        return _apply_residual(df, filters)
+
+    def _snapshot(self, snapshot_id: int) -> dict | None:
+        for s in self.meta["snapshots"]:
+            if s["snapshot-id"] == snapshot_id:
+                return s
+        raise KeyError(f"no snapshot {snapshot_id}")
+
+    def total_rows(self, snapshot_id: int | None = None) -> int:
+        return sum(f["record_count"] for f in self.plan_files(snapshot_id=snapshot_id))
+
+
+def _apply_residual(df: DataFrame, filters: list[tuple] | None) -> DataFrame:
+    """Row-level application of the scan predicate.  Manifest pruning is
+    the metadata win; the residual filter is the correctness guarantee
+    (file min/max bounds keep whole files whose tails miss the range) —
+    and Spark pushes it further down into parquet row-group pruning."""
+    from pyspark.sql import functions as F
+
+    for col, op, val in filters or []:
+        c = F.col(col)
+        cond = {
+            "=": c == val, "<": c < val, "<=": c <= val,
+            ">": c > val, ">=": c >= val,
+        }.get(op, c.isin(list(val)) if op == "in" else None)
+        if cond is None:
+            raise ValueError(f"unsupported scan op {op!r}")
+        df = df.filter(cond)
+    return df
+
+
+def _attach_parts(df: DataFrame, part_vals: dict, schema: dict) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    for name, val in part_vals.items():
+        t = _ICE_TO_SPARK[_field_type(schema, name)]
+        if _field_type(schema, name) == "timestamptz" and val is not None:
+            col = (F.lit(int(val)) / 1_000_000).cast("timestamp")
+        else:
+            col = F.lit(val).cast(t)
+        df = df.withColumn(name, col)
+    # restore declared column order
+    return df.select(*[f["name"] for f in schema["fields"]])
+
+
+# ---------------------------------------------------------------------------
+# pruning predicates
+
+
+def _manifest_survives(m: dict, filters: list[tuple], part_idx: dict, part_types: dict) -> bool:
+    if not filters or not m.get("partitions"):
+        return True
+    for col, op, val in filters:
+        if col not in part_idx:
+            continue
+        s = m["partitions"][part_idx[col]]
+        t = part_types[col]
+        lo = deser_bound(s["lower_bound"], t) if s.get("lower_bound") else None
+        hi = deser_bound(s["upper_bound"], t) if s.get("upper_bound") else None
+        if lo is None or hi is None:
+            continue
+        if not _range_matches(lo, hi, op, val):
+            return False
+    return True
+
+
+def _file_survives(df_rec: dict, filters: list[tuple], part_types: dict, schema: dict) -> bool:
+    lower = {kv["key"]: kv["value"] for kv in (df_rec.get("lower_bounds") or [])}
+    upper = {kv["key"]: kv["value"] for kv in (df_rec.get("upper_bounds") or [])}
+    for col, op, val in filters:
+        if col in part_types:
+            pv = df_rec["partition"].get(col)
+            if pv is not None and not _range_matches(pv, pv, op, val):
+                return False
+            continue
+        try:
+            fid = _field_id(schema, col)
+            t = _field_type(schema, col)
+        except KeyError:
+            continue
+        if fid in lower and fid in upper and isinstance(t, str) and t in _AVRO_OF_ICE:
+            lo, hi = deser_bound(lower[fid], t), deser_bound(upper[fid], t)
+            if not _range_matches(lo, hi, op, val):
+                return False
+    return True
+
+
+def _range_matches(lo, hi, op: str, val) -> bool:
+    """Can any value in [lo, hi] satisfy `x op val`? (conservative keep)"""
+    if op == "=":
+        return lo <= val <= hi
+    if op == "in":
+        return any(lo <= v <= hi for v in val)
+    if op == "<":
+        return lo < val
+    if op == "<=":
+        return lo <= val
+    if op == ">":
+        return hi > val
+    if op == ">=":
+        return hi >= val
+    return True
+
+
+# ---------------------------------------------------------------------------
+# the tokenized-log corpus as an Iceberg table (north_rule: the pipeline is
+# batch-over-Iceberg over pre-tokenized training sequences)
+
+ICEBERG_ROOT = os.environ.get(
+    "SPARK_GRAFT_ICEBERG_ROOT", "/root/repo/data/iceberg"
+)
+
+
+def ensure_iceberg_corpus(spark: SparkSession, sf: float) -> IcebergTable:
+    """Build (once, cached) the sf-scale tokenlog corpus as an Iceberg
+    table partitioned by ``source``, committed as TWO snapshots split by
+    the pinned portable hash of ``doc_id`` — so partition pruning,
+    stats pruning and time travel are all exercisable against a
+    SQL-expressible oracle (snapshot 1 ⇔ ``bucket(doc_id, 2) = 0``).
+
+    Commit timestamps are pinned: the same sf rebuilds byte-identically."""
+    from pyspark.sql import functions as F
+
+    from vector_spark import datagen
+    from vector_spark.hashing import portable_bucket
+
+    loc = os.path.join(ICEBERG_ROOT, f"sf{sf:g}", "logs")
+    if os.path.exists(os.path.join(loc, "metadata", "version-hint.text")):
+        return IcebergTable(loc)
+    src = spark.read.parquet(datagen.ensure_corpus(sf))
+    t = IcebergTable.create(
+        loc,
+        src.schema,
+        partition_by=["source"],
+        properties={"write.format.default": "parquet"},
+        commit_ts_ms=1,
+    )
+    bucket = portable_bucket("doc_id", 2)
+    t.append_df(src.filter(bucket == 0), subdir="a1", commit_ts_ms=2)
+    t.append_df(src.filter(bucket == 1), subdir="a2", commit_ts_ms=3)
+    return t
+
+
+def register_sink_tables(
+    spark: SparkSession, sinks_path: str, tables_root: str, labeled_schema
+) -> dict[str, int]:
+    """Turn the one-pass partitioned sink write into per-route Iceberg
+    tables (north_rule: "writes to multiple Iceberg sink tables").
+
+    The data is NOT rewritten: each route's table commits manifests that
+    point at the files Spark already wrote under
+    ``sinks_path/route_key=<r>/`` — Iceberg's add_files migration path.
+    Re-registering an already-registered route is a no-op (resume-safe);
+    a route whose staging dir gained files since the last commit gets a
+    fresh append snapshot.  Returns rows-per-route from manifest counts
+    (metadata-only)."""
+    from pyspark.sql.types import StructType
+
+    route_schema = StructType([f for f in labeled_schema.fields if f.name != "route_key"])
+    out: dict[str, int] = {}
+    for entry in sorted(os.listdir(sinks_path)):
+        m = re.match(r"route_key=(.+)", entry)
+        if not m:
+            continue
+        route = unquote(m.group(1))
+        loc = os.path.join(tables_root, route)
+        staging = os.path.join(sinks_path, entry)
+        if os.path.exists(os.path.join(loc, "metadata", "version-hint.text")):
+            t = IcebergTable(loc)
+        else:
+            t = IcebergTable.create(loc, route_schema)
+        t.append_new_files(staging)
+        out[route] = t.total_rows()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# small helpers
+
+
+def _uuid_for(location: str) -> str:
+    h = md5(location.encode()).hexdigest()
+    return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+def _all_ids(schema: dict) -> list[int]:
+    ids = []
+    for f in schema["fields"]:
+        ids.append(f["id"])
+        if isinstance(f["type"], dict) and f["type"].get("element-id"):
+            ids.append(f["type"]["element-id"])
+    return ids
+
+
+def _part_source_type(schema: dict, spec_field: dict) -> str:
+    for f in schema["fields"]:
+        if f["id"] == spec_field["source-id"]:
+            return f["type"]
+    raise KeyError(spec_field["name"])
+
+
+def _coerce_part(raw, ice_type: str):
+    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if ice_type in ("int", "long"):
+        return int(raw)
+    if ice_type == "double":
+        return float(raw)
+    return raw
+
+
+def _cmp_bound(val, other_ser: bytes, ice_type: str) -> int:
+    other = deser_bound(other_ser, ice_type)
+    return (val > other) - (val < other)

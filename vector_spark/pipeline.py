@@ -147,6 +147,8 @@ def run_pipeline(
     run_id: str | None = None,
     mode: str = "partitioned",
     aggregate_from_written: bool = False,
+    source_format: str = "parquet",
+    sink_format: str = "parquet",
 ) -> dict:
     """Execute the full topology; write per-route sinks + metrics + manifest.
 
@@ -192,7 +194,14 @@ def run_pipeline(
         except Exception:
             done = set()
 
-    src = load_corpus(spark, sf)
+    if source_format == "iceberg":
+        # batch-over-Iceberg (north_rule): planned file scan of the corpus
+        # table — partition/stat pruning happens in the metadata layer.
+        from vector_spark.iceberg import ensure_iceberg_corpus
+
+        src = ensure_iceberg_corpus(spark, sf).scan(spark)
+    else:
+        src = load_corpus(spark, sf)
     enriched = parsed_enriched(spark, src)
     routed = route_stage(enriched)
 
@@ -231,6 +240,18 @@ def run_pipeline(
             manifest_rows.append(
                 (run_id, "sinks", sinks_path, total_rows, 0, 0, wall_ms, True)
             )
+        iceberg_sinks: dict[str, int] = {}
+        if sink_format == "iceberg":
+            # per-route Iceberg sink tables over the files already written
+            # (add_files registration — no data rewrite, resume-idempotent)
+            from vector_spark.iceberg import register_sink_tables
+
+            iceberg_sinks = register_sink_tables(
+                spark,
+                sinks_path,
+                os.path.join(out_dir, "iceberg_sinks"),
+                routed.labeled.schema,
+            )
         if aggregate_from_written:
             aggs = sink_aggregates(spark.read.parquet(sinks_path))
         else:
@@ -260,7 +281,7 @@ def run_pipeline(
         mdf.write.mode("append").parquet(manifest_path)
     if mode != "partitioned":
         persisted.unpersist()
-    return {
+    result = {
         "run_id": run_id,
         "out_dir": out_dir,
         "routed_rows": total_rows,
@@ -268,3 +289,6 @@ def run_pipeline(
         "rows_per_sec": total_rows / wall if wall > 0 else 0.0,
         "skipped_sinks": sorted(done),
     }
+    if mode == "partitioned" and sink_format == "iceberg":
+        result["iceberg_sinks"] = iceberg_sinks
+    return result
