@@ -71,8 +71,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # warm the JVM + parquet footer caches once
+    # warm the JVM + parquet footer caches once; build the (cached) Iceberg
+    # corpus table outside any timed region — a one-time migration cost,
+    # not part of the steady-state scan the iceberg_* queries measure
     P.load_corpus(spark, sf).count()
+    from vector_spark.iceberg import ensure_iceberg_corpus
+
+    ensure_iceberg_corpus(spark, sf)
 
     t_all = time.time()
 
