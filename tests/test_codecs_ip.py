@@ -90,9 +90,19 @@ def test_decode_mime_q(spark):
     )
 
 
-def test_zstd_gated():
-    with pytest.raises(NotImplementedError):
-        C.decode_zstd("m")
+def test_zstd_roundtrip(spark):
+    # encode_zstd/decode_zstd.cue: standard RFC 8878 frames via pyarrow's
+    # bundled codec; decode streams so size-less frames also work
+    payload = b"zstd payload \x00\xff " * 64
+    df = spark.createDataFrame([(bytearray(payload),)], "m binary")
+    enc = df.select(C.encode_zstd("m").alias("c"))
+    assert bytes(enc.first()["c"])[:4] == b"\x28\xb5\x2f\xfd"  # zstd magic
+    out = enc.select(C.decode_zstd("c").alias("d")).first()["d"]
+    assert bytes(out) == payload
+    # malformed input surfaces as an error (VRL decode_zstd fallibility)
+    bad = spark.createDataFrame([(bytearray(b"not a frame"),)], "m binary")
+    with pytest.raises(Exception):
+        bad.select(C.decode_zstd("m").alias("d")).collect()
 
 
 # --- IP family --------------------------------------------------------------

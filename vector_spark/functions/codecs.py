@@ -10,9 +10,10 @@ Execution policy:
   per-element work is C-level (zlib, hashlib), Python only drives the
   batch loop.  These are the documented "UDFs are the slow path"
   exceptions — there is no JVM surface for them in pyspark.sql.functions.
-- zstd is gated behind an import-try (the `zstandard` wheel is not in
-  this environment): the plumbing is real, the call raises a clear
-  NotImplementedError when the codec is absent.
+- zstd rides pyarrow's bundled C codec (`pa.compress` emits standard
+  RFC 8878 frames; `pa.CompressedInputStream` decompresses without a
+  size hint) — preferred over the `zstandard` wheel, which this
+  environment lacks; the wheel is used when present.
 """
 
 from __future__ import annotations
@@ -31,6 +32,23 @@ try:  # pragma: no cover - not present in this environment
     import zstandard as _zstd
 except ImportError:
     _zstd = None
+
+
+def _zstd_compress(b: bytes) -> bytes:
+    if _zstd is not None:
+        return _zstd.ZstdCompressor().compress(b)
+    import pyarrow as pa
+
+    return pa.compress(b, codec="zstd", asbytes=True)
+
+
+def _zstd_decompress(b: bytes) -> bytes:
+    if _zstd is not None:
+        return _zstd.ZstdDecompressor().decompress(b)
+    import pyarrow as pa
+
+    # frames may omit the content-size header, so stream-decompress
+    return bytes(pa.CompressedInputStream(pa.BufferReader(b), "zstd").read())
 
 
 def _c(col: Column | str) -> Column:
@@ -68,25 +86,13 @@ def encode_zlib(col: Column | str) -> Column:
 
 
 def decode_zstd(col: Column | str) -> Column:
-    if _zstd is None:
-        raise NotImplementedError(
-            "decode_zstd requires the 'zstandard' package (not in this "
-            "environment); gzip/zlib paths are available"
-        )
-    return _binary_map(lambda b: _zstd.ZstdDecompressor().decompress(b))(
-        _c(col).cast("binary")
-    )
+    """decode_zstd (decode_zstd.cue): zstd frame -> original bytes."""
+    return _binary_map(_zstd_decompress)(_c(col).cast("binary"))
 
 
 def encode_zstd(col: Column | str) -> Column:
-    if _zstd is None:
-        raise NotImplementedError(
-            "encode_zstd requires the 'zstandard' package (not in this "
-            "environment); gzip/zlib paths are available"
-        )
-    return _binary_map(lambda b: _zstd.ZstdCompressor().compress(b))(
-        _c(col).cast("binary")
-    )
+    """encode_zstd (encode_zstd.cue): deterministic zstd frame."""
+    return _binary_map(_zstd_compress)(_c(col).cast("binary"))
 
 
 # --- percent / mime-q -------------------------------------------------------
