@@ -38,6 +38,10 @@ import sys
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 SF = float(os.environ.get("SPARK_GRAFT_SCALING_SF", "1.0"))
+# "iceberg" routes the corpus read through the jar-free Iceberg layer's
+# planned manifest scan, evidencing the north rule's batch-over-Iceberg +
+# two-cluster-size clauses together
+SOURCE = os.environ.get("SPARK_GRAFT_SCALING_SOURCE", "parquet")
 ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "5"))
 N_LO = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
 N_HI = 4 * N_LO
@@ -48,12 +52,16 @@ sys.path.insert(0, {repo!r})
 from vector_spark.session import get_spark
 from vector_spark import pipeline as P
 
-cpus = int(sys.argv[1]); sf = float(sys.argv[2])
+cpus = int(sys.argv[1]); sf = float(sys.argv[2]); source = sys.argv[3]
 spark = get_spark(f"scaling_{{cpus}}", master=f"local[{{cpus}}]",
                   shuffle_partitions=max(cpus, 8),
                   extra_conf={{"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)}})
 spark.sparkContext.setLogLevel("ERROR")
-src = P.load_corpus(spark, sf)
+if source == "iceberg":
+    from vector_spark.iceberg import ensure_iceberg_corpus
+    src = ensure_iceberg_corpus(spark, sf).scan(spark)
+else:
+    src = P.load_corpus(spark, sf)
 src.count()  # warm page cache + JVM
 iters = []
 rows = 0
@@ -71,7 +79,7 @@ print(json.dumps({{"cpus": cpus, "sec": dt, "iters": [round(i, 2) for i in iters
 def run_level(cpus: int) -> dict:
     code = CHILD.format(repo=REPO)
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cpus), str(SF)],
+        [sys.executable, "-c", code, str(cpus), str(SF), SOURCE],
         capture_output=True, text=True, timeout=1200,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
@@ -90,7 +98,7 @@ def main() -> None:
     best_hi = max(samples[N_HI], key=lambda s: s["rows_per_sec"])
     eff = (best_hi["rows_per_sec"] / best_lo["rows_per_sec"]) / 4.0
     result = {
-        "sf": SF, "rounds": ROUNDS,
+        "sf": SF, "rounds": ROUNDS, "source": SOURCE,
         "n": N_LO, "best_n": best_lo, "best_4n": best_hi,
         "scaling_efficiency": round(eff, 3),
         "samples": samples,
@@ -98,7 +106,7 @@ def main() -> None:
     print(json.dumps(result))
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write(
-            f"\n## Scaling run (sf={SF}, best of {ROUNDS} interleaved rounds)\n\n"
+            f"\n## Scaling run (sf={SF}, source={SOURCE}, best of {ROUNDS} interleaved rounds)\n\n"
             f"| cores | best wall sec | routed rows | best rows/sec |\n|---|---|---|---|\n"
             f"| local[{N_LO}] (N) | {best_lo['sec']:.2f} | {best_lo['rows']} | {best_lo['rows_per_sec']:.0f} |\n"
             f"| local[{N_HI}] (4N) | {best_hi['sec']:.2f} | {best_hi['rows']} | {best_hi['rows_per_sec']:.0f} |\n\n"

@@ -36,6 +36,10 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--mode", choices=["partitioned", "per_route"], default="partitioned")
+    ap.add_argument("--source-format", choices=["parquet", "iceberg"], default="parquet",
+                    help="iceberg: read the corpus through the jar-free Iceberg layer")
+    ap.add_argument("--sink-format", choices=["parquet", "iceberg"], default="parquet",
+                    help="iceberg: register per-route Iceberg sink tables over the write")
     ap.add_argument(
         "--master",
         default=None,
@@ -54,7 +58,8 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("WARN")
     result = run_pipeline(
-        spark, args.sf, out_dir=args.out, run_id=args.run_id, mode=args.mode
+        spark, args.sf, out_dir=args.out, run_id=args.run_id, mode=args.mode,
+        source_format=args.source_format, sink_format=args.sink_format,
     )
     print(json.dumps(result))
     spark.stop()
