@@ -182,3 +182,25 @@ def test_pipeline_iceberg_source_and_sinks(spark, tmp_path):
     for route in r1["iceberg_sinks"]:
         t = IcebergTable(os.path.join(out, "iceberg_sinks", route))
         assert len(t.snapshots()) == 1  # no duplicate append on resume
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Spec "Schema Evolution": new optional column under a fresh field-id;
+    pre-existing files scan as NULL, post-evolution appends carry values."""
+    loc = str(tmp_path / "evo")
+    df1 = spark.range(10).select(F.col("id").alias("n"))
+    t = IcebergTable.create(loc, df1.schema, commit_ts_ms=1)
+    t.append_df(df1, subdir="a", commit_ts_ms=2)
+    t.add_column("label", "string", commit_ts_ms=3)
+    assert t.meta["last-column-id"] == 2
+    df2 = spark.range(10, 20).select(
+        F.col("id").alias("n"), F.concat(F.lit("L"), F.col("id")).alias("label")
+    )
+    t.append_df(df2, subdir="b", commit_ts_ms=4)
+    got = {(r["n"], r["label"]) for r in t.scan(spark).collect()}
+    assert got == {(i, None) for i in range(10)} | {(i, f"L{i}") for i in range(10, 20)}
+    # reload from disk sees the evolved schema; ids never reused
+    t2 = IcebergTable(loc)
+    assert [f["id"] for f in t2.schema["fields"]] == [1, 2]
+    with pytest.raises(ValueError):
+        t2.add_column("label", "string")

@@ -665,6 +665,37 @@ class IcebergTable:
         w.parquet(data_dir)
         return self.append_parquet_dir(data_dir, commit_ts_ms=commit_ts_ms)
 
+    # -- schema evolution
+
+    def add_column(
+        self, name: str, ice_type: str, commit_ts_ms: int | None = None
+    ) -> dict:
+        """Schema evolution (spec: "Schema Evolution"): append an optional
+        column under a freshly allocated field-id.  Existing data files are
+        untouched — the scan reads them with the new schema and the column
+        comes back NULL (parquet resolves by name here; the spec's
+        id-based resolution and ours agree because ids are never reused)."""
+        import copy
+
+        if any(f["name"] == name for f in self.schema["fields"]):
+            raise ValueError(f"column {name!r} already exists")
+        if ice_type not in _ICE_TO_SPARK:
+            raise ValueError(f"unsupported type {ice_type!r}")
+        new_schema = copy.deepcopy(self.schema)
+        new_id = self.meta["last-column-id"] + 1
+        new_schema["fields"].append(
+            {"id": new_id, "name": name, "required": False, "type": ice_type}
+        )
+        new_schema["schema-id"] = self.meta["current-schema-id"] + 1
+        self.meta["schemas"] = self.meta["schemas"] + [new_schema]
+        self.meta["current-schema-id"] = new_schema["schema-id"]
+        self.meta["last-column-id"] = new_id
+        self.meta["last-updated-ms"] = (
+            commit_ts_ms if commit_ts_ms is not None else _now_ms()
+        )
+        self._write_metadata(self.meta["_version"] + 1)
+        return new_schema
+
     # -- scan planning
 
     def plan_files(
