@@ -761,6 +761,13 @@ class IcebergTable:
         for f in files:
             key = tuple(f["partition"][c] for c in self.partition_cols)
             groups.setdefault(key, []).append(f["file_path"])
+        # Plan-size note: the union is O(|distinct partition tuples in the
+        # PRUNED file set|) relation nodes — identity partitions are
+        # low-cardinality by design (source/route_key here), and a filtered
+        # scan touches few of them.  Very-high-cardinality specs would want
+        # Spark's own hive discovery over a uniform layout instead; this
+        # layer keeps partition values authoritative in the manifests, like
+        # the reference implementation.
         dfs = []
         for key, paths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
             part_vals = dict(zip(self.partition_cols, key))
