@@ -1626,6 +1626,33 @@ def _sql_lang_id_script() -> str:
     )
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (vector_spark/classifier.py): train the
+    deterministic log-odds linear model on a labeled slice (label = doc is
+    English; docs with doc_id%10<3 are "labeled"), then score the WHOLE
+    corpus with the broadcast-join scorer.  The oracle recomputes training
+    and scoring, so both halves are hash-gated."""
+    from vector_spark import classifier as C
+
+    docs = _docs(spark, sf_dir)
+    labeled = docs.filter((F.col("doc_id") % 10) < 3).select(
+        "doc_id", "text", (F.col("lang") == "en").cast("int").alias("label")
+    )
+    weights = C.train_toy_model(labeled)
+    return C.score(docs.select("doc_id", "text"), weights)
+
+
+def _sql_quality_classifier() -> str:
+    from vector_spark import classifier as C
+
+    labeled = (
+        "SELECT doc_id, text, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label "
+        "FROM documents WHERE doc_id % 10 < 3"
+    )
+    weights = C.sql_train_toy_model(labeled)
+    return C.sql_score("SELECT doc_id, text FROM documents", weights)
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.dedup import dedup_exact
 
@@ -2134,6 +2161,97 @@ FROM c"""
 
 
 # ---------------------------------------------------------------------------
+# parse_user_agent, enriched mode (parse_user_agent.cue; woothee + uap-style
+# combined pass).  Fixed corpus covering every table branch: the three cue
+# examples plus Chrome/Safari/Edge/Android-device/unparseable/iPad.  The
+# oracle is the hand-derived golden (the reference defines this parser BY
+# its documented outputs — recomputing the same regex chain in DuckDB would
+# test nothing), so the driver compare pins the full 15-field schema.
+
+_UA_ROWS = [
+    ("ua1", "Mozilla Firefox 1.0.1 Mozilla/5.0 (X11; U; Linux i686; de-DE; rv:1.7.6) Gecko/20050223 Firefox/1.0.1"),
+    ("ua2", "Mozilla/4.0 (compatible; MSIE 7.66; Windows NT 5.1; SV1; .NET CLR 1.1.4322)"),
+    ("ua3", "Opera/9.80 (J2ME/MIDP; Opera Mini/4.3.24214; iPhone; CPU iPhone OS 4_2_1 like Mac OS X; AppleWebKit/24.783; U; en) Presto/2.5.25 Version/10.54"),
+    ("ua4", "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/94.0.4606.61 Safari/537.36"),
+    ("ua5", "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/14.1.2 Safari/605.1.15"),
+    ("ua6", "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/94.0.4606.71 Safari/537.36 Edg/94.0.992.38"),
+    ("ua7", "Mozilla/5.0 (Linux; Android 11; Pixel 5 Build/RQ3A.210805.001) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/94.0.4606.61 Mobile Safari/537.36"),
+    ("ua8", "curl/7.68.0"),
+    ("ua9", "Mozilla/5.0 (iPad; CPU OS 13_3 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/13.0.4 Mobile/15E148 Safari/604.1"),
+]
+
+# (b_family, b_major, b_minor, b_patch, b_version, d_brand, d_category,
+#  d_family, d_model, os_family, os_major, os_minor, os_patch,
+#  os_patch_minor, os_version) per ua_id
+_UA_EXPECTED = {
+    "ua1": ("Firefox", "1", "0", "1", "1.0.1", None, "pc", None, None,
+            "Linux", None, None, None, None, None),
+    "ua2": ("Internet Explorer", "7", "66", None, "7.66", None, "pc", None,
+            None, "Windows", "5", "1", None, None, "5.1"),
+    "ua3": ("Opera Mini", "4", "3", "24214", "10.54", "Apple", "smartphone",
+            "iPhone", "iPhone", "iOS", "4", "2", "1", None, "4.2.1"),
+    "ua4": ("Chrome", "94", "0", "4606", "94.0.4606.61", None, "pc", None,
+            None, "Windows", "10", "0", None, None, "10.0"),
+    "ua5": ("Safari", "14", "1", "2", "14.1.2", None, "pc", None, None,
+            "Mac OS X", "10", "15", "7", None, "10.15.7"),
+    "ua6": ("Edge", "94", "0", "992", "94.0.992.38", None, "pc", None, None,
+            "Windows", "10", "0", None, None, "10.0"),
+    "ua7": ("Chrome", "94", "0", "4606", "94.0.4606.61", None, "smartphone",
+            "Pixel 5", "Pixel 5", "Android", "11", None, None, None, "11"),
+    "ua8": (None, None, None, None, None, None, "pc", None, None,
+            None, None, None, None, None, None),
+    "ua9": ("Safari", "13", "0", "4", "13.0.4", "Apple", "tablet", "iPad",
+            "iPad", "iOS", "13", "3", None, None, "13.3"),
+}
+
+_UA_COLS = (
+    "b_family b_major b_minor b_patch b_version d_brand d_category "
+    "d_family d_model os_family os_major os_minor os_patch os_patch_minor "
+    "os_version"
+).split()
+
+
+def _q_parse_user_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.functions.parsers import parse_user_agent
+
+    src = spark.createDataFrame(_UA_ROWS, "ua_id string, ua string")
+    u = parse_user_agent("ua", mode="enriched")
+    return src.select(
+        "ua_id",
+        u["browser"]["family"].alias("b_family"),
+        u["browser"]["major"].alias("b_major"),
+        u["browser"]["minor"].alias("b_minor"),
+        u["browser"]["patch"].alias("b_patch"),
+        u["browser"]["version"].alias("b_version"),
+        u["device"]["brand"].alias("d_brand"),
+        u["device"]["category"].alias("d_category"),
+        u["device"]["family"].alias("d_family"),
+        u["device"]["model"].alias("d_model"),
+        u["os"]["family"].alias("os_family"),
+        u["os"]["major"].alias("os_major"),
+        u["os"]["minor"].alias("os_minor"),
+        u["os"]["patch"].alias("os_patch"),
+        u["os"]["patch_minor"].alias("os_patch_minor"),
+        u["os"]["version"].alias("os_version"),
+    )
+
+
+def _sql_parse_user_agent() -> str:
+    def lit(v):
+        return "NULL" if v is None else "'" + v.replace("'", "''") + "'"
+
+    rows = ", ".join(
+        "(" + ", ".join([lit(ua_id)] + [lit(v) for v in _UA_EXPECTED[ua_id]]) + ")"
+        for ua_id, _ in _UA_ROWS
+    )
+    cols = ", ".join(["ua_id"] + _UA_COLS)
+    casts = ", ".join(
+        f"CAST({c} AS VARCHAR) AS {c}" for c in ["ua_id"] + _UA_COLS
+    )
+    return f"SELECT {casts} FROM (VALUES {rows}) t({cols})"
+
+
+# ---------------------------------------------------------------------------
 # contract
 
 
@@ -2598,6 +2716,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_apache_log": _q_parse_apache,
         "parse_multi": _q_parse_multi,
         "parse_dirty": _q_parse_dirty,
+        "parse_user_agent": _q_parse_user_agent,
         "native_roundtrip": _q_native_roundtrip,
         "multiline_stacktrace": _q_multiline,
         "datadog_route": _q_datadog_route,
@@ -2613,6 +2732,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "dup_spans": _q_dup_spans,
         "lang_id_script": _q_lang_id_script,
+        "quality_classifier": _q_quality_classifier,
         "strip_dup_spans": _q_strip_dup_spans,
         "stratified_split": _q_split,
         "avro_roundtrip": _q_avro_roundtrip,
@@ -2671,6 +2791,7 @@ def oracle_sql() -> dict[str, str]:
         "parse_apache_log": _sql_parse_apache(),
         "parse_multi": _sql_parse_multi(),
         "parse_dirty": _sql_parse_dirty(),
+        "parse_user_agent": _sql_parse_user_agent(),
         "native_roundtrip": _sql_native_roundtrip(),
         "multiline_stacktrace": _sql_multiline(),
         "datadog_route": _SQL_DATADOG_ROUTE,
@@ -2686,6 +2807,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _sql_pii_scrub(),
         "dup_spans": _sql_dup_spans(),
         "lang_id_script": _sql_lang_id_script(),
+        "quality_classifier": _sql_quality_classifier(),
         "strip_dup_spans": _sql_strip_dup_spans(),
         "stratified_split": _sql_split(),
         "avro_roundtrip": _sql_avro_roundtrip(),

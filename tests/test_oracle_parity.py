@@ -34,6 +34,20 @@ def _normalize(rows, cols):
 QUERY_NAMES = sorted(entrymod.queries().keys())
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _ansi_on(spark):
+    """Mimic the driver's harness: Spark 4 defaults ANSI *on*, while our own
+    session builder pins it off (session.py:56).  The contract surface must
+    work in BOTH modes, so this module — the local twin of the driver's
+    CORRECTNESS gate — runs every query under ANSI-on.  (Runtime-settable
+    conf, restored afterwards so the other test modules keep the builder
+    default.)"""
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    yield
+    spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, duck, name):
     q = entrymod.queries()[name]

@@ -235,6 +235,49 @@ def test_parse_user_agent_fast(spark):
     assert got["os"] == {"family": "Linux", "version": None}
 
 
+def test_parse_user_agent_reliable(spark):
+    # parse_user_agent.cue example 2 (reliable mode)
+    ua = "Mozilla/4.0 (compatible; MSIE 7.66; Windows NT 5.1; SV1; .NET CLR 1.1.4322)"
+    got = _one(
+        spark, ua, [P.parse_user_agent("m", mode="reliable").alias("ua")]
+    )["ua"].asDict(True)
+    assert got["browser"] == {"family": "Internet Explorer", "version": "7.66"}
+    assert got["device"] == {"category": "pc"}
+    assert got["os"] == {"family": "Windows XP", "version": "NT 5.1"}
+
+
+def test_parse_user_agent_enriched(spark):
+    # parse_user_agent.cue example 3 (enriched mode)
+    ua = (
+        "Opera/9.80 (J2ME/MIDP; Opera Mini/4.3.24214; iPhone; CPU iPhone OS "
+        "4_2_1 like Mac OS X; AppleWebKit/24.783; U; en) Presto/2.5.25 Version/10.54"
+    )
+    got = _one(
+        spark, ua, [P.parse_user_agent("m", mode="enriched").alias("ua")]
+    )["ua"].asDict(True)
+    assert got["browser"] == {
+        "family": "Opera Mini",
+        "major": "4",
+        "minor": "3",
+        "patch": "24214",
+        "version": "10.54",
+    }
+    assert got["device"] == {
+        "brand": "Apple",
+        "category": "smartphone",
+        "family": "iPhone",
+        "model": "iPhone",
+    }
+    assert got["os"] == {
+        "family": "iOS",
+        "major": "4",
+        "minor": "2",
+        "patch": "1",
+        "patch_minor": None,
+        "version": "4.2.1",
+    }
+
+
 def test_parse_ruby_hash(spark):
     # parse_ruby_hash.cue example
     line = '{ "test" => "value", "testNum" => 0.2, "testObj" => { "testBool" => true, "testNull" => nil } }'

@@ -239,3 +239,44 @@ def test_gemm_twins_match_hof_twins(spark):
             for r in gemm_fn(embs, q, k=5, dim=64, **kw).collect()
         }
         assert hof == gemm and len(hof) > 0
+
+
+def test_quality_classifier_linear_model(spark):
+    """classifier.py: naive-Bayes log-odds training + broadcast-join scoring.
+    Deterministic fixture: 'good' docs share quality words, 'bad' docs share
+    spam words; held-out docs with the same vocabulary must separate."""
+    from vector_spark import classifier as C
+
+    rows = [
+        (1, "the quick brown fox reads fine prose daily", 1),
+        (2, "fine prose and thoughtful analysis of the fox", 1),
+        (3, "buy cheap pills now cheap pills free free", 0),
+        (4, "free cheap offer now buy now buy now", 0),
+        (5, "thoughtful analysis reads fine", 1),
+        (6, "cheap free pills offer", 0),
+    ]
+    labeled = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    w = C.train_toy_model(labeled, min_df=2)
+    wrows = w.collect()
+    assert len(wrows) > 0
+    # every feature hash distinct; weights bounded by log-odds construction
+    assert len({r["feature_hash"] for r in wrows}) == len(wrows)
+
+    test_docs = spark.createDataFrame(
+        [
+            (10, "fine thoughtful prose analysis"),
+            (11, "cheap cheap free pills"),
+            (12, ""),  # empty -> n_words 0, prob sigmoid(0)=0.5
+            (13, "zzz unseen vocabulary only"),  # no hits -> 0.5
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in C.score(test_docs, w).collect()}
+    assert got[10]["prob"] > 0.7
+    assert got[11]["prob"] < 0.3
+    assert got[12]["n_words"] == 0 and abs(got[12]["prob"] - 0.5) < 1e-9
+    assert abs(got[13]["prob"] - 0.5) < 1e-9
+
+    # scoring twice is deterministic (hash + round pinned)
+    again = {r["doc_id"]: r["prob"] for r in C.score(test_docs, w).collect()}
+    assert again == {k: v["prob"] for k, v in got.items()}

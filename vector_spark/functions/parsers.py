@@ -377,7 +377,11 @@ def parse_cef(col: Column | str, translate_custom_fields: bool = False) -> list[
 
 _UA_BROWSERS = [
     ("Edge", r"Edg(?:e|A|iOS)?/([\d.]+)"),
-    ("Opera Mini", r"Opera Mini/([\d.]+)"),
+    # woothee reports every Opera flavour as family "Opera", version from
+    # "Version/x" when present (Presto-era UAs) else the Opera/x token —
+    # the uap pass (enriched mode) is what distinguishes "Opera Mini"
+    ("Opera", r"Opera.*Version/([\d.]+)"),
+    ("Opera", r"Opera Mini/([\d.]+)"),
     ("Opera", r"Opera[/ ]([\d.]+)"),
     ("Firefox", r"Firefox/([\d.]+)"),
     ("Chrome", r"Chrome/([\d.]+)"),
@@ -385,23 +389,64 @@ _UA_BROWSERS = [
     ("Internet Explorer", r"MSIE ([\d.]+)"),
 ]
 
+# Woothee-style fast OS table: family is the marketing name and the version
+# keeps its source token ("NT 5.1"), matching the reference's fast/reliable
+# output shape (parse_user_agent.cue reliable example: os family
+# "Windows XP", version "NT 5.1").  Earlier entries win.
 _UA_OS = [
-    ("Windows", r"Windows NT ([\d.]+)"),
+    ("Windows 10", r"Windows (NT 10\.0)"),
+    ("Windows 8.1", r"Windows (NT 6\.3)"),
+    ("Windows 8", r"Windows (NT 6\.2)"),
+    ("Windows 7", r"Windows (NT 6\.1)"),
+    ("Windows Vista", r"Windows (NT 6\.0)"),
+    ("Windows XP", r"Windows (NT 5\.[12])"),
+    ("Windows 2000", r"Windows (NT 5\.0)"),
+    ("Windows", r"Windows (NT [\d.]+)"),
     ("iOS", r"iPhone OS ([\d_]+)"),
     ("Android", r"Android ([\d.]+)"),
     ("Mac OS X", r"Mac OS X ([\d_.]+)"),
     ("Linux", r"(Linux)"),
 ]
 
+# uap-project-style ordered tables (the PUBLIC ua-parser model: an ordered
+# regex list, first match wins, capture groups 1..3 -> major/minor/patch,
+# "$1" in a replacement slot substitutes group 1).  A representative subset
+# written for this rebuild — not a copy of the uap-core file.
+_UAP_BROWSERS = [
+    (r"Opera Mini/(\d+)\.(\d+)(?:\.(\d+))?", "Opera Mini"),
+    (r"Opera.*Version/(\d+)\.(\d+)(?:\.(\d+))?", "Opera"),
+    (r"Opera[/ ](\d+)\.(\d+)(?:\.(\d+))?", "Opera"),
+    (r"Edg(?:e|A|iOS)?/(\d+)\.(\d+)(?:\.(\d+))?", "Edge"),
+    (r"Firefox/(\d+)\.(\d+)(?:\.(\d+))?", "Firefox"),
+    (r"Chrom(?:e|ium)/(\d+)\.(\d+)(?:\.(\d+))?", "Chrome"),
+    (r"Version/(\d+)\.(\d+)(?:\.(\d+))?.*Safari/", "Safari"),
+    (r"MSIE (\d+)\.(\d+)", "Internet Explorer"),
+    (r"Trident/.*rv[: ](\d+)\.(\d+)", "Internet Explorer"),
+]
 
-def parse_user_agent(col: Column | str) -> Column:
-    """parse_user_agent, fast mode (parse_user_agent.cue: "loosely defined
-    format so this parser only provides best effort guarantee").  Token
-    heuristics over the UA string -> struct(browser{family,version},
-    device{category}, os{family,version}); unparsed fields NULL."""
-    c = _c(col)
+_UAP_OS = [
+    # (pattern, family) — groups 1..4 -> major/minor/patch/patch_minor
+    (r"CPU (?:iPhone )?OS (\d+)_(\d+)(?:_(\d+))?", "iOS"),
+    (r"iPhone OS (\d+)_(\d+)(?:_(\d+))?", "iOS"),
+    (r"Android (\d+)(?:\.(\d+))?(?:\.(\d+))?", "Android"),
+    (r"Mac OS X (\d+)[_.](\d+)(?:[_.](\d+))?(?:[_.](\d+))?", "Mac OS X"),
+    (r"Windows NT (\d+)\.(\d+)", "Windows"),
+    (r"Linux|X11", "Linux"),
+]
 
-    def first_match(table, want_version=True):
+_UAP_DEVICES = [
+    # (pattern, family, brand, model) — "$1" substitutes capture group 1
+    (r"iPhone", "iPhone", "Apple", "iPhone"),
+    (r"iPad", "iPad", "Apple", "iPad"),
+    (r"; ?([^;)/]+) Build[/ ]", "$1", None, "$1"),
+]
+
+
+def _ua_fast_parts(c: Column):
+    """(browser_family, browser_version, os_family, os_version, category)
+    of the woothee-style fast pass."""
+
+    def first_match(table):
         fam = F.lit(None).cast("string")
         ver = F.lit(None).cast("string")
         for name, pat in reversed(table):
@@ -419,10 +464,127 @@ def parse_user_agent(col: Column | str) -> Column:
         .when(c.rlike(r"iPad|Android(?!.*Mobile)"), F.lit("tablet"))
         .otherwise(F.lit("pc"))
     )
+    return b_fam, b_ver, o_fam, o_ver, device
+
+
+def _uap_slot(c: Column, pat: str, spec, group: int | None = None) -> Column:
+    """One replacement slot of a uap-style table entry: a literal, a "$N"
+    capture substitution, or (spec=None, group=N) the N-th version group."""
+    if spec is None and group is None:
+        return F.lit(None).cast("string")
+    if spec is None:
+        return F.nullif(F.regexp_extract(c, pat, group), F.lit(""))
+    if isinstance(spec, str) and spec.startswith("$"):
+        return F.nullif(F.regexp_extract(c, pat, int(spec[1:])), F.lit(""))
+    return F.lit(spec)
+
+
+def parse_user_agent(col: Column | str, mode: str = "fast") -> Column:
+    """parse_user_agent (parse_user_agent.cue: "loosely defined format so
+    this parser only provides best effort guarantee").
+
+    ``mode='fast'``: woothee-style token heuristics ->
+    struct(browser{family,version}, device{category}, os{family,version}).
+
+    ``mode='reliable'``: same schema; fields the fast pass left NULL are
+    filled from the uap-style ordered pattern pass (the reference runs
+    woothee then uap for missing fields).
+
+    ``mode='enriched'``: full schema — browser{family,major,minor,patch,
+    version}, device{brand,category,family,model}, os{family,major,minor,
+    patch,patch_minor,version} — combining both passes (uap supplies the
+    structured version parts, the fast pass the woothee fields).
+
+    All modes are single-pass codegen when-chains over the string column —
+    no UDF, no shuffle; Catalyst's common-subexpression elimination shares
+    the per-pattern rlike across slots."""
+    c = _c(col)
+    if mode not in ("fast", "reliable", "enriched"):
+        raise ValueError(f"parse_user_agent: unknown mode {mode!r}")
+    b_fam, b_ver, o_fam, o_ver, device = _ua_fast_parts(c)
+    if mode == "fast":
+        return F.struct(
+            F.struct(b_fam.alias("family"), b_ver.alias("version")).alias("browser"),
+            F.struct(device.alias("category")).alias("device"),
+            F.struct(o_fam.alias("family"), o_ver.alias("version")).alias("os"),
+        )
+
+    # uap pass: family + version groups per table
+    def uap_versions(table, n_groups):
+        import re as _re
+
+        fam = F.lit(None).cast("string")
+        groups = [F.lit(None).cast("string") for _ in range(n_groups)]
+        for entry in reversed(table):
+            pat, famspec = entry[0], entry[1]
+            # regexp_extract THROWS on a group index beyond the pattern's
+            # group count (both ANSI modes) — cap per pattern.
+            pat_groups = _re.compile(pat).groups
+            hit = c.rlike(pat)
+            if isinstance(famspec, str) and famspec.startswith("$"):
+                f_col = F.nullif(F.regexp_extract(c, pat, int(famspec[1:])), F.lit(""))
+            else:
+                f_col = F.lit(famspec)
+            fam = F.when(hit, f_col).otherwise(fam)
+            for i in range(n_groups):
+                v = (
+                    F.nullif(F.regexp_extract(c, pat, i + 1), F.lit(""))
+                    if i < pat_groups
+                    else F.lit(None).cast("string")
+                )
+                groups[i] = F.when(hit, v).otherwise(groups[i])
+        return fam, groups
+
+    ub_fam, (ub_maj, ub_min, ub_pat) = uap_versions(_UAP_BROWSERS, 3)
+    uo_fam, (uo_maj, uo_min, uo_pat, uo_pm) = uap_versions(_UAP_OS, 4)
+    ub_joined = F.nullif(F.concat_ws(".", ub_maj, ub_min, ub_pat), F.lit(""))
+    uo_joined = F.nullif(F.concat_ws(".", uo_maj, uo_min, uo_pat), F.lit(""))
+
+    if mode == "reliable":
+        return F.struct(
+            F.struct(
+                F.coalesce(b_fam, ub_fam).alias("family"),
+                F.coalesce(b_ver, ub_joined).alias("version"),
+            ).alias("browser"),
+            F.struct(device.alias("category")).alias("device"),
+            F.struct(
+                F.coalesce(o_fam, uo_fam).alias("family"),
+                F.coalesce(o_ver, uo_joined).alias("version"),
+            ).alias("os"),
+        )
+
+    # enriched: device identity from the uap-style device table
+    d_fam = F.lit(None).cast("string")
+    d_brand = F.lit(None).cast("string")
+    d_model = F.lit(None).cast("string")
+    for pat, famspec, brandspec, modelspec in reversed(_UAP_DEVICES):
+        hit = c.rlike(pat)
+        d_fam = F.when(hit, _uap_slot(c, pat, famspec)).otherwise(d_fam)
+        d_brand = F.when(hit, _uap_slot(c, pat, brandspec)).otherwise(d_brand)
+        d_model = F.when(hit, _uap_slot(c, pat, modelspec)).otherwise(d_model)
+
     return F.struct(
-        F.struct(b_fam.alias("family"), b_ver.alias("version")).alias("browser"),
-        F.struct(device.alias("category")).alias("device"),
-        F.struct(o_fam.alias("family"), o_ver.alias("version")).alias("os"),
+        F.struct(
+            F.coalesce(ub_fam, b_fam).alias("family"),
+            ub_maj.alias("major"),
+            ub_min.alias("minor"),
+            ub_pat.alias("patch"),
+            F.coalesce(b_ver, ub_joined).alias("version"),
+        ).alias("browser"),
+        F.struct(
+            d_brand.alias("brand"),
+            device.alias("category"),
+            d_fam.alias("family"),
+            d_model.alias("model"),
+        ).alias("device"),
+        F.struct(
+            F.coalesce(uo_fam, o_fam).alias("family"),
+            uo_maj.alias("major"),
+            uo_min.alias("minor"),
+            uo_pat.alias("patch"),
+            uo_pm.alias("patch_minor"),
+            F.coalesce(uo_joined, o_ver).alias("version"),
+        ).alias("os"),
     )
 
 

@@ -494,11 +494,18 @@ class IcebergTable:
     # -- append commit
 
     def append_parquet_dir(
-        self, data_dir: str, stat_cols: list[str] | None = None, commit_ts_ms: int | None = None
+        self,
+        data_dir: str,
+        stat_cols: list[str] | None = None,
+        commit_ts_ms: int | None = None,
+        summary_extra: dict[str, str] | None = None,
     ) -> dict:
         """Commit every parquet file under ``data_dir`` as one fast-append
         snapshot.  Partition values parse from hive-style paths; column
-        stats come from parquet footers (metadata-only: no row is read)."""
+        stats come from parquet footers (metadata-only: no row is read).
+        ``summary_extra`` adds caller properties to the snapshot summary
+        (the spec's free-form summary map — how the real streaming sink
+        records its epoch for replay dedup)."""
         schema = self.schema
         stat_cols = stat_cols if stat_cols is not None else [
             f["name"] for f in schema["fields"] if isinstance(f["type"], str)
@@ -507,7 +514,7 @@ class IcebergTable:
         files = _discover_data_files(data_dir, self.partition_cols, stat_cols, schema)
         if not files:
             raise ValueError(f"no parquet data files under {data_dir}")
-        return self._commit_append(files, commit_ts_ms)
+        return self._commit_append(files, commit_ts_ms, summary_extra)
 
     def append_new_files(self, data_dir: str, commit_ts_ms: int | None = None) -> dict | None:
         """Idempotent append: commit only the files under ``data_dir`` not
@@ -529,7 +536,12 @@ class IcebergTable:
             return None
         return self._commit_append(files, commit_ts_ms)
 
-    def _commit_append(self, files: list[dict], commit_ts_ms: int | None = None) -> dict:
+    def _commit_append(
+        self,
+        files: list[dict],
+        commit_ts_ms: int | None = None,
+        summary_extra: dict[str, str] | None = None,
+    ) -> dict:
         seq = self.meta["last-sequence-number"] + 1
         snap_id = seq  # deterministic snapshot ids (documented in module doc)
         ts = commit_ts_ms if commit_ts_ms is not None else _now_ms()
@@ -637,6 +649,7 @@ class IcebergTable:
                 "operation": "append",
                 "added-data-files": str(len(files)),
                 "added-records": str(added_rows),
+                **(summary_extra or {}),
             },
             "schema-id": self.meta["current-schema-id"],
         }

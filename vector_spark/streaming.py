@@ -356,3 +356,47 @@ def stream_throttle(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def stream_iceberg_sink(
+    sdf: DataFrame,
+    table,
+    checkpoint_dir: str,
+    query_name: str = "iceberg_sink",
+):
+    """Exactly-once streaming append into a jar-free Iceberg table
+    (vector_spark.iceberg.IcebergTable) — the batch topology's sink made
+    continuous (reference: a Vector sink with end-to-end acks,
+    lib/vector-common/src/finalization.rs; Iceberg side: the spec's
+    snapshot summary map, which the real Spark streaming sink uses to
+    record its epoch id for replay dedup).
+
+    Per micro-batch: (1) if a snapshot already carries this batch id in
+    its summary, the batch is a checkpoint replay -> skip (the commit is
+    durable in table metadata, so this survives driver restarts);
+    (2) otherwise stage the batch under data/b<batch_id> with
+    mode=overwrite (clobbering partial output of a failed attempt —
+    staged files are invisible until the metadata commit) and commit the
+    directory as one fast-append snapshot stamped with the batch id.
+    Returns the DataStreamWriter (caller picks trigger and starts)."""
+    import os as _os
+
+    def _write_batch(bdf: DataFrame, batch_id: int) -> None:
+        key = str(batch_id)
+        for s in table.snapshots():
+            if s.get("summary", {}).get("streaming-batch-id") == key:
+                return
+        staging = _os.path.join(table.location, "data", f"b{batch_id:012d}")
+        w = bdf.write.mode("overwrite")
+        if table.partition_cols:
+            w = w.partitionBy(*table.partition_cols)
+        w.parquet(staging)
+        table.append_parquet_dir(
+            staging, summary_extra={"streaming-batch-id": key}
+        )
+
+    return (
+        sdf.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
