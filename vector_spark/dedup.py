@@ -144,6 +144,44 @@ def minhash_signatures_exploded(
     )
 
 
+def band_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    fast: bool = False,
+) -> DataFrame:
+    """(id, band, bsig) — one row per (doc, band) with the band's signature
+    slice rendered as a join key.  This is the table an incremental-dedup
+    deployment PERSISTS (bucketed by (band, bsig)) and appends to per
+    ingest batch; both the self-join (:func:`minhash_lsh_pairs`) and the
+    new-vs-corpus probe (:func:`incremental_near_dup`) are joins on it."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    if fast:
+        with_sig = minhash_signatures_exploded(df, text_col, id_col, num_hashes, shingle_k)
+    else:
+        sh = shingles(text_col, shingle_k)
+        sig = minhash_signature(sh, num_hashes, fast=False)
+        with_sig = df.select(F.col(id_col), sig.alias("_sig"))
+    return with_sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(",", *[F.col("_sig")[b * r + i].cast("string") for i in range(r)]).alias("bsig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bsig")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -173,27 +211,7 @@ def minhash_lsh_pairs(
     bands unless they are boilerplate-identical in every band.
     """
     assert num_hashes % bands == 0
-    r = num_hashes // bands
-    if fast:
-        with_sig = minhash_signatures_exploded(df, text_col, id_col, num_hashes, shingle_k)
-    else:
-        sh = shingles(text_col, shingle_k)
-        sig = minhash_signature(sh, num_hashes, fast=False)
-        with_sig = df.select(F.col(id_col), sig.alias("_sig"))
-    band_rows = with_sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(",", *[F.col("_sig")[b * r + i].cast("string") for i in range(r)]).alias("bsig"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bsig")
+    band_rows = band_table(df, text_col, id_col, num_hashes, bands, shingle_k, fast)
     if max_bucket_size is not None:
         sizes = band_rows.groupBy("band", "bsig").agg(F.count(F.lit(1)).alias("_bn"))
         band_rows = band_rows.join(
@@ -255,6 +273,97 @@ WITH sh AS (
 SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.bsig = b.bsig AND a.{id_col} < b.{id_col}
+"""
+
+
+def incremental_near_dup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    fast: bool = False,
+) -> DataFrame:
+    """New-vs-corpus near-dedup — the ingestion-time path document-level
+    self-dedup doesn't cover: which NEW docs LSH-collide with any EXISTING
+    corpus doc.  Output: one row per matched new doc,
+    (id, n_corpus_matches, first_match) with n_corpus_matches the count of
+    DISTINCT colliding corpus docs and first_match the smallest such id
+    (band collisions are multi-counted nowhere: the distinct happens
+    before the aggregate).
+
+    Scale design (10^12-doc corpus, 10^7-doc ingest batch): the corpus
+    side of this join is exactly :func:`band_table`, which a deployment
+    persists bucketed by (band, bsig) and appends each accepted batch to —
+    so the probe computes signatures ONLY for the new batch and the join
+    co-locates by bucket without reshuffling the corpus.  Here both sides
+    derive in-plan (fixture scale); the join itself is the same."""
+    new_bands = band_table(new_df, text_col, id_col, num_hashes, bands, shingle_k, fast)
+    corpus_bands = band_table(corpus_df, text_col, id_col, num_hashes, bands, shingle_k, fast)
+    hits = (
+        new_bands.alias("n")
+        .join(
+            corpus_bands.alias("c"),
+            (F.col("n.band") == F.col("c.band")) & (F.col("n.bsig") == F.col("c.bsig")),
+        )
+        .select(F.col(f"n.{id_col}").alias(id_col), F.col(f"c.{id_col}").alias("_cid"))
+        .distinct()
+    )
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_corpus_matches"),
+        F.min("_cid").alias("first_match"),
+    )
+
+
+def sql_incremental_near_dup(
+    new_sql: str,
+    corpus_sql: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> str:
+    r = num_hashes // bands
+    w = f"list_filter(string_split_regex(trim({text_col}), '\\s+'), x -> x <> '')"
+    grams = (
+        f"list_distinct(list_transform(range(1, GREATEST(len({w}) - {shingle_k - 1}, 1) + 1), "
+        f"i -> array_to_string({w}[i:i+{shingle_k - 1}], ' ')))"
+    )
+    sig_terms = ", ".join(
+        "list_min(list_transform(_sh, s -> "
+        + portable_hash64_sql(f"s || '|{j}'")
+        + "))"
+        for j in range(num_hashes)
+    )
+    band_structs = ", ".join(
+        "{band: "
+        + str(b)
+        + ", bsig: "
+        + " || ',' || ".join(f"CAST(_sig[{b * r + i + 1}] AS VARCHAR)" for i in range(r))
+        + "}"
+        for b in range(bands)
+    )
+
+    def bands_cte(src: str) -> str:
+        return (
+            f"SELECT {id_col}, unnest([{band_structs}], recursive := true) FROM ("
+            f"SELECT {id_col}, [{sig_terms}] AS _sig FROM ("
+            f"SELECT {id_col}, {grams} AS _sh FROM ({src})))"
+        )
+
+    return f"""
+WITH nb AS ({bands_cte(new_sql)}),
+cb AS ({bands_cte(corpus_sql)}),
+hits AS (
+  SELECT DISTINCT n.{id_col} AS {id_col}, c.{id_col} AS _cid
+  FROM nb n JOIN cb c ON n.band = c.band AND n.bsig = c.bsig
+)
+SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_corpus_matches,
+       MIN(_cid) AS first_match
+FROM hits GROUP BY {id_col}
 """
 
 
