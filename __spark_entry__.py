@@ -2675,6 +2675,52 @@ def _sql_iceberg_time_travel() -> str:
     """
 
 
+def _q_iceberg_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level deletes + table maintenance, end-to-end (spec: "Position
+    Delete Files" / rewrite_data_files / expire_snapshots): a scratch
+    Iceberg copy of the corpus takes two merge-on-read DELETE commits
+    (a source-scoped takedown and a short-doc purge — no data file is
+    rewritten, the scan anti-joins the (file_path, pos) delete table),
+    is then compacted (REPLACE snapshot materializes the MOR view) and
+    expired down to one snapshot.  The aggregate over the final table
+    must equal the corpus minus exactly the deleted predicate rows."""
+    import tempfile
+
+    from vector_spark.iceberg import IcebergTable
+
+    sf = datagen.sf_from_dir(sf_dir)
+    src = spark.read.parquet(datagen.ensure_corpus(sf))
+    loc = os.path.join(tempfile.mkdtemp(prefix="ice_delete_scan_"), "tbl")
+    t = IcebergTable.create(loc, src.schema, partition_by=["source"], commit_ts_ms=1)
+    t.append_df(src, subdir="a", commit_ts_ms=2)
+    t.delete_where(spark, [("source", "=", "app"), ("n_tok", ">=", 256)], commit_ts_ms=3)
+    t.delete_where(spark, [("n_tok", "<", 16)], commit_ts_ms=4)
+    t.rewrite_data_files(spark, commit_ts_ms=5)
+    t.expire_snapshots(keep_last=1)
+    df = t.scan(spark)
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_tok").cast("bigint").alias("sum_tok"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def _sql_iceberg_delete_scan() -> str:
+    path = _corpus_sql_path()
+    return f"""
+    SELECT source,
+           count(*) AS n_rows,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM read_parquet('{path}')
+    WHERE NOT (source = 'app' AND n_tok >= 256)
+      AND NOT (n_tok < 16)
+    GROUP BY source
+    """
+
+
 def _q_pipeline_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship topology with the Iceberg corpus table as its source
     (north_rule: batch-over-Iceberg): planned manifest scan → grok parse →
@@ -2762,6 +2808,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "iceberg_scan_agg": _q_iceberg_scan_agg,
         "iceberg_time_travel": _q_iceberg_time_travel,
+        "iceberg_delete_scan": _q_iceberg_delete_scan,
         "pipeline_iceberg": _q_pipeline_iceberg,
     }
 
@@ -2838,5 +2885,6 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _sql_bm25_topk(),
         "iceberg_scan_agg": _sql_iceberg_scan_agg(),
         "iceberg_time_travel": _sql_iceberg_time_travel(),
+        "iceberg_delete_scan": _sql_iceberg_delete_scan(),
         "pipeline_iceberg": _sql_pipeline_aggregates(),
     }

@@ -266,3 +266,99 @@ def test_stream_iceberg_sink_exactly_once(spark, tmp_path):
     run(str(tmp_path / "ckpt2"))
     assert t.total_rows() == 200
     assert len(t.snapshots()) == n_snaps
+
+
+@pytest.fixture()
+def fresh_table(spark, tmp_path):
+    """Function-scoped copy of the 1000-row table (delete/compact mutate)."""
+    loc = str(tmp_path / "mor")
+    df = spark.range(1000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.sequence(F.lit(1), (F.col("id") % 5 + 1).cast("int")).alias("tokens"),
+        (F.col("id") % 5 + 1).cast("int").alias("n_tok"),
+        F.element_at(F.array(F.lit("app"), F.lit("db"), F.lit("web")), (F.col("id") % 3 + 1).cast("int")).alias("source"),
+        F.col("id").cast("long").alias("seq"),
+    )
+    t = IcebergTable.create(loc, df.schema, partition_by=["source"], commit_ts_ms=1)
+    t.append_df(df.filter("seq < 600"), subdir="a1", commit_ts_ms=2)
+    t.append_df(df.filter("seq >= 600"), subdir="a2", commit_ts_ms=3)
+    return t, df
+
+
+def test_positional_delete_merge_on_read(fresh_table, spark):
+    """delete_where commits a content=1 manifest of (file_path, pos) rows;
+    the scan anti-joins them out without touching a data file; time travel
+    to the pre-delete snapshot still sees every row (spec "Position Delete
+    Files" + "Row-level deletes")."""
+    t, df = fresh_table
+    n_data_before = len(t.plan_files())
+    snap = t.delete_where(spark, [("seq", ">=", 900)], commit_ts_ms=4)
+    assert snap["summary"]["operation"] == "delete"
+    assert snap["summary"]["added-position-deletes"] == "100"
+    assert len(t.plan_files()) == n_data_before          # zero data files rewritten
+    assert len(t.plan_delete_files()) >= 1
+    got = t.scan(spark)
+    assert got.count() == 900
+    assert got.agg(F.max("seq")).first()[0] == 899
+    # rows that survive are bit-identical to the source
+    want = df.filter("seq < 900").select("doc_id", F.col("tokens").cast("string").alias("tk"))
+    have = got.select("doc_id", F.col("tokens").cast("string").alias("tk"))
+    assert have.exceptAll(want).count() == 0 and want.exceptAll(have).count() == 0
+    # snapshot isolation: the pre-delete snapshots are untouched
+    assert t.scan(spark, snapshot_id=1).count() == 600
+    assert t.scan(spark, snapshot_id=2).count() == 1000
+    # the delete snapshot itself reads 900 via its delete manifest
+    assert t.scan(spark, snapshot_id=snap["snapshot-id"]).count() == 900
+
+
+def test_delete_compounds_and_is_idempotent(fresh_table, spark):
+    t, _ = fresh_table
+    t.delete_where(spark, [("seq", ">=", 900)], commit_ts_ms=4)
+    # re-deleting already-deleted rows matches nothing -> no empty snapshot
+    assert t.delete_where(spark, [("seq", ">=", 900)], commit_ts_ms=5) is None
+    snap2 = t.delete_where(spark, [("source", "=", "app"), ("seq", "<", 30)], commit_ts_ms=6)
+    assert snap2["summary"]["added-position-deletes"] == "10"
+    assert t.scan(spark).count() == 890
+    # deletes are path-scoped: rows appended AFTER the delete, even in the
+    # deleted key range, are untouched
+    extra = t.scan(spark, snapshot_id=2, apply_deletes=False).filter("seq >= 990") \
+        .withColumn("doc_id", F.concat(F.lit("new_"), F.col("doc_id")))
+    t.append_df(extra, subdir="a3", commit_ts_ms=7)
+    assert t.scan(spark).filter("seq >= 990").count() == 10
+
+
+def test_rewrite_data_files_compaction(fresh_table, spark):
+    """Compaction: live row set identical, delete files gone, old snapshot
+    still reconstructs the pre-compaction view via its own manifests."""
+    t, _ = fresh_table
+    t.delete_where(spark, [("seq", ">=", 900)], commit_ts_ms=4)
+    before = sorted(r[0] for r in t.scan(spark).select("doc_id").collect())
+    snap = t.rewrite_data_files(spark, commit_ts_ms=5)
+    assert snap["summary"]["operation"] == "replace"
+    assert len(t.plan_delete_files()) == 0
+    after = sorted(r[0] for r in t.scan(spark).select("doc_id").collect())
+    assert before == after
+    # pre-compaction snapshot: still 900 live rows through its delete files
+    pre = snap["parent-snapshot-id"]
+    assert t.scan(spark, snapshot_id=pre).count() == 900
+    assert t.total_rows() == 900  # metadata row count now matches live
+
+
+def test_expire_snapshots(fresh_table, spark):
+    t, _ = fresh_table
+    t.delete_where(spark, [("seq", ">=", 900)], commit_ts_ms=4)
+    t.rewrite_data_files(spark, commit_ts_ms=5)
+    old_lists = [s["manifest-list"] for s in t.snapshots()[:-1]]
+    stats = t.expire_snapshots(keep_last=1)
+    assert stats["expired"] == 3
+    assert all(not os.path.exists(p) for p in old_lists)
+    # replaced data files + delete files are orphans and were removed
+    assert stats["files_deleted"] > 0
+    # current snapshot unaffected; expired ids no longer resolvable
+    assert t.scan(spark).count() == 900
+    with pytest.raises(KeyError):
+        t.scan(spark, snapshot_id=2)
+    # reload from disk agrees
+    t2 = IcebergTable(t.location)
+    assert len(t2.snapshots()) == 1
+    assert t2.scan(spark).count() == 900

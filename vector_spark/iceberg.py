@@ -542,6 +542,27 @@ class IcebergTable:
         commit_ts_ms: int | None = None,
         summary_extra: dict[str, str] | None = None,
     ) -> dict:
+        return self._commit_files(
+            files, content=0, operation="append", carry_previous=True,
+            commit_ts_ms=commit_ts_ms, summary_extra=summary_extra,
+        )
+
+    def _commit_files(
+        self,
+        files: list[dict],
+        content: int,
+        operation: str,
+        carry_previous: bool,
+        commit_ts_ms: int | None = None,
+        summary_extra: dict[str, str] | None = None,
+    ) -> dict:
+        """One snapshot commit adding ``files`` in a single new manifest.
+
+        ``content`` selects the manifest kind (0 = data, 1 = position
+        deletes — spec "Manifests"/"Position Delete Files"); with
+        ``carry_previous`` the new manifest layers over every manifest of
+        the parent snapshot (fast-append), without it the new manifest
+        REPLACES them all (the rewrite/compaction commit)."""
         seq = self.meta["last-sequence-number"] + 1
         snap_id = seq  # deterministic snapshot ids (documented in module doc)
         ts = commit_ts_ms if commit_ts_ms is not None else _now_ms()
@@ -581,7 +602,7 @@ class IcebergTable:
                     "sequence_number": seq,
                     "file_sequence_number": seq,
                     "data_file": {
-                        "content": 0,
+                        "content": content,
                         "file_path": f["file_path"],
                         "file_format": "PARQUET",
                         "partition": part,
@@ -610,14 +631,14 @@ class IcebergTable:
                 "partition-spec": json.dumps(self.spec_fields),
                 "partition-spec-id": "0",
                 "format-version": "2",
-                "content": "data",
+                "content": "data" if content == 0 else "deletes",
             },
         )
         new_manifest = {
             "manifest_path": man_path,
             "manifest_length": man_len,
             "partition_spec_id": 0,
-            "content": 0,
+            "content": content,
             "sequence_number": seq,
             "min_sequence_number": seq,
             "added_snapshot_id": snap_id,
@@ -631,7 +652,7 @@ class IcebergTable:
         }
         prev = self.current_snapshot()
         prev_manifests = []
-        if prev is not None:
+        if prev is not None and carry_previous:
             _, _, prev_manifests = read_ocf(prev["manifest-list"])
         list_path = os.path.join(self.meta_dir, f"snap-{snap_id}-manifest-list.avro")
         write_ocf(
@@ -640,15 +661,17 @@ class IcebergTable:
             [new_manifest] + prev_manifests,
             metadata={"format-version": "2"},
         )
+        added_key = "added-data-files" if content == 0 else "added-delete-files"
+        rows_key = "added-records" if content == 0 else "added-position-deletes"
         snapshot = {
             "snapshot-id": snap_id,
             "sequence-number": seq,
             "timestamp-ms": ts,
             "manifest-list": list_path,
             "summary": {
-                "operation": "append",
-                "added-data-files": str(len(files)),
-                "added-records": str(added_rows),
+                "operation": operation,
+                added_key: str(len(files)),
+                rows_key: str(added_rows),
                 **(summary_extra or {}),
             },
             "schema-id": self.meta["current-schema-id"],
@@ -729,6 +752,8 @@ class IcebergTable:
         _, _, manifests = read_ocf(snap["manifest-list"])
         out = []
         for m in manifests:
+            if m.get("content", 0) != 0:  # delete manifests plan separately
+                continue
             if not _manifest_survives(m, filters, part_idx, part_types):
                 continue
             _, _, entries = read_ocf(m["manifest_path"])
@@ -739,19 +764,68 @@ class IcebergTable:
                     out.append(e["data_file"])
         return out
 
+    def plan_delete_files(self, snapshot_id: int | None = None) -> list[dict]:
+        """Position-delete files live in the snapshot (manifest-list
+        entries with content=1).  No partition pruning: our delete files
+        are path-scoped (file_path + pos), so application is exact by
+        path equality regardless of partition — and paths are never
+        reused, so the spec's sequence-number applicability rule (deletes
+        apply to data files with data-seq <= delete-seq) is subsumed:
+        a file rewritten later gets a NEW path the old deletes can't hit."""
+        snap = self.current_snapshot() if snapshot_id is None else self._snapshot(snapshot_id)
+        if snap is None:
+            return []
+        _, _, manifests = read_ocf(snap["manifest-list"])
+        out = []
+        for m in manifests:
+            if m.get("content", 0) != 1:
+                continue
+            _, _, entries = read_ocf(m["manifest_path"])
+            for e in entries:
+                if e["status"] != 2:
+                    out.append(e["data_file"])
+        return out
+
     def scan(
         self,
         spark: SparkSession,
         filters: list[tuple] | None = None,
         snapshot_id: int | None = None,
         with_partition_cols: bool = True,
+        apply_deletes: bool = True,
     ) -> DataFrame:
         """Planned file list → one distributed parquet read.  Partition
         columns (stripped from file contents by the hive layout) are
         re-attached from manifest partition values via a per-file-group
         union of lit() columns — no basePath coupling, so tables whose
-        manifests point at files outside ``location`` scan identically."""
+        manifests point at files outside ``location`` scan identically.
+
+        Merge-on-read: when the snapshot carries position-delete files,
+        the data read adds Spark's ``_metadata.file_path``/``row_index``
+        columns and LEFT ANTI joins the delete table on (path, pos) — a
+        broadcast join while the delete set is small, a plain shuffled
+        anti-join past that, either way distributed and O(deletes), never
+        a data rewrite (the reference for the semantics: spec "Position
+        Delete Files" + "Scan Planning")."""
         files = self.plan_files(filters, snapshot_id)
+        dels = self.plan_delete_files(snapshot_id) if apply_deletes else []
+        df = self._read_files(
+            spark, files, filters, with_partition_cols, with_meta=bool(dels)
+        )
+        if dels and files:
+            df = _anti_join_deletes(spark, df, dels).drop("_file", "_pos")
+        return df
+
+    def _read_files(
+        self,
+        spark: SparkSession,
+        files: list[dict],
+        filters: list[tuple] | None,
+        with_partition_cols: bool,
+        with_meta: bool = False,
+    ) -> DataFrame:
+        from pyspark.sql import functions as F
+
         ddl_fields = []
         for f in self.schema["fields"]:
             if f["name"] in self.partition_cols:
@@ -762,14 +836,24 @@ class IcebergTable:
             else:
                 ddl_fields.append(f"{f['name']} {_ICE_TO_SPARK[t]}")
         ddl = ", ".join(ddl_fields)
+
+        def _read(paths: list[str]) -> DataFrame:
+            df = spark.read.schema(ddl).parquet(*paths)
+            if with_meta:
+                df = df.select(
+                    "*",
+                    _strip_scheme(F.col("_metadata.file_path")).alias("_file"),
+                    F.col("_metadata.row_index").alias("_pos"),
+                )
+            return df
+
+        extras = ("_file", "_pos") if with_meta else ()
         if not files:
-            empty = spark.createDataFrame([], ddl)
-            return _attach_parts(empty, {c: None for c in self.partition_cols}, self.schema) \
+            empty = spark.createDataFrame([], ddl + (", _file string, _pos bigint" if with_meta else ""))
+            return _attach_parts(empty, {c: None for c in self.partition_cols}, self.schema, extras) \
                 if (with_partition_cols and self.partition_cols) else empty
         if not (with_partition_cols and self.partition_cols):
-            return _apply_residual(
-                spark.read.schema(ddl).parquet(*[f["file_path"] for f in files]), filters
-            )
+            return _apply_residual(_read([f["file_path"] for f in files]), filters)
         groups: dict[tuple, list[str]] = {}
         for f in files:
             key = tuple(f["partition"][c] for c in self.partition_cols)
@@ -784,11 +868,174 @@ class IcebergTable:
         dfs = []
         for key, paths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
             part_vals = dict(zip(self.partition_cols, key))
-            dfs.append(_attach_parts(spark.read.schema(ddl).parquet(*paths), part_vals, self.schema))
+            dfs.append(_attach_parts(_read(paths), part_vals, self.schema, extras))
         df = dfs[0]
         for other in dfs[1:]:
             df = df.unionByName(other)
         return _apply_residual(df, filters)
+
+    # -- row-level deletes (merge-on-read positional; spec "Position Delete
+    #    Files": schema is (file_path string, pos long), rows sorted by
+    #    file_path then pos within each delete file)
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        filters: list[tuple],
+        commit_ts_ms: int | None = None,
+    ) -> dict | None:
+        """Row-level DELETE without touching a data file: compute the
+        (file_path, pos) set of live rows matching ``filters`` and commit
+        it as position-delete parquet under a content=1 manifest.
+
+        Scale shape: manifest pruning restricts the read to candidate
+        data files, existing deletes are anti-joined out (so re-deleting
+        is a no-op and counts stay honest), and the hit set — O(deleted
+        rows), not O(table) — is repartitioned by file_path and sorted
+        (file_path, pos) within each output file as the spec requires.
+        This is the takedown/GDPR path for a 100 TB corpus: the cost is
+        proportional to the rows removed, not the rows kept.
+
+        Returns the committed snapshot, or None when nothing matched."""
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        if not filters:
+            raise ValueError("delete_where requires at least one predicate")
+        files = self.plan_files(filters)
+        if not files:
+            return None
+        df = self._read_files(spark, files, filters, with_partition_cols=True, with_meta=True)
+        dels = self.plan_delete_files()
+        if dels:
+            df = _anti_join_deletes(spark, df, dels)
+        hits = df.select(F.col("_file").alias("file_path"), F.col("_pos").alias("pos"))
+        seq = self.meta["last-sequence-number"] + 1
+        out_dir = os.path.join(self.location, "data", f"deletes-{seq}")
+        (
+            hits.repartition("file_path")
+            .sortWithinPartitions("file_path", "pos")
+            .write.mode("errorifexists")
+            .parquet(out_dir)
+        )
+        found = [
+            f
+            for f in _discover_data_files(out_dir, [], [], self.schema)
+            if f["record_count"] > 0
+        ]
+        if not found:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            return None
+        for f in found:
+            f["partition"] = {c: None for c in self.partition_cols}
+        return self._commit_files(
+            found, content=1, operation="delete", carry_previous=True,
+            commit_ts_ms=commit_ts_ms,
+        )
+
+    # -- maintenance: compaction + snapshot expiration
+
+    def rewrite_data_files(
+        self, spark: SparkSession, commit_ts_ms: int | None = None
+    ) -> dict:
+        """Compaction (the rewrite_data_files maintenance action): read
+        the live rows (position deletes applied), write them back as
+        fresh right-sized parquet per partition, and commit a REPLACE
+        snapshot whose manifest list contains ONLY the new data manifest
+        — every earlier data file AND delete file falls out of the
+        current snapshot (but stays readable via time travel until
+        ``expire_snapshots``).  At 10^12 rows this runs per-partition and
+        is the standing answer to small-file buildup from streaming
+        appends and to delete-file accumulation from takedowns."""
+        seq = self.meta["last-sequence-number"] + 1
+        data_dir = os.path.join(self.location, "data", f"rewrite-{seq}")
+        live = self.scan(spark)
+        w = live.write.mode("errorifexists")
+        if self.partition_cols:
+            w = w.partitionBy(*self.partition_cols)
+        w.parquet(data_dir)
+        schema = self.schema
+        stat_cols = [
+            f["name"] for f in schema["fields"]
+            if isinstance(f["type"], str) and f["type"] in _AVRO_OF_ICE
+        ]
+        n_before = len(self.plan_files())
+        n_dels = len(self.plan_delete_files())
+        files = _discover_data_files(data_dir, self.partition_cols, stat_cols, schema)
+        return self._commit_files(
+            files, content=0, operation="replace", carry_previous=False,
+            commit_ts_ms=commit_ts_ms,
+            summary_extra={
+                "deleted-data-files": str(n_before),
+                "removed-delete-files": str(n_dels),
+            },
+        )
+
+    def expire_snapshots(
+        self,
+        keep_last: int = 1,
+        older_than_ms: int | None = None,
+        clean_orphans: bool = True,
+    ) -> dict:
+        """Expire old snapshots: drop them from table metadata and delete
+        the metadata files (manifest lists, then manifests referenced by
+        no surviving snapshot) — and, with ``clean_orphans``, data/delete
+        files referenced only by expired manifests (the replaced originals
+        after a compaction).  The current snapshot always survives.
+        Driver-side and O(manifests): no data is read."""
+        snaps = self.meta["snapshots"]
+        current = self.meta["current-snapshot-id"]
+        ordered = sorted(snaps, key=lambda s: s["sequence-number"])
+        keep = {s["snapshot-id"] for s in ordered[-max(1, keep_last):]}
+        keep.add(current)
+        if older_than_ms is not None:
+            keep |= {s["snapshot-id"] for s in snaps if s["timestamp-ms"] >= older_than_ms}
+        expired = [s for s in snaps if s["snapshot-id"] not in keep]
+        if not expired:
+            return {"expired": 0, "manifests_deleted": 0, "files_deleted": 0}
+
+        def _manifest_paths(snap: dict) -> set[str]:
+            _, _, ms = read_ocf(snap["manifest-list"])
+            return {m["manifest_path"] for m in ms}
+
+        surviving_manifests: set[str] = set()
+        for s in snaps:
+            if s["snapshot-id"] in keep:
+                surviving_manifests |= _manifest_paths(s)
+        dead_manifests: set[str] = set()
+        for s in expired:
+            dead_manifests |= _manifest_paths(s) - surviving_manifests
+
+        surviving_files: set[str] = set()
+        if clean_orphans:
+            for mp in surviving_manifests:
+                _, _, entries = read_ocf(mp)
+                surviving_files |= {e["data_file"]["file_path"] for e in entries}
+        files_deleted = 0
+        for mp in sorted(dead_manifests):
+            if clean_orphans:
+                _, _, entries = read_ocf(mp)
+                for e in entries:
+                    p = e["data_file"]["file_path"]
+                    if p not in surviving_files and os.path.exists(p):
+                        os.remove(p)
+                        files_deleted += 1
+            os.remove(mp)
+        for s in expired:
+            if os.path.exists(s["manifest-list"]):
+                os.remove(s["manifest-list"])
+        self.meta["snapshots"] = [s for s in snaps if s["snapshot-id"] in keep]
+        self.meta["snapshot-log"] = [
+            e for e in self.meta["snapshot-log"] if e["snapshot-id"] in keep
+        ]
+        self.meta["last-updated-ms"] = _now_ms()
+        self._write_metadata(self.meta["_version"] + 1)
+        return {
+            "expired": len(expired),
+            "manifests_deleted": len(dead_manifests),
+            "files_deleted": files_deleted,
+        }
 
     def _snapshot(self, snapshot_id: int) -> dict | None:
         for s in self.meta["snapshots"]:
@@ -819,7 +1066,9 @@ def _apply_residual(df: DataFrame, filters: list[tuple] | None) -> DataFrame:
     return df
 
 
-def _attach_parts(df: DataFrame, part_vals: dict, schema: dict) -> DataFrame:
+def _attach_parts(
+    df: DataFrame, part_vals: dict, schema: dict, extras: tuple = ()
+) -> DataFrame:
     from pyspark.sql import functions as F
 
     for name, val in part_vals.items():
@@ -830,7 +1079,37 @@ def _attach_parts(df: DataFrame, part_vals: dict, schema: dict) -> DataFrame:
             col = F.lit(val).cast(t)
         df = df.withColumn(name, col)
     # restore declared column order
-    return df.select(*[f["name"] for f in schema["fields"]])
+    return df.select(*[f["name"] for f in schema["fields"]], *extras)
+
+
+def _strip_scheme(col):
+    """``_metadata.file_path`` is a URI (file:///x); manifests store plain
+    absolute paths — normalize so delete-file paths match manifest paths."""
+    from pyspark.sql import functions as F
+
+    return F.when(
+        col.startswith("file:"),
+        F.concat(F.lit("/"), F.regexp_replace(col, "^file:/+", "")),
+    ).otherwise(col)
+
+
+def _anti_join_deletes(spark: SparkSession, df: DataFrame, dels: list[dict]) -> DataFrame:
+    """LEFT ANTI join the (file_path, pos) delete table out of a data read
+    carrying ``_file``/``_pos``.  Broadcast while the delete set is small
+    (it usually is — takedowns are rare relative to the corpus); past the
+    threshold Spark plans an ordinary shuffled anti-join, still O(deletes +
+    data), never a rewrite."""
+    from pyspark.sql import functions as F
+
+    n_del = sum(d["record_count"] for d in dels)
+    del_df = (
+        spark.read.schema("file_path string, pos bigint")
+        .parquet(*[d["file_path"] for d in dels])
+    )
+    if n_del <= 4_000_000:
+        del_df = F.broadcast(del_df)
+    cond = (df["_file"] == del_df["file_path"]) & (df["_pos"] == del_df["pos"])
+    return df.join(del_df, cond, "left_anti")
 
 
 # ---------------------------------------------------------------------------
