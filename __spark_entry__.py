@@ -2721,6 +2721,59 @@ def _sql_iceberg_delete_scan() -> str:
     """
 
 
+def _q_iceberg_upsert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality deletes + row-level UPSERT (spec "Equality Delete Files"):
+    a scratch Iceberg copy of the corpus takes (1) an UPSERT — one
+    snapshot committing modified rows for the bucket-0 twentieth of
+    doc_ids (n_tok + 1000) plus their keys as an equality-delete file at
+    the SAME sequence number, so the new rows survive their own delete —
+    then (2) an O(keys) equality-delete takedown of the bucket-1
+    twentieth, which reads and writes NO table data.  The scan's
+    broadcast key-join (strict sequence rule) must reproduce DuckDB's
+    CASE/anti-filter over the raw corpus exactly."""
+    import tempfile
+
+    from vector_spark.iceberg import IcebergTable
+
+    sf = datagen.sf_from_dir(sf_dir)
+    src = spark.read.parquet(datagen.ensure_corpus(sf))
+    loc = os.path.join(tempfile.mkdtemp(prefix="ice_upsert_scan_"), "tbl")
+    t = IcebergTable.create(loc, src.schema, partition_by=["source"], commit_ts_ms=1)
+    t.append_df(src, subdir="a", commit_ts_ms=2)
+    bucket = portable_bucket("doc_id", 20)
+    mod = src.filter(bucket == 0).withColumn(
+        "n_tok", (F.col("n_tok") + 1000).cast("int")
+    )
+    t.upsert(spark, mod, ["doc_id"], commit_ts_ms=3)
+    t.delete_by_key(spark, src.filter(bucket == 1).select("doc_id"), commit_ts_ms=4)
+    df = t.scan(spark)
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_tok").cast("bigint").alias("sum_tok"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def _sql_iceberg_upsert_scan() -> str:
+    path = _corpus_sql_path()
+    b = portable_bucket_sql("doc_id", 20)
+    return f"""
+    WITH base AS (
+        SELECT doc_id, n_tok, source, {b} AS b
+        FROM read_parquet('{path}')
+    )
+    SELECT source,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN b = 0 THEN n_tok + 1000 ELSE n_tok END) AS BIGINT) AS sum_tok,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM base
+    WHERE b <> 1
+    GROUP BY source
+    """
+
+
 def _q_pipeline_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship topology with the Iceberg corpus table as its source
     (north_rule: batch-over-Iceberg): planned manifest scan → grok parse →
@@ -2809,6 +2862,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_scan_agg": _q_iceberg_scan_agg,
         "iceberg_time_travel": _q_iceberg_time_travel,
         "iceberg_delete_scan": _q_iceberg_delete_scan,
+        "iceberg_upsert_scan": _q_iceberg_upsert_scan,
         "pipeline_iceberg": _q_pipeline_iceberg,
     }
 
@@ -2886,5 +2940,6 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_scan_agg": _sql_iceberg_scan_agg(),
         "iceberg_time_travel": _sql_iceberg_time_travel(),
         "iceberg_delete_scan": _sql_iceberg_delete_scan(),
+        "iceberg_upsert_scan": _sql_iceberg_upsert_scan(),
         "pipeline_iceberg": _sql_pipeline_aggregates(),
     }

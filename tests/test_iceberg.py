@@ -362,3 +362,52 @@ def test_expire_snapshots(fresh_table, spark):
     t2 = IcebergTable(t.location)
     assert len(t2.snapshots()) == 1
     assert t2.scan(spark).count() == 900
+
+
+def test_equality_delete_by_key(fresh_table, spark):
+    """Equality deletes (spec "Equality Delete Files"): O(keys) commit, no
+    data read; applies only to STRICTLY older sequence numbers."""
+    t, df = fresh_table
+    n_data = len(t.plan_files())
+    keys = spark.createDataFrame([(f"d{i}",) for i in range(10)], "doc_id string")
+    snap = t.delete_by_key(spark, keys, commit_ts_ms=4)
+    assert snap["summary"]["added-equality-deletes"] == "10"
+    assert len(t.plan_files()) == n_data       # no data file touched
+    assert t.scan(spark).count() == 990
+    assert t.scan(spark).filter("doc_id = 'd3'").count() == 0
+    # strictly-newer data with the same key survives the older delete
+    t.append_df(
+        df.filter("doc_id = 'd3'").withColumn("n_tok", F.lit(99)),
+        subdir="re", commit_ts_ms=5,
+    )
+    got = t.scan(spark).filter("doc_id = 'd3'").collect()
+    assert [(r["doc_id"], r["n_tok"]) for r in got] == [("d3", 99)]
+
+
+def test_upsert_same_sequence_semantics(fresh_table, spark):
+    """UPSERT = data manifest + equality-delete manifest in ONE snapshot at
+    one sequence number: old rows with matching keys hidden, the commit's
+    own rows (same seq, strict rule) survive, new keys inserted."""
+    t, df = fresh_table
+    up = df.filter("seq IN (10, 11)").withColumn("n_tok", F.lit(777))
+    new = spark.createDataFrame(
+        [("zz1", [1, 2], 2, "app", 5000), ("zz2", [3], 1, "db", 5001)],
+        "doc_id string, tokens array<int>, n_tok int, source string, seq long",
+    )
+    snap = t.upsert(spark, up.unionByName(new), ["doc_id"], commit_ts_ms=4)
+    assert snap["summary"]["operation"] == "overwrite"
+    cur = t.scan(spark)
+    assert cur.count() == 1002  # 1000 - 2 replaced + 2 replacements + 2 new
+    assert {r["n_tok"] for r in cur.filter("doc_id IN ('d10','d11')").collect()} == {777}
+    assert cur.filter("doc_id IN ('zz1','zz2')").count() == 2
+    # upserts stack: a second upsert of the same key wins
+    up2 = up.filter("doc_id = 'd10'").withColumn("n_tok", F.lit(888))
+    t.upsert(spark, up2, ["doc_id"], commit_ts_ms=5)
+    assert t.scan(spark).filter("doc_id = 'd10'").first()["n_tok"] == 888
+    # positional + equality deletes compose; compaction clears both
+    t.delete_where(spark, [("seq", ">=", 5000)], commit_ts_ms=6)
+    assert t.scan(spark).count() == 1000
+    t.rewrite_data_files(spark, commit_ts_ms=7)
+    assert len(t.plan_delete_files()) == 0
+    assert t.scan(spark).count() == 1000
+    assert t.scan(spark).filter("doc_id = 'd10'").first()["n_tok"] == 888

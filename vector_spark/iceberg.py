@@ -242,6 +242,13 @@ def _manifest_schema(partition_fields: list[dict]) -> dict:
                 "default": None,
                 "field-id": 128,
             },
+            # field ids of the columns an equality-delete file matches on
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int"}],
+                "default": None,
+                "field-id": 135,
+            },
         ],
     }
     return {
@@ -556,13 +563,31 @@ class IcebergTable:
         commit_ts_ms: int | None = None,
         summary_extra: dict[str, str] | None = None,
     ) -> dict:
-        """One snapshot commit adding ``files`` in a single new manifest.
+        return self._commit_snapshot(
+            [(files, content, None)], operation, carry_previous,
+            commit_ts_ms, summary_extra,
+        )
 
-        ``content`` selects the manifest kind (0 = data, 1 = position
-        deletes — spec "Manifests"/"Position Delete Files"); with
-        ``carry_previous`` the new manifest layers over every manifest of
-        the parent snapshot (fast-append), without it the new manifest
-        REPLACES them all (the rewrite/compaction commit)."""
+    def _commit_snapshot(
+        self,
+        sets: list[tuple[list[dict], int, list[int] | None]],
+        operation: str,
+        carry_previous: bool,
+        commit_ts_ms: int | None = None,
+        summary_extra: dict[str, str] | None = None,
+    ) -> dict:
+        """One snapshot commit writing one new manifest per ``(files,
+        content, equality_ids)`` set, all under the same sequence number.
+
+        ``content`` selects the file kind (0 = data, 1 = position deletes,
+        2 = equality deletes — spec "Manifests"/"Delete Files"; kinds 1/2
+        land in a content=1 deletes manifest).  Committing a data set AND
+        an equality-delete set at the same sequence number is the spec's
+        row-level upsert: the deletes apply only to STRICTLY older data,
+        so the new rows survive their own delete keys.  With
+        ``carry_previous`` the new manifests layer over every manifest of
+        the parent snapshot (fast-append); without it they REPLACE them
+        all (the rewrite/compaction commit)."""
         seq = self.meta["last-sequence-number"] + 1
         snap_id = seq  # deterministic snapshot ids (documented in module doc)
         ts = commit_ts_ms if commit_ts_ms is not None else _now_ms()
@@ -576,80 +601,94 @@ class IcebergTable:
             for f in self.spec_fields
         ]
         man_schema = _manifest_schema(pf_meta)
-        entries = []
-        added_rows = 0
-        summaries = [
-            {"contains_null": False, "contains_nan": None, "lower_bound": None, "upper_bound": None}
-            for _ in pf_meta
-        ]
-        for f in files:
-            part = {}
-            for i, pf in enumerate(pf_meta):
-                raw = f["partition"].get(pf["name"])
-                val = _coerce_part(raw, pf["ice_type"])
-                part[pf["name"]] = val
-                if val is None:
-                    summaries[i]["contains_null"] = True
-                else:
-                    b = ser_bound(val, pf["ice_type"])
-                    lo, hi = summaries[i]["lower_bound"], summaries[i]["upper_bound"]
-                    summaries[i]["lower_bound"] = b if lo is None or _cmp_bound(val, lo, pf["ice_type"]) < 0 else lo
-                    summaries[i]["upper_bound"] = b if hi is None or _cmp_bound(val, hi, pf["ice_type"]) > 0 else hi
-            entries.append(
+        new_manifests = []
+        n_data_files = n_data_rows = n_del_files = n_del_rows = 0
+        for set_idx, (files, content, equality_ids) in enumerate(sets):
+            entries = []
+            added_rows = 0
+            summaries = [
+                {"contains_null": False, "contains_nan": None, "lower_bound": None, "upper_bound": None}
+                for _ in pf_meta
+            ]
+            for f in files:
+                part = {}
+                for i, pf in enumerate(pf_meta):
+                    raw = f["partition"].get(pf["name"])
+                    val = _coerce_part(raw, pf["ice_type"])
+                    part[pf["name"]] = val
+                    if val is None:
+                        summaries[i]["contains_null"] = True
+                    else:
+                        b = ser_bound(val, pf["ice_type"])
+                        lo, hi = summaries[i]["lower_bound"], summaries[i]["upper_bound"]
+                        summaries[i]["lower_bound"] = b if lo is None or _cmp_bound(val, lo, pf["ice_type"]) < 0 else lo
+                        summaries[i]["upper_bound"] = b if hi is None or _cmp_bound(val, hi, pf["ice_type"]) > 0 else hi
+                entries.append(
+                    {
+                        "status": 1,  # ADDED
+                        "snapshot_id": snap_id,
+                        "sequence_number": seq,
+                        "file_sequence_number": seq,
+                        "data_file": {
+                            "content": content,
+                            "file_path": f["file_path"],
+                            "file_format": "PARQUET",
+                            "partition": part,
+                            "record_count": f["record_count"],
+                            "file_size_in_bytes": f["file_size_in_bytes"],
+                            "null_value_counts": [
+                                {"key": k, "value": v} for k, v in sorted(f["null_value_counts"].items())
+                            ],
+                            "lower_bounds": [
+                                {"key": k, "value": v} for k, v in sorted(f["lower_bounds"].items())
+                            ],
+                            "upper_bounds": [
+                                {"key": k, "value": v} for k, v in sorted(f["upper_bounds"].items())
+                            ],
+                            "equality_ids": equality_ids,
+                        },
+                    }
+                )
+                added_rows += f["record_count"]
+            if content == 0:
+                n_data_files += len(files)
+                n_data_rows += added_rows
+            else:
+                n_del_files += len(files)
+                n_del_rows += added_rows
+            man_path = os.path.join(
+                self.meta_dir, f"manifest-{seq}-{snap_id}-{set_idx}.avro"
+            )
+            man_len = write_ocf(
+                man_path,
+                man_schema,
+                entries,
+                metadata={
+                    "schema": json.dumps(self.schema),
+                    "partition-spec": json.dumps(self.spec_fields),
+                    "partition-spec-id": "0",
+                    "format-version": "2",
+                    "content": "data" if content == 0 else "deletes",
+                },
+            )
+            new_manifests.append(
                 {
-                    "status": 1,  # ADDED
-                    "snapshot_id": snap_id,
+                    "manifest_path": man_path,
+                    "manifest_length": man_len,
+                    "partition_spec_id": 0,
+                    "content": 0 if content == 0 else 1,
                     "sequence_number": seq,
-                    "file_sequence_number": seq,
-                    "data_file": {
-                        "content": content,
-                        "file_path": f["file_path"],
-                        "file_format": "PARQUET",
-                        "partition": part,
-                        "record_count": f["record_count"],
-                        "file_size_in_bytes": f["file_size_in_bytes"],
-                        "null_value_counts": [
-                            {"key": k, "value": v} for k, v in sorted(f["null_value_counts"].items())
-                        ],
-                        "lower_bounds": [
-                            {"key": k, "value": v} for k, v in sorted(f["lower_bounds"].items())
-                        ],
-                        "upper_bounds": [
-                            {"key": k, "value": v} for k, v in sorted(f["upper_bounds"].items())
-                        ],
-                    },
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                    "added_files_count": len(files),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": added_rows,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                    "partitions": summaries if pf_meta else None,
                 }
             )
-            added_rows += f["record_count"]
-        man_path = os.path.join(self.meta_dir, f"manifest-{seq}-{snap_id}.avro")
-        man_len = write_ocf(
-            man_path,
-            man_schema,
-            entries,
-            metadata={
-                "schema": json.dumps(self.schema),
-                "partition-spec": json.dumps(self.spec_fields),
-                "partition-spec-id": "0",
-                "format-version": "2",
-                "content": "data" if content == 0 else "deletes",
-            },
-        )
-        new_manifest = {
-            "manifest_path": man_path,
-            "manifest_length": man_len,
-            "partition_spec_id": 0,
-            "content": content,
-            "sequence_number": seq,
-            "min_sequence_number": seq,
-            "added_snapshot_id": snap_id,
-            "added_files_count": len(files),
-            "existing_files_count": 0,
-            "deleted_files_count": 0,
-            "added_rows_count": added_rows,
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-            "partitions": summaries if pf_meta else None,
-        }
         prev = self.current_snapshot()
         prev_manifests = []
         if prev is not None and carry_previous:
@@ -658,22 +697,27 @@ class IcebergTable:
         write_ocf(
             list_path,
             _MANIFEST_LIST_SCHEMA,
-            [new_manifest] + prev_manifests,
+            new_manifests + prev_manifests,
             metadata={"format-version": "2"},
         )
-        added_key = "added-data-files" if content == 0 else "added-delete-files"
-        rows_key = "added-records" if content == 0 else "added-position-deletes"
+        summary = {"operation": operation}
+        if n_data_files:
+            summary["added-data-files"] = str(n_data_files)
+            summary["added-records"] = str(n_data_rows)
+        if n_del_files:
+            summary["added-delete-files"] = str(n_del_files)
+            del_kind = sets[-1][1] if sets[-1][1] != 0 else sets[0][1]
+            rows_key = (
+                "added-position-deletes" if del_kind == 1 else "added-equality-deletes"
+            )
+            summary[rows_key] = str(n_del_rows)
+        summary.update(summary_extra or {})
         snapshot = {
             "snapshot-id": snap_id,
             "sequence-number": seq,
             "timestamp-ms": ts,
             "manifest-list": list_path,
-            "summary": {
-                "operation": operation,
-                added_key: str(len(files)),
-                rows_key: str(added_rows),
-                **(summary_extra or {}),
-            },
+            "summary": summary,
             "schema-id": self.meta["current-schema-id"],
         }
         if prev is not None:
@@ -761,17 +805,23 @@ class IcebergTable:
                 if e["status"] == 2:  # DELETED
                     continue
                 if _file_survives(e["data_file"], filters, part_types, self.schema):
-                    out.append(e["data_file"])
+                    d = dict(e["data_file"])
+                    d["_seq"] = e["sequence_number"]
+                    out.append(d)
         return out
 
     def plan_delete_files(self, snapshot_id: int | None = None) -> list[dict]:
-        """Position-delete files live in the snapshot (manifest-list
-        entries with content=1).  No partition pruning: our delete files
-        are path-scoped (file_path + pos), so application is exact by
-        path equality regardless of partition — and paths are never
-        reused, so the spec's sequence-number applicability rule (deletes
-        apply to data files with data-seq <= delete-seq) is subsumed:
-        a file rewritten later gets a NEW path the old deletes can't hit."""
+        """Delete files live in the snapshot's content=1 manifests; each
+        entry's ``content`` says which kind (1 = positional, 2 = equality).
+
+        Positional deletes need no sequence check in this layer: they are
+        path-scoped (file_path + pos) and paths are never reused, so the
+        spec's applicability rule (deletes apply to data-seq <= delete-seq)
+        is subsumed — a file rewritten later has a NEW path the old deletes
+        can't hit.  Equality deletes DO carry their sequence number out
+        (``_seq``): they apply only to data files with STRICTLY smaller
+        sequence numbers, which is what lets an upsert's own rows survive
+        its own delete keys."""
         snap = self.current_snapshot() if snapshot_id is None else self._snapshot(snapshot_id)
         if snap is None:
             return []
@@ -783,7 +833,9 @@ class IcebergTable:
             _, _, entries = read_ocf(m["manifest_path"])
             for e in entries:
                 if e["status"] != 2:
-                    out.append(e["data_file"])
+                    d = dict(e["data_file"])
+                    d["_seq"] = e["sequence_number"]
+                    out.append(d)
         return out
 
     def scan(
@@ -813,8 +865,81 @@ class IcebergTable:
             spark, files, filters, with_partition_cols, with_meta=bool(dels)
         )
         if dels and files:
-            df = _anti_join_deletes(spark, df, dels).drop("_file", "_pos")
+            df = self._apply_deletes(spark, df, dels, files).drop("_file", "_pos")
         return df
+
+    def _apply_deletes(
+        self, spark: SparkSession, df: DataFrame, dels: list[dict], data_files: list[dict]
+    ) -> DataFrame:
+        """Apply both delete kinds to a data read carrying ``_file``/``_pos``."""
+        pos = [d for d in dels if d.get("content", 1) == 1]
+        eq = [d for d in dels if d.get("content") == 2]
+        if pos:
+            df = _anti_join_deletes(spark, df, pos)
+        if eq:
+            df = self._apply_equality_deletes(spark, df, eq, data_files)
+        return df
+
+    def _apply_equality_deletes(
+        self, spark: SparkSession, df: DataFrame, eq_dels: list[dict], data_files: list[dict]
+    ) -> DataFrame:
+        """Equality deletes (spec "Equality Delete Files"): a delete file
+        holds key-column VALUES and applies to every data file with a
+        strictly smaller sequence number.  Application: broadcast-join the
+        O(files) path→sequence map onto the read, reduce the delete keys to
+        max(delete-seq) per key, LEFT join on the key columns, and keep a
+        row unless a strictly newer delete key matches.  The exchange
+        carries only the delete keys and the file map — O(deletes + files),
+        never O(table)."""
+        from pyspark.sql import functions as F
+
+        id_to_name = {f["id"]: f["name"] for f in self.schema["fields"]}
+        seq_map = F.broadcast(
+            spark.createDataFrame(
+                [(f["file_path"], int(f["_seq"])) for f in data_files],
+                "_sm_file string, _data_seq bigint",
+            )
+        )
+        df = df.join(seq_map, df["_file"] == seq_map["_sm_file"], "left").drop("_sm_file")
+        groups: dict[tuple, list[dict]] = {}
+        for d in eq_dels:
+            groups.setdefault(tuple(d["equality_ids"]), []).append(d)
+        for ids, files in sorted(groups.items()):
+            cols = [id_to_name[i] for i in ids]
+            ddl = ", ".join(
+                f"_ek_{c} {_ICE_TO_SPARK[_field_type(self.schema, c)]}" for c in cols
+            )
+            parts = []
+            for f in files:
+                one = spark.read.schema(
+                    ", ".join(f"{c} {_ICE_TO_SPARK[_field_type(self.schema, c)]}" for c in cols)
+                ).parquet(f["file_path"])
+                parts.append(
+                    one.select(
+                        *[F.col(c).alias(f"_ek_{c}") for c in cols],
+                        F.lit(int(f["_seq"])).alias("_eq_seq"),
+                    )
+                )
+            keys = parts[0]
+            for p in parts[1:]:
+                keys = keys.unionByName(p)
+            keys = keys.groupBy(*[f"_ek_{c}" for c in cols]).agg(
+                F.max("_eq_seq").alias("_eq_seq")
+            )
+            n_keys = sum(f["record_count"] for f in files)
+            if n_keys <= 4_000_000:
+                keys = F.broadcast(keys)
+            cond = None
+            for c in cols:
+                # null-safe: Iceberg equality deletes match NULL keys to NULLs
+                clause = df[c].eqNullSafe(keys[f"_ek_{c}"])
+                cond = clause if cond is None else (cond & clause)
+            df = (
+                df.join(keys, cond, "left")
+                .filter(F.col("_eq_seq").isNull() | (F.col("_eq_seq") <= F.col("_data_seq")))
+                .drop(*[f"_ek_{c}" for c in cols], "_eq_seq")
+            )
+        return df.drop("_data_seq")
 
     def _read_files(
         self,
@@ -909,7 +1034,7 @@ class IcebergTable:
         df = self._read_files(spark, files, filters, with_partition_cols=True, with_meta=True)
         dels = self.plan_delete_files()
         if dels:
-            df = _anti_join_deletes(spark, df, dels)
+            df = self._apply_deletes(spark, df, dels, files)
         hits = df.select(F.col("_file").alias("file_path"), F.col("_pos").alias("pos"))
         seq = self.meta["last-sequence-number"] + 1
         out_dir = os.path.join(self.location, "data", f"deletes-{seq}")
@@ -932,6 +1057,91 @@ class IcebergTable:
         return self._commit_files(
             found, content=1, operation="delete", carry_previous=True,
             commit_ts_ms=commit_ts_ms,
+        )
+
+    def delete_by_key(
+        self,
+        spark: SparkSession,
+        keys_df: DataFrame,
+        key_cols: list[str] | None = None,
+        commit_ts_ms: int | None = None,
+    ) -> dict:
+        """Equality DELETE (spec "Equality Delete Files"): commit the key
+        VALUES as a delete file — **no table data is read or written**.
+        This is the O(keys) takedown: removing a million doc_ids from a
+        100 TB table is one tiny parquet write plus a metadata commit;
+        the cost moves to scan time (one broadcast join) and is
+        permanently retired by the next ``rewrite_data_files``.
+
+        A key appended again AFTER this commit is visible — the delete
+        applies only to strictly older data (sequence-number rule)."""
+        key_cols = key_cols or list(keys_df.columns)
+        eq_ids = [_field_id(self.schema, c) for c in key_cols]
+        seq = self.meta["last-sequence-number"] + 1
+        out_dir = os.path.join(self.location, "data", f"eqdel-{seq}")
+        (
+            keys_df.select(*key_cols).distinct()
+            .coalesce(1)
+            .sortWithinPartitions(*key_cols)
+            .write.mode("errorifexists")
+            .parquet(out_dir)
+        )
+        found = [
+            f
+            for f in _discover_data_files(out_dir, [], [], self.schema)
+            if f["record_count"] > 0
+        ]
+        for f in found:
+            f["partition"] = {c: None for c in self.partition_cols}
+        return self._commit_snapshot(
+            [(found, 2, eq_ids)], "delete", True, commit_ts_ms
+        )
+
+    def upsert(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        key_cols: list[str],
+        commit_ts_ms: int | None = None,
+    ) -> dict:
+        """Row-level UPSERT (the CDC/MERGE write path): one snapshot
+        committing the new rows as data files AND their keys as an
+        equality-delete file at the SAME sequence number.  The spec's
+        strict sequence rule makes this atomic and self-consistent: the
+        delete hides every OLDER row with a matching key while the rows
+        written in this very commit survive.  Cost is O(upserted rows);
+        no existing data file is read or rewritten."""
+        seq = self.meta["last-sequence-number"] + 1
+        data_dir = os.path.join(self.location, "data", f"u{seq}")
+        w = df.write.mode("errorifexists")
+        if self.partition_cols:
+            w = w.partitionBy(*self.partition_cols)
+        w.parquet(data_dir)
+        eq_dir = os.path.join(self.location, "data", f"eqdel-{seq}")
+        (
+            df.select(*key_cols).distinct()
+            .coalesce(1)
+            .sortWithinPartitions(*key_cols)
+            .write.mode("errorifexists")
+            .parquet(eq_dir)
+        )
+        schema = self.schema
+        stat_cols = [
+            f["name"] for f in schema["fields"]
+            if isinstance(f["type"], str) and f["type"] in _AVRO_OF_ICE
+        ]
+        data_files = _discover_data_files(data_dir, self.partition_cols, stat_cols, schema)
+        del_files = [
+            f
+            for f in _discover_data_files(eq_dir, [], [], schema)
+            if f["record_count"] > 0
+        ]
+        for f in del_files:
+            f["partition"] = {c: None for c in self.partition_cols}
+        eq_ids = [_field_id(schema, c) for c in key_cols]
+        return self._commit_snapshot(
+            [(data_files, 0, None), (del_files, 2, eq_ids)],
+            "overwrite", True, commit_ts_ms,
         )
 
     # -- maintenance: compaction + snapshot expiration
