@@ -411,3 +411,92 @@ def test_upsert_same_sequence_semantics(fresh_table, spark):
     assert len(t.plan_delete_files()) == 0
     assert t.scan(spark).count() == 1000
     assert t.scan(spark).filter("doc_id = 'd10'").first()["n_tok"] == 888
+
+
+def test_sorted_compaction_improves_pruning(spark, tmp_path):
+    """sort_by rewrite: interleaved appends give every file full-range
+    min/max bounds (no file prunes); after a sorted compaction each file
+    covers a narrow range and point/range predicates prune most files."""
+    loc = str(tmp_path / "sorted")
+    df = spark.range(4000).select(
+        F.col("id").alias("n"),
+        # interleave so every written file spans ~the full n range
+        (F.col("id") % 8).alias("shard"),
+    )
+    t = IcebergTable.create(loc, df.schema, commit_ts_ms=1)
+    t.append_df(df.repartition(8, "shard"), subdir="a", commit_ts_ms=2)
+    assert len(t.plan_files([("n", ">=", 3900)])) == len(t.plan_files())  # nothing prunes
+    t.rewrite_data_files(spark, commit_ts_ms=3, sort_by=["n"], files_per_partition=8)
+    assert t.meta["default-sort-order-id"] == 1
+    pruned = t.plan_files([("n", ">=", 3900)])
+    assert 0 < len(pruned) < len(t.plan_files()) / 2
+    # correctness unchanged
+    assert t.scan(spark, [("n", ">=", 3900)]).count() == 100
+    assert t.scan(spark).count() == 4000
+
+
+def test_stream_iceberg_upsert_sink(spark, tmp_path):
+    """CDC/upsert streaming sink: each micro-batch commits rows + their
+    equality-delete keys at one sequence number, so the latest batch wins
+    per key; the batch-id replay protocol still guarantees exactly-once."""
+    from vector_spark.streaming import stream_from_directory, stream_iceberg_sink
+
+    src = tmp_path / "cdc_in"
+    ddl = "doc_id string, val int, source string"
+    wave1 = spark.range(100).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.lit(1).alias("val"),
+        F.element_at(
+            F.array(F.lit("app"), F.lit("db")), (F.col("id") % 2 + 1).cast("int")
+        ).alias("source"),
+    )
+    wave1.coalesce(2).write.parquet(str(src))
+    loc = str(tmp_path / "cdc_tbl")
+    t = IcebergTable.create(loc, wave1.schema, partition_by=["source"], commit_ts_ms=1)
+
+    def run(checkpoint):
+        stream = stream_from_directory(spark, str(src), ddl, maxFilesPerTrigger=2)
+        q = (
+            stream_iceberg_sink(stream, t, checkpoint, key_cols=["doc_id"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    ckpt = str(tmp_path / "cdc_ckpt")
+    run(ckpt)
+    assert t.scan(spark).count() == 100
+    assert t.scan(spark).agg(F.max("val")).first()[0] == 1
+
+    # second wave: UPDATE d0..d49 (val=2), INSERT d100..d149
+    wave2 = spark.range(50).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.lit(2).alias("val"),
+        F.element_at(
+            F.array(F.lit("app"), F.lit("db")), (F.col("id") % 2 + 1).cast("int")
+        ).alias("source"),
+    ).unionByName(
+        spark.range(100, 150).select(
+            F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+            F.lit(1).alias("val"),
+            F.lit("app").alias("source"),
+        )
+    )
+    wave2.coalesce(1).write.mode("append").parquet(str(src))
+    run(ckpt)  # same checkpoint: only the new files process
+    cur = t.scan(spark)
+    assert cur.count() == 150
+    assert cur.filter("val = 2").count() == 50
+    assert cur.filter("doc_id = 'd3'").first()["val"] == 2
+    assert cur.filter("doc_id = 'd73'").first()["val"] == 1
+    n_snaps = len(t.snapshots())
+
+    # fresh checkpoint replays every batch -> batch-id dedup skips them all
+    run(str(tmp_path / "cdc_ckpt2"))
+    assert t.scan(spark).count() == 150
+    assert len(t.snapshots()) == n_snaps
+    # compaction materializes the CDC view and retires the delete files
+    t.rewrite_data_files(spark)
+    assert t.scan(spark).count() == 150
+    assert t.scan(spark).filter("doc_id = 'd3'").first()["val"] == 2
+    assert len(t.plan_delete_files()) == 0

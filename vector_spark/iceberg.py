@@ -1103,6 +1103,9 @@ class IcebergTable:
         df: DataFrame,
         key_cols: list[str],
         commit_ts_ms: int | None = None,
+        subdir: str | None = None,
+        staging_mode: str = "errorifexists",
+        summary_extra: dict[str, str] | None = None,
     ) -> dict:
         """Row-level UPSERT (the CDC/MERGE write path): one snapshot
         committing the new rows as data files AND their keys as an
@@ -1112,17 +1115,18 @@ class IcebergTable:
         written in this very commit survive.  Cost is O(upserted rows);
         no existing data file is read or rewritten."""
         seq = self.meta["last-sequence-number"] + 1
-        data_dir = os.path.join(self.location, "data", f"u{seq}")
-        w = df.write.mode("errorifexists")
+        base = subdir or f"u{seq}"
+        data_dir = os.path.join(self.location, "data", base)
+        w = df.write.mode(staging_mode)
         if self.partition_cols:
             w = w.partitionBy(*self.partition_cols)
         w.parquet(data_dir)
-        eq_dir = os.path.join(self.location, "data", f"eqdel-{seq}")
+        eq_dir = os.path.join(self.location, "data", f"{base}-eqdel")
         (
             df.select(*key_cols).distinct()
             .coalesce(1)
             .sortWithinPartitions(*key_cols)
-            .write.mode("errorifexists")
+            .write.mode(staging_mode)
             .parquet(eq_dir)
         )
         schema = self.schema
@@ -1141,13 +1145,17 @@ class IcebergTable:
         eq_ids = [_field_id(schema, c) for c in key_cols]
         return self._commit_snapshot(
             [(data_files, 0, None), (del_files, 2, eq_ids)],
-            "overwrite", True, commit_ts_ms,
+            "overwrite", True, commit_ts_ms, summary_extra,
         )
 
     # -- maintenance: compaction + snapshot expiration
 
     def rewrite_data_files(
-        self, spark: SparkSession, commit_ts_ms: int | None = None
+        self,
+        spark: SparkSession,
+        commit_ts_ms: int | None = None,
+        sort_by: list[str] | None = None,
+        files_per_partition: int | None = None,
     ) -> dict:
         """Compaction (the rewrite_data_files maintenance action): read
         the live rows (position deletes applied), write them back as
@@ -1157,10 +1165,40 @@ class IcebergTable:
         current snapshot (but stays readable via time travel until
         ``expire_snapshots``).  At 10^12 rows this runs per-partition and
         is the standing answer to small-file buildup from streaming
-        appends and to delete-file accumulation from takedowns."""
+        appends and to delete-file accumulation from takedowns.
+
+        ``sort_by`` is the spec's sort-order rewrite: rows are
+        range-partitioned then sorted on the given columns, so each new
+        file covers a narrow value range and the min/max bounds in the
+        fresh manifest prune far more files for predicates on those
+        columns (``files_per_partition`` caps the range split; default is
+        the session shuffle parallelism).  The sort order is recorded in
+        table metadata (``sort-orders``)."""
         seq = self.meta["last-sequence-number"] + 1
         data_dir = os.path.join(self.location, "data", f"rewrite-{seq}")
         live = self.scan(spark)
+        if sort_by:
+            n = files_per_partition or int(
+                spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+            cols = self.partition_cols + [c for c in sort_by if c not in self.partition_cols]
+            live = live.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+            order_id = len(self.meta.get("sort-orders", [])) or 1
+            self.meta["sort-orders"] = self.meta.get("sort-orders", []) + [
+                {
+                    "order-id": order_id,
+                    "fields": [
+                        {
+                            "transform": "identity",
+                            "source-id": _field_id(self.schema, c),
+                            "direction": "asc",
+                            "null-order": "nulls-first",
+                        }
+                        for c in sort_by
+                    ],
+                }
+            ]
+            self.meta["default-sort-order-id"] = order_id
         w = live.write.mode("errorifexists")
         if self.partition_cols:
             w = w.partitionBy(*self.partition_cols)

@@ -363,6 +363,7 @@ def stream_iceberg_sink(
     table,
     checkpoint_dir: str,
     query_name: str = "iceberg_sink",
+    key_cols: list[str] | None = None,
 ):
     """Exactly-once streaming append into a jar-free Iceberg table
     (vector_spark.iceberg.IcebergTable) — the batch topology's sink made
@@ -378,6 +379,14 @@ def stream_iceberg_sink(
     mode=overwrite (clobbering partial output of a failed attempt —
     staged files are invisible until the metadata commit) and commit the
     directory as one fast-append snapshot stamped with the batch id.
+
+    With ``key_cols`` the sink is a CDC/upsert stream: each micro-batch
+    commits via ``IcebergTable.upsert`` — new rows plus their keys as an
+    equality-delete file at one sequence number, so a later batch's row
+    for the same key replaces the earlier batch's (latest-batch-wins
+    MERGE semantics) without reading or rewriting any existing data
+    file.  The batch-id replay protocol is identical, so the upsert
+    stream is exactly-once too.
     Returns the DataStreamWriter (caller picks trigger and starts)."""
     import os as _os
 
@@ -386,6 +395,15 @@ def stream_iceberg_sink(
         for s in table.snapshots():
             if s.get("summary", {}).get("streaming-batch-id") == key:
                 return
+        if key_cols:
+            if bdf.isEmpty():
+                return
+            table.upsert(
+                bdf.sparkSession, bdf, key_cols,
+                subdir=f"b{batch_id:012d}", staging_mode="overwrite",
+                summary_extra={"streaming-batch-id": key},
+            )
+            return
         staging = _os.path.join(table.location, "data", f"b{batch_id:012d}")
         w = bdf.write.mode("overwrite")
         if table.partition_cols:
