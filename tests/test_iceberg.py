@@ -500,3 +500,107 @@ def test_stream_iceberg_upsert_sink(spark, tmp_path):
     assert t.scan(spark).count() == 150
     assert t.scan(spark).filter("doc_id = 'd3'").first()["val"] == 2
     assert len(t.plan_delete_files()) == 0
+
+
+def test_bucket_transform_partitioning(spark, tmp_path):
+    """bucket(col, N) per the Iceberg spec's partition transforms: the
+    derived field never appears in the table schema, a point lookup on the
+    source column prunes to its one bucket by metadata alone, and the row
+    residual still applies the original predicate."""
+    from vector_spark.hashing import portable_bucket_py
+
+    loc = str(tmp_path / "bkt")
+    df = spark.range(400).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.col("id").cast("long").alias("seq"),
+    ).repartition(8)
+    t = IcebergTable.create(
+        loc, df.schema, partition_by=["bucket(doc_id, 8)"], commit_ts_ms=1
+    )
+    t.append_df(df, commit_ts_ms=2)
+
+    got = t.scan(spark)
+    assert set(got.columns) == {"doc_id", "seq"}           # derived col is not data
+    assert got.count() == 400
+    assert got.exceptAll(df).count() == 0 and df.exceptAll(got).count() == 0
+
+    all_files = t.plan_files()
+    assert {f["partition"]["doc_id_bucket"] for f in all_files} == set(range(8))
+    one = t.plan_files([("doc_id", "=", "d37")])
+    b = portable_bucket_py("d37", 8)
+    assert 0 < len(one) < len(all_files)
+    assert all(f["partition"]["doc_id_bucket"] == b for f in one)
+    assert t.scan(spark, [("doc_id", "=", "d37")]).count() == 1
+
+    keys = ["d1", "d2", "d3"]
+    some = t.plan_files([("doc_id", "in", keys)])
+    want_buckets = {portable_bucket_py(k, 8) for k in keys}
+    assert all(f["partition"]["doc_id_bucket"] in want_buckets for f in some)
+    assert len(some) < len(all_files)
+    assert t.scan(spark, [("doc_id", "in", keys)]).count() == 3
+
+
+def test_truncate_transform_partitioning(spark, tmp_path):
+    """truncate(col, W) is monotone, so range predicates on the source
+    column project onto the derived field and prune files."""
+    loc = str(tmp_path / "trunc")
+    df = spark.range(1000).select(
+        F.col("id").cast("long").alias("seq"),
+        F.concat(F.lit("p"), (F.col("id") % 7).cast("string")).alias("tag"),
+    ).repartition(4)
+    t = IcebergTable.create(
+        loc, df.schema, partition_by=["truncate(seq, 100)"], commit_ts_ms=1
+    )
+    t.append_df(df, commit_ts_ms=2)
+
+    assert set(t.scan(spark).columns) == {"seq", "tag"}
+    assert t.scan(spark).count() == 1000
+
+    all_files = t.plan_files()
+    assert {f["partition"]["seq_trunc"] for f in all_files} == {
+        i * 100 for i in range(10)
+    }
+    lo = t.plan_files([("seq", "<", 50)])
+    assert all(f["partition"]["seq_trunc"] == 0 for f in lo)
+    assert t.scan(spark, [("seq", "<", 50)]).count() == 50
+    hi = t.plan_files([("seq", ">=", 850)])
+    assert all(f["partition"]["seq_trunc"] >= 800 for f in hi)
+    assert t.scan(spark, [("seq", ">=", 850)]).count() == 150
+    pt = t.plan_files([("seq", "=", 123)])
+    assert all(f["partition"]["seq_trunc"] == 100 for f in pt)
+    assert t.scan(spark, [("seq", "=", 123)]).count() == 1
+
+
+def test_string_truncate_and_mixed_spec(spark, tmp_path):
+    """identity + bucket compose in one spec; string truncate takes a
+    prefix.  Identity fields re-attach from manifest values, derived
+    fields never do."""
+    loc = str(tmp_path / "mix")
+    df = spark.range(300).select(
+        F.concat(F.lit("doc"), F.col("id")).alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("app"), F.lit("db")), (F.col("id") % 2 + 1).cast("int")
+        ).alias("source"),
+        F.concat(F.lit("us-east-"), (F.col("id") % 3).cast("string")).alias("zone"),
+    )
+    t = IcebergTable.create(
+        loc,
+        df.schema,
+        partition_by=["source", "bucket(doc_id, 4)", "truncate(zone, 7)"],
+        commit_ts_ms=1,
+    )
+    t.append_df(df, commit_ts_ms=2)
+
+    got = t.scan(spark)
+    assert set(got.columns) == {"doc_id", "source", "zone"}
+    assert got.exceptAll(df).count() == 0 and df.exceptAll(got).count() == 0
+
+    all_files = t.plan_files()
+    assert {f["partition"]["zone_trunc"] for f in all_files} == {"us-east"}
+    # identity + bucket prune together on a compound lookup
+    few = t.plan_files([("source", "=", "app"), ("doc_id", "=", "doc42")])
+    assert 0 < len(few) < len(all_files)
+    assert all(f["partition"]["source"] == "app" for f in few)
+    assert t.scan(
+        spark, [("source", "=", "app"), ("doc_id", "=", "doc42")]
+    ).count() == 1

@@ -68,3 +68,14 @@ def portable_bucket(col: Column | str, rate: int) -> Column:
 
 def portable_bucket_sql(expr: str, rate: int) -> str:
     return f"(({portable_hash64_sql(expr)}) % {rate} + {rate}) % {rate}"
+
+
+def portable_bucket_py(value, rate: int) -> int:
+    """Driver-side Python twin of :func:`portable_bucket` (same md5-prefix
+    hash over the string form of the value).  Used by metadata-only scan
+    planning to fold a point-lookup literal into its partition bucket —
+    must stay bit-identical to the Spark and DuckDB renderings above."""
+    import hashlib
+
+    h = int(hashlib.md5(str(value).encode("utf-8")).hexdigest()[:15], 16)
+    return h % rate

@@ -413,12 +413,13 @@ class IcebergTable:
         schema = schema_from_spark(spark_schema)
         partition_by = partition_by or []
         spec_fields = []
-        for i, col in enumerate(partition_by):
+        for i, entry in enumerate(partition_by):
+            name, transform, src = _parse_partition_entry(entry)
             spec_fields.append(
                 {
-                    "name": col,
-                    "transform": "identity",
-                    "source-id": _field_id(schema, col),
+                    "name": name,
+                    "transform": transform,
+                    "source-id": _field_id(schema, src),
                     "field-id": 1000 + i,
                 }
             )
@@ -487,6 +488,91 @@ class IcebergTable:
     @property
     def partition_cols(self) -> list[str]:
         return [f["name"] for f in self.spec_fields]
+
+    @property
+    def identity_part_cols(self) -> list[str]:
+        """Partition fields whose value IS a source column (these are the
+        ones the hive layout strips from data files and the scan must
+        re-attach; bucket/truncate fields are derived and never part of
+        the table schema)."""
+        return [
+            f["name"] for f in self.spec_fields if _transform_of(f)[0] == "identity"
+        ]
+
+    def _derived_part_exprs(self) -> list[tuple[str, "object"]]:
+        """(name, Column) for every non-identity partition field — the
+        writer computes these before ``partitionBy`` (spec "Partition
+        Transforms").  bucket[N] uses the layer's pinned portable hash
+        (md5-prefix) rather than Iceberg's murmur3_x86_32 — there is no
+        murmur3 wheel in the sandbox and a per-row Python hash UDF is
+        off the table; the transform topology (hash-mod-N pruning for
+        point lookups) is identical and the tables are self-consistent
+        for this layer's reader/writer, which is the pair under test."""
+        from pyspark.sql import functions as F
+
+        from vector_spark.hashing import portable_bucket
+
+        out = []
+        for pf in self.spec_fields:
+            kind, n = _transform_of(pf)
+            src = _source_name(self.schema, pf)
+            if kind == "bucket":
+                out.append((pf["name"], portable_bucket(src, n).cast("int")))
+            elif kind == "truncate":
+                t = _part_source_type(self.schema, pf)
+                if t == "string":
+                    expr = F.substring(F.col(src), 1, n)
+                else:
+                    expr = (F.col(src) - F.pmod(F.col(src), F.lit(n))).cast(
+                        _ICE_TO_SPARK[t]
+                    )
+                out.append((pf["name"], expr))
+        return out
+
+    def _with_partition_cols(self, df: DataFrame) -> DataFrame:
+        for name, expr in self._derived_part_exprs():
+            df = df.withColumn(name, expr)
+        return df
+
+    def _derived_part_filters(self, filters: list[tuple]) -> list[tuple]:
+        """Fold scan predicates on SOURCE columns into predicates on the
+        derived partition fields (spec "Scan Planning" — transform-aware
+        predicate projection).  bucket admits = / in; truncate is
+        monotone so ranges project too."""
+        from vector_spark.hashing import portable_bucket_py
+
+        out = []
+        for pf in self.spec_fields:
+            kind, n = _transform_of(pf)
+            if kind == "identity":
+                continue
+            src = _source_name(self.schema, pf)
+            t = _part_source_type(self.schema, pf)
+
+            def trunc(v):
+                return v[:n] if t == "string" else v - (v % n)
+
+            for col, op, val in filters:
+                if col != src:
+                    continue
+                if kind == "bucket":
+                    if op == "=":
+                        out.append((pf["name"], "=", portable_bucket_py(val, n)))
+                    elif op == "in":
+                        out.append(
+                            (pf["name"], "in",
+                             sorted({portable_bucket_py(v, n) for v in val}))
+                        )
+                elif kind == "truncate":
+                    if op == "=":
+                        out.append((pf["name"], "=", trunc(val)))
+                    elif op == "in":
+                        out.append((pf["name"], "in", sorted({trunc(v) for v in val})))
+                    elif op in ("<", "<="):
+                        out.append((pf["name"], "<=", trunc(val)))
+                    elif op in (">", ">="):
+                        out.append((pf["name"], ">=", trunc(val)))
+        return out
 
     def snapshots(self) -> list[dict]:
         return self.meta["snapshots"]
@@ -595,8 +681,10 @@ class IcebergTable:
             {
                 "name": f["name"],
                 "field-id": f["field-id"],
-                "avro_type": _AVRO_OF_ICE[_part_source_type(self.schema, f)],
-                "ice_type": _part_source_type(self.schema, f),
+                # partition values carry the transform RESULT type (int for
+                # bucket[N]), not the source type — spec "Partition specs"
+                "avro_type": _AVRO_OF_ICE[_part_result_type(self.schema, f)],
+                "ice_type": _part_result_type(self.schema, f),
             }
             for f in self.spec_fields
         ]
@@ -739,7 +827,7 @@ class IcebergTable:
         """Write ``df`` as parquet under ``<location>/data/<subdir>`` (one
         pass, partitioned by the table's spec) and commit the files."""
         data_dir = os.path.join(self.location, "data", subdir or f"s{self.meta['last-sequence-number'] + 1}")
-        w = df.write.mode("errorifexists")
+        w = self._with_partition_cols(df).write.mode("errorifexists")
         if self.partition_cols:
             w = w.partitionBy(*self.partition_cols)
         w.parquet(data_dir)
@@ -788,10 +876,15 @@ class IcebergTable:
         snap = self.current_snapshot() if snapshot_id is None else self._snapshot(snapshot_id)
         if snap is None:
             return []
-        filters = filters or []
+        # transform-aware predicate projection: a point lookup on a
+        # bucket-partitioned source column prunes to 1/N of the files by
+        # metadata alone (the derived filters exist only here — the row
+        # residual still applies the ORIGINAL predicates)
+        filters = list(filters or [])
+        filters = filters + self._derived_part_filters(filters)
         part_idx = {f["name"]: i for i, f in enumerate(self.spec_fields)}
         part_types = {
-            f["name"]: _part_source_type(self.schema, f) for f in self.spec_fields
+            f["name"]: _part_result_type(self.schema, f) for f in self.spec_fields
         }
         _, _, manifests = read_ocf(snap["manifest-list"])
         out = []
@@ -951,9 +1044,13 @@ class IcebergTable:
     ) -> DataFrame:
         from pyspark.sql import functions as F
 
+        # only IDENTITY partition fields are source columns stripped from
+        # the data files by the hive layout; bucket/truncate fields are
+        # derived (their sources stay in the files) and never re-attach
+        id_cols = self.identity_part_cols
         ddl_fields = []
         for f in self.schema["fields"]:
-            if f["name"] in self.partition_cols:
+            if f["name"] in id_cols:
                 continue
             t = f["type"]
             if isinstance(t, dict):
@@ -975,13 +1072,13 @@ class IcebergTable:
         extras = ("_file", "_pos") if with_meta else ()
         if not files:
             empty = spark.createDataFrame([], ddl + (", _file string, _pos bigint" if with_meta else ""))
-            return _attach_parts(empty, {c: None for c in self.partition_cols}, self.schema, extras) \
-                if (with_partition_cols and self.partition_cols) else empty
-        if not (with_partition_cols and self.partition_cols):
+            return _attach_parts(empty, {c: None for c in id_cols}, self.schema, extras) \
+                if (with_partition_cols and id_cols) else empty
+        if not (with_partition_cols and id_cols):
             return _apply_residual(_read([f["file_path"] for f in files]), filters)
         groups: dict[tuple, list[str]] = {}
         for f in files:
-            key = tuple(f["partition"][c] for c in self.partition_cols)
+            key = tuple(f["partition"][c] for c in id_cols)
             groups.setdefault(key, []).append(f["file_path"])
         # Plan-size note: the union is O(|distinct partition tuples in the
         # PRUNED file set|) relation nodes — identity partitions are
@@ -992,7 +1089,7 @@ class IcebergTable:
         # the reference implementation.
         dfs = []
         for key, paths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
-            part_vals = dict(zip(self.partition_cols, key))
+            part_vals = dict(zip(id_cols, key))
             dfs.append(_attach_parts(_read(paths), part_vals, self.schema, extras))
         df = dfs[0]
         for other in dfs[1:]:
@@ -1117,7 +1214,7 @@ class IcebergTable:
         seq = self.meta["last-sequence-number"] + 1
         base = subdir or f"u{seq}"
         data_dir = os.path.join(self.location, "data", base)
-        w = df.write.mode(staging_mode)
+        w = self._with_partition_cols(df).write.mode(staging_mode)
         if self.partition_cols:
             w = w.partitionBy(*self.partition_cols)
         w.parquet(data_dir)
@@ -1176,7 +1273,7 @@ class IcebergTable:
         table metadata (``sort-orders``)."""
         seq = self.meta["last-sequence-number"] + 1
         data_dir = os.path.join(self.location, "data", f"rewrite-{seq}")
-        live = self.scan(spark)
+        live = self._with_partition_cols(self.scan(spark))
         if sort_by:
             n = files_per_partition or int(
                 spark.conf.get("spark.sql.shuffle.partitions", "32")
@@ -1518,6 +1615,47 @@ def _part_source_type(schema: dict, spec_field: dict) -> str:
         if f["id"] == spec_field["source-id"]:
             return f["type"]
     raise KeyError(spec_field["name"])
+
+
+_TRANSFORM_RE = re.compile(r"^(bucket|truncate)\(\s*(\w+)\s*,\s*(\d+)\s*\)$")
+
+
+def _parse_partition_entry(entry: str) -> tuple[str, str, str]:
+    """``'col'`` | ``'bucket(col, N)'`` | ``'truncate(col, W)'`` →
+    (partition-field name, transform string, source column).  Naming
+    follows the reference implementation's convention
+    (``col_bucket`` / ``col_trunc``)."""
+    m = _TRANSFORM_RE.match(entry.strip())
+    if not m:
+        col = entry.strip()
+        return col, "identity", col
+    kind, col, n = m.groups()
+    suffix = "bucket" if kind == "bucket" else "trunc"
+    return f"{col}_{suffix}", f"{kind}[{int(n)}]", col
+
+
+def _transform_of(spec_field: dict) -> tuple[str, int | None]:
+    t = spec_field.get("transform", "identity")
+    if t.startswith("bucket["):
+        return "bucket", int(t[7:-1])
+    if t.startswith("truncate["):
+        return "truncate", int(t[9:-1])
+    return "identity", None
+
+
+def _source_name(schema: dict, spec_field: dict) -> str:
+    for f in schema["fields"]:
+        if f["id"] == spec_field["source-id"]:
+            return f["name"]
+    raise KeyError(spec_field["name"])
+
+
+def _part_result_type(schema: dict, spec_field: dict) -> str:
+    """Type of the partition VALUE (spec "Partition Transforms"):
+    bucket[N] always yields int; identity/truncate keep the source type."""
+    if _transform_of(spec_field)[0] == "bucket":
+        return "int"
+    return _part_source_type(schema, spec_field)
 
 
 def _coerce_part(raw, ice_type: str):
