@@ -2774,6 +2774,58 @@ def _sql_iceberg_upsert_scan() -> str:
     """
 
 
+_BUCKET_SCAN_KEYS = ("doc-000000000007", "doc-000000000123", "doc-000000000456")
+
+
+def _q_iceberg_bucket_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden-partitioning point lookup (spec "Partition Transforms" +
+    "Scan Planning"): a scratch Iceberg copy of the corpus is partitioned
+    by ``bucket(doc_id, 16)`` — a derived field that never appears in the
+    table schema — and a 3-key IN lookup on the SOURCE column must prune
+    to at most 3 of the 16 buckets by metadata alone before Spark reads a
+    byte.  The pruning claim is asserted in-plan (the query raises if the
+    planner failed to fold the predicate through the transform), and the
+    returned rows are oracle-checked for token-array equality."""
+    import tempfile
+
+    from vector_spark.iceberg import IcebergTable
+
+    sf = datagen.sf_from_dir(sf_dir)
+    src = spark.read.parquet(datagen.ensure_corpus(sf))
+    loc = os.path.join(tempfile.mkdtemp(prefix="ice_bucket_scan_"), "tbl")
+    t = IcebergTable.create(
+        loc, src.schema, partition_by=["bucket(doc_id, 16)"], commit_ts_ms=1
+    )
+    t.append_df(src.repartition(16, "doc_id"), subdir="a", commit_ts_ms=2)
+    flt = [("doc_id", "in", list(_BUCKET_SCAN_KEYS))]
+    files, all_files = t.plan_files(flt), t.plan_files()
+    hit = {f["partition"]["doc_id_bucket"] for f in files}
+    if not (files and len(hit) <= 3 and len(files) < len(all_files)):
+        raise AssertionError(
+            f"bucket transform did not prune: {len(files)}/{len(all_files)} "
+            f"files across buckets {sorted(hit)}"
+        )
+    return t.scan(spark, flt).select(
+        "doc_id",
+        F.array_join("tokens", ",").alias("tokens_str"),
+        "n_tok",
+        "source",
+    )
+
+
+def _sql_iceberg_bucket_scan() -> str:
+    path = _corpus_sql_path()
+    keys = ", ".join(f"'{k}'" for k in _BUCKET_SCAN_KEYS)
+    return f"""
+    SELECT doc_id,
+           array_to_string(tokens, ',') AS tokens_str,
+           n_tok,
+           source
+    FROM read_parquet('{path}')
+    WHERE doc_id IN ({keys})
+    """
+
+
 def _q_pipeline_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship topology with the Iceberg corpus table as its source
     (north_rule: batch-over-Iceberg): planned manifest scan → grok parse →
@@ -2863,6 +2915,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_time_travel": _q_iceberg_time_travel,
         "iceberg_delete_scan": _q_iceberg_delete_scan,
         "iceberg_upsert_scan": _q_iceberg_upsert_scan,
+        "iceberg_bucket_scan": _q_iceberg_bucket_scan,
         "pipeline_iceberg": _q_pipeline_iceberg,
     }
 
@@ -2941,5 +2994,6 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_time_travel": _sql_iceberg_time_travel(),
         "iceberg_delete_scan": _sql_iceberg_delete_scan(),
         "iceberg_upsert_scan": _sql_iceberg_upsert_scan(),
+        "iceberg_bucket_scan": _sql_iceberg_bucket_scan(),
         "pipeline_iceberg": _sql_pipeline_aggregates(),
     }
