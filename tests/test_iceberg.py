@@ -604,3 +604,60 @@ def test_string_truncate_and_mixed_spec(spark, tmp_path):
     assert t.scan(
         spark, [("source", "=", "app"), ("doc_id", "=", "doc42")]
     ).count() == 1
+
+
+def test_partition_evolution(spark, tmp_path):
+    """spec "Partition Evolution": update_spec is metadata-only — old files
+    keep their spec, each manifest prunes under its own spec, mixed-spec
+    scans re-attach per group, and compaction migrates everything to the
+    current spec."""
+    from vector_spark.hashing import portable_bucket_py
+
+    loc = str(tmp_path / "evo")
+    df = spark.range(600).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("app"), F.lit("db")), (F.col("id") % 2 + 1).cast("int")
+        ).alias("source"),
+        F.col("id").cast("long").alias("seq"),
+    )
+    t = IcebergTable.create(loc, df.schema, partition_by=["source"], commit_ts_ms=1)
+    t.append_df(df.filter("seq < 300"), subdir="a1", commit_ts_ms=2)
+    new_id = t.update_spec(["bucket(doc_id, 8)"])
+    assert new_id == 1
+    t.append_df(df.filter("seq >= 300").repartition(8), subdir="a2", commit_ts_ms=3)
+
+    # mixed-spec full scan reproduces the input exactly
+    got = t.scan(spark)
+    assert got.exceptAll(df).count() == 0 and df.exceptAll(got).count() == 0
+
+    # each manifest prunes under its OWN spec: the source filter drops the
+    # old-spec db files by partition value; new-spec files keep both sources
+    files = t.plan_files([("source", "=", "app")])
+    old = [f for f in files if f["_spec_id"] == 0]
+    new = [f for f in files if f["_spec_id"] == 1]
+    assert old and new
+    assert all(f["partition"]["source"] == "app" for f in old)
+    assert t.scan(spark, [("source", "=", "app")]).count() == 300
+
+    # bucket lookup prunes only the new-spec half
+    one = t.plan_files([("doc_id", "=", "d457")])
+    b = portable_bucket_py("d457", 8)
+    assert all(f["partition"]["doc_id_bucket"] == b for f in one if f["_spec_id"] == 1)
+    assert {f["partition"]["doc_id_bucket"] for f in one if f["_spec_id"] == 1} == {b}
+    assert t.scan(spark, [("doc_id", "=", "d457")]).count() == 1
+
+    # persisted: a fresh load sees the new default spec and scans identically
+    t2 = IcebergTable(loc)
+    assert t2.default_spec_id == new_id
+    assert t2.scan(spark).count() == 600
+
+    # compaction migrates every file to the current spec
+    t.rewrite_data_files(spark, commit_ts_ms=4)
+    after = t.plan_files()
+    assert after and all(f["_spec_id"] == new_id for f in after)
+    assert {f["partition"]["doc_id_bucket"] for f in after} == set(range(8))
+    got2 = t.scan(spark)
+    assert got2.exceptAll(df).count() == 0 and df.exceptAll(got2).count() == 0
+    pt = t.plan_files([("doc_id", "=", "d42")])
+    assert {f["partition"]["doc_id_bucket"] for f in pt} == {portable_bucket_py("d42", 8)}

@@ -412,17 +412,7 @@ class IcebergTable:
             raise FileExistsError(f"iceberg table already exists at {location}")
         schema = schema_from_spark(spark_schema)
         partition_by = partition_by or []
-        spec_fields = []
-        for i, entry in enumerate(partition_by):
-            name, transform, src = _parse_partition_entry(entry)
-            spec_fields.append(
-                {
-                    "name": name,
-                    "transform": transform,
-                    "source-id": _field_id(schema, src),
-                    "field-id": 1000 + i,
-                }
-            )
+        spec_fields = _spec_fields_from(schema, partition_by, 1000)
         meta = {
             "format-version": 2,
             "table-uuid": _uuid_for(location),
@@ -482,8 +472,18 @@ class IcebergTable:
         return self.meta["schemas"][self.meta["current-schema-id"]]
 
     @property
+    def default_spec_id(self) -> int:
+        return self.meta["default-spec-id"]
+
+    def _spec_fields_of(self, spec_id: int) -> list[dict]:
+        for s in self.meta["partition-specs"]:
+            if s["spec-id"] == spec_id:
+                return s["fields"]
+        raise KeyError(f"unknown partition spec id {spec_id}")
+
+    @property
     def spec_fields(self) -> list[dict]:
-        return self.meta["partition-specs"][self.meta["default-spec-id"]]["fields"]
+        return self._spec_fields_of(self.default_spec_id)
 
     @property
     def partition_cols(self) -> list[str]:
@@ -495,9 +495,31 @@ class IcebergTable:
         ones the hive layout strips from data files and the scan must
         re-attach; bucket/truncate fields are derived and never part of
         the table schema)."""
-        return [
-            f["name"] for f in self.spec_fields if _transform_of(f)[0] == "identity"
-        ]
+        return self._identity_cols_of(self.spec_fields)
+
+    @staticmethod
+    def _identity_cols_of(spec_fields: list[dict]) -> list[str]:
+        return [f["name"] for f in spec_fields if _transform_of(f)[0] == "identity"]
+
+    def update_spec(self, partition_by: list[str]) -> int:
+        """Partition evolution (spec "Partition Evolution"): append a new
+        spec and make it the default.  Metadata-only — existing data files
+        keep their old spec (each manifest records its spec id and scan
+        planning prunes every manifest under its OWN spec); new writes land
+        under the new spec, and ``rewrite_data_files`` migrates old files
+        forward as a side effect of compaction.  Partition field ids stay
+        unique across specs (allocated from ``last-partition-id``).
+        Returns the new spec id."""
+        fields = _spec_fields_from(
+            self.schema, partition_by or [], self.meta["last-partition-id"] + 1
+        )
+        new_id = max(s["spec-id"] for s in self.meta["partition-specs"]) + 1
+        self.meta["partition-specs"].append({"spec-id": new_id, "fields": fields})
+        self.meta["default-spec-id"] = new_id
+        self.meta["last-partition-id"] += len(fields)
+        self.meta["last-updated-ms"] = _now_ms()
+        self._write_metadata(self.meta["_version"] + 1)
+        return new_id
 
     def _derived_part_exprs(self) -> list[tuple[str, "object"]]:
         """(name, Column) for every non-identity partition field — the
@@ -534,7 +556,9 @@ class IcebergTable:
             df = df.withColumn(name, expr)
         return df
 
-    def _derived_part_filters(self, filters: list[tuple]) -> list[tuple]:
+    def _derived_part_filters(
+        self, filters: list[tuple], spec_fields: list[dict] | None = None
+    ) -> list[tuple]:
         """Fold scan predicates on SOURCE columns into predicates on the
         derived partition fields (spec "Scan Planning" — transform-aware
         predicate projection).  bucket admits = / in; truncate is
@@ -542,7 +566,7 @@ class IcebergTable:
         from vector_spark.hashing import portable_bucket_py
 
         out = []
-        for pf in self.spec_fields:
+        for pf in self.spec_fields if spec_fields is None else spec_fields:
             kind, n = _transform_of(pf)
             if kind == "identity":
                 continue
@@ -754,7 +778,7 @@ class IcebergTable:
                 metadata={
                     "schema": json.dumps(self.schema),
                     "partition-spec": json.dumps(self.spec_fields),
-                    "partition-spec-id": "0",
+                    "partition-spec-id": str(self.default_spec_id),
                     "format-version": "2",
                     "content": "data" if content == 0 else "deletes",
                 },
@@ -763,7 +787,7 @@ class IcebergTable:
                 {
                     "manifest_path": man_path,
                     "manifest_length": man_len,
-                    "partition_spec_id": 0,
+                    "partition_spec_id": self.default_spec_id,
                     "content": 0 if content == 0 else 1,
                     "sequence_number": seq,
                     "min_sequence_number": seq,
@@ -879,27 +903,43 @@ class IcebergTable:
         # transform-aware predicate projection: a point lookup on a
         # bucket-partitioned source column prunes to 1/N of the files by
         # metadata alone (the derived filters exist only here — the row
-        # residual still applies the ORIGINAL predicates)
-        filters = list(filters or [])
-        filters = filters + self._derived_part_filters(filters)
-        part_idx = {f["name"]: i for i, f in enumerate(self.spec_fields)}
-        part_types = {
-            f["name"]: _part_result_type(self.schema, f) for f in self.spec_fields
-        }
+        # residual still applies the ORIGINAL predicates).  Partition
+        # evolution: each manifest is pruned under its OWN spec (spec
+        # "Scan Planning"), so derived filters and partition field types
+        # are resolved per manifest's recorded spec id.
+        base_filters = list(filters or [])
+        spec_ctx: dict[int, tuple[list[tuple], dict, dict]] = {}
+
+        def _ctx(spec_id: int) -> tuple[list[tuple], dict, dict]:
+            if spec_id not in spec_ctx:
+                try:
+                    sf = self._spec_fields_of(spec_id)
+                except KeyError:
+                    sf = self.spec_fields
+                spec_ctx[spec_id] = (
+                    base_filters + self._derived_part_filters(base_filters, sf),
+                    {f["name"]: i for i, f in enumerate(sf)},
+                    {f["name"]: _part_result_type(self.schema, f) for f in sf},
+                )
+            return spec_ctx[spec_id]
+
         _, _, manifests = read_ocf(snap["manifest-list"])
         out = []
         for m in manifests:
             if m.get("content", 0) != 0:  # delete manifests plan separately
                 continue
-            if not _manifest_survives(m, filters, part_idx, part_types):
+            spec_id = m.get("partition_spec_id", 0)
+            flt, part_idx, part_types = _ctx(spec_id)
+            if not _manifest_survives(m, flt, part_idx, part_types):
                 continue
             _, _, entries = read_ocf(m["manifest_path"])
             for e in entries:
                 if e["status"] == 2:  # DELETED
                     continue
-                if _file_survives(e["data_file"], filters, part_types, self.schema):
+                if _file_survives(e["data_file"], flt, part_types, self.schema):
                     d = dict(e["data_file"])
                     d["_seq"] = e["sequence_number"]
+                    d["_spec_id"] = spec_id
                     out.append(d)
         return out
 
@@ -1046,20 +1086,32 @@ class IcebergTable:
 
         # only IDENTITY partition fields are source columns stripped from
         # the data files by the hive layout; bucket/truncate fields are
-        # derived (their sources stay in the files) and never re-attach
-        id_cols = self.identity_part_cols
-        ddl_fields = []
-        for f in self.schema["fields"]:
-            if f["name"] in id_cols:
-                continue
-            t = f["type"]
-            if isinstance(t, dict):
-                ddl_fields.append(f"{f['name']} array<{_ICE_TO_SPARK[t['element']]}>")
-            else:
-                ddl_fields.append(f"{f['name']} {_ICE_TO_SPARK[t]}")
-        ddl = ", ".join(ddl_fields)
+        # derived (their sources stay in the files) and never re-attach.
+        # Partition evolution: files written under different specs strip
+        # DIFFERENT identity columns, so reads group by (spec, partition
+        # tuple), each group re-attaching its own spec's stripped columns
+        # back to the one table schema before the union.
+        def _id_cols_of(spec_id: int) -> list[str]:
+            try:
+                return self._identity_cols_of(self._spec_fields_of(spec_id))
+            except KeyError:
+                return self.identity_part_cols
 
-        def _read(paths: list[str]) -> DataFrame:
+        def _ddl_without(id_cols: list[str]) -> str:
+            ddl_fields = []
+            for f in self.schema["fields"]:
+                if f["name"] in id_cols:
+                    continue
+                t = f["type"]
+                if isinstance(t, dict):
+                    ddl_fields.append(
+                        f"{f['name']} array<{_ICE_TO_SPARK[t['element']]}>"
+                    )
+                else:
+                    ddl_fields.append(f"{f['name']} {_ICE_TO_SPARK[t]}")
+            return ", ".join(ddl_fields)
+
+        def _read(paths: list[str], ddl: str) -> DataFrame:
             df = spark.read.schema(ddl).parquet(*paths)
             if with_meta:
                 df = df.select(
@@ -1070,15 +1122,23 @@ class IcebergTable:
             return df
 
         extras = ("_file", "_pos") if with_meta else ()
+        id_cols = self.identity_part_cols
         if not files:
+            ddl = _ddl_without(id_cols)
             empty = spark.createDataFrame([], ddl + (", _file string, _pos bigint" if with_meta else ""))
             return _attach_parts(empty, {c: None for c in id_cols}, self.schema, extras) \
                 if (with_partition_cols and id_cols) else empty
-        if not (with_partition_cols and id_cols):
-            return _apply_residual(_read([f["file_path"] for f in files]), filters)
+        spec_ids = sorted({f.get("_spec_id", self.default_spec_id) for f in files})
+        if len(spec_ids) == 1:
+            id_cols = _id_cols_of(spec_ids[0])
+        if len(spec_ids) == 1 and not (with_partition_cols and id_cols):
+            return _apply_residual(
+                _read([f["file_path"] for f in files], _ddl_without(id_cols)), filters
+            )
         groups: dict[tuple, list[str]] = {}
         for f in files:
-            key = tuple(f["partition"][c] for c in id_cols)
+            sid = f.get("_spec_id", self.default_spec_id)
+            key = (sid,) + tuple(f["partition"][c] for c in _id_cols_of(sid))
             groups.setdefault(key, []).append(f["file_path"])
         # Plan-size note: the union is O(|distinct partition tuples in the
         # PRUNED file set|) relation nodes — identity partitions are
@@ -1088,12 +1148,21 @@ class IcebergTable:
         # layer keeps partition values authoritative in the manifests, like
         # the reference implementation.
         dfs = []
-        for key, paths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
-            part_vals = dict(zip(id_cols, key))
-            dfs.append(_attach_parts(_read(paths), part_vals, self.schema, extras))
+        for key, paths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv))):
+            sid, vals = key[0], key[1:]
+            g_id_cols = _id_cols_of(sid)
+            part_vals = dict(zip(g_id_cols, vals))
+            dfs.append(
+                _attach_parts(_read(paths, _ddl_without(g_id_cols)), part_vals, self.schema, extras)
+            )
         df = dfs[0]
         for other in dfs[1:]:
             df = df.unionByName(other)
+        if not with_partition_cols:
+            keep = [
+                f["name"] for f in self.schema["fields"] if f["name"] not in id_cols
+            ]
+            df = df.select(*keep, *extras)
         return _apply_residual(df, filters)
 
     # -- row-level deletes (merge-on-read positional; spec "Position Delete
@@ -1615,6 +1684,27 @@ def _part_source_type(schema: dict, spec_field: dict) -> str:
         if f["id"] == spec_field["source-id"]:
             return f["type"]
     raise KeyError(spec_field["name"])
+
+
+def _spec_fields_from(
+    schema: dict, partition_by: list[str], first_field_id: int
+) -> list[dict]:
+    """Partition-spec fields from ``partition_by`` entries, with partition
+    field ids allocated sequentially from ``first_field_id`` (the spec
+    keeps partition field ids unique across ALL of a table's specs, so
+    evolution allocates from ``last-partition-id + 1``)."""
+    out = []
+    for i, entry in enumerate(partition_by):
+        name, transform, src = _parse_partition_entry(entry)
+        out.append(
+            {
+                "name": name,
+                "transform": transform,
+                "source-id": _field_id(schema, src),
+                "field-id": first_field_id + i,
+            }
+        )
+    return out
 
 
 _TRANSFORM_RE = re.compile(r"^(bucket|truncate)\(\s*(\w+)\s*,\s*(\d+)\s*\)$")
