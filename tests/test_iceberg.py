@@ -661,3 +661,38 @@ def test_partition_evolution(spark, tmp_path):
     assert got2.exceptAll(df).count() == 0 and df.exceptAll(got2).count() == 0
     pt = t.plan_files([("doc_id", "=", "d42")])
     assert {f["partition"]["doc_id_bucket"] for f in pt} == {portable_bucket_py("d42", 8)}
+
+
+def test_metadata_tables(table, spark):
+    """Inspection surface (tbl.snapshots/.history/.files/.partitions/
+    .manifests): driver-built DataFrames that must agree with the layer's
+    own planning."""
+    t, df = table
+    snaps = t.metadata_table(spark, "snapshots").collect()
+    assert [r["snapshot_id"] for r in snaps] == [1, 2]
+    assert snaps[0]["parent_id"] is None and snaps[1]["parent_id"] == 1
+    assert all(r["operation"] == "append" for r in snaps)
+    assert int(snaps[0]["summary"]["added-records"]) == 600
+
+    hist = t.metadata_table(spark, "history").collect()
+    assert [r["snapshot_id"] for r in hist] == [1, 2]
+    assert all(r["is_current_ancestor"] for r in hist)
+
+    files = t.metadata_table(spark, "files")
+    planned = t.plan_files()
+    assert files.count() == len(planned)
+    agg = files.groupBy(F.map_values("partition")[0].alias("src")).agg(
+        F.sum("record_count").alias("n")
+    )
+    by_src = {r["src"]: r["n"] for r in agg.collect()}
+    want = {r["source"]: r["n"] for r in df.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    assert by_src == want
+
+    parts = t.metadata_table(spark, "partitions").collect()
+    assert {p["partition"]["source"] for p in parts} == {"app", "db", "web"}
+    assert sum(p["record_count"] for p in parts) == 1000
+    assert sum(p["file_count"] for p in parts) == len(planned)
+
+    mans = t.metadata_table(spark, "manifests").collect()
+    assert len(mans) == 2 and all(m["content"] == 0 for m in mans)
+    assert {m["added_snapshot_id"] for m in mans} == {1, 2}

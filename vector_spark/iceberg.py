@@ -1460,6 +1460,111 @@ class IcebergTable:
     def total_rows(self, snapshot_id: int | None = None) -> int:
         return sum(f["record_count"] for f in self.plan_files(snapshot_id=snapshot_id))
 
+    # -- metadata (inspection) tables — the SELECT * FROM tbl.snapshots /
+    #    .history / .files / .partitions / .manifests surface of the
+    #    reference runtime, built from this layer's own metadata.  These
+    #    are DRIVER-side by design: table metadata is O(snapshots +
+    #    manifest entries), kilobytes-to-megabytes even for a 100 TB
+    #    table, and inspection queries are interactive — shipping them
+    #    through a distributed scan would be pure overhead.
+
+    def metadata_table(self, spark: SparkSession, kind: str) -> DataFrame:
+        """``kind`` ∈ snapshots | history | files | partitions | manifests."""
+        if kind == "snapshots":
+            rows = [
+                (
+                    s["timestamp-ms"],
+                    s["snapshot-id"],
+                    s.get("parent-snapshot-id"),
+                    s["summary"].get("operation"),
+                    {k: str(v) for k, v in s["summary"].items() if k != "operation"},
+                )
+                for s in self.meta["snapshots"]
+            ]
+            return spark.createDataFrame(
+                rows,
+                "committed_at_ms bigint, snapshot_id bigint, parent_id bigint, "
+                "operation string, summary map<string,string>",
+            )
+        if kind == "history":
+            ancestors = set()
+            sid = self.meta["current-snapshot-id"]
+            by_id = {s["snapshot-id"]: s for s in self.meta["snapshots"]}
+            while sid in by_id:
+                ancestors.add(sid)
+                sid = by_id[sid].get("parent-snapshot-id")
+            rows = [
+                (e["timestamp-ms"], e["snapshot-id"], e["snapshot-id"] in ancestors)
+                for e in self.meta["snapshot-log"]
+            ]
+            return spark.createDataFrame(
+                rows,
+                "made_current_at_ms bigint, snapshot_id bigint, "
+                "is_current_ancestor boolean",
+            )
+        if kind == "files":
+            rows = [
+                (
+                    f.get("content", 0),
+                    f["file_path"],
+                    f["file_format"],
+                    f["_spec_id"],
+                    {k: None if v is None else str(v) for k, v in f["partition"].items()},
+                    f["record_count"],
+                    f["file_size_in_bytes"],
+                )
+                for f in self.plan_files()
+            ]
+            return spark.createDataFrame(
+                rows,
+                "content int, file_path string, file_format string, "
+                "spec_id int, partition map<string,string>, "
+                "record_count bigint, file_size_in_bytes bigint",
+            )
+        if kind == "partitions":
+            agg: dict[tuple, list[int]] = {}
+            for f in self.plan_files():
+                key = (
+                    f["_spec_id"],
+                    tuple(sorted((k, str(v)) for k, v in f["partition"].items())),
+                )
+                a = agg.setdefault(key, [0, 0, 0])
+                a[0] += f["record_count"]
+                a[1] += 1
+                a[2] += f["file_size_in_bytes"]
+            rows = [
+                (dict(key[1]), key[0], a[0], a[1], a[2])
+                for key, a in sorted(agg.items(), key=lambda kv: str(kv[0]))
+            ]
+            return spark.createDataFrame(
+                rows,
+                "partition map<string,string>, spec_id int, record_count bigint, "
+                "file_count bigint, total_size_in_bytes bigint",
+            )
+        if kind == "manifests":
+            snap = self.current_snapshot()
+            manifests = [] if snap is None else read_ocf(snap["manifest-list"])[2]
+            rows = [
+                (
+                    m.get("content", 0),
+                    m["manifest_path"],
+                    m["manifest_length"],
+                    m["partition_spec_id"],
+                    m["added_snapshot_id"],
+                    m["added_files_count"],
+                    m["existing_files_count"],
+                    m["deleted_files_count"],
+                )
+                for m in manifests
+            ]
+            return spark.createDataFrame(
+                rows,
+                "content int, path string, length bigint, partition_spec_id int, "
+                "added_snapshot_id bigint, added_data_files_count int, "
+                "existing_data_files_count int, deleted_data_files_count int",
+            )
+        raise ValueError(f"unknown metadata table {kind!r}")
+
 
 def _apply_residual(df: DataFrame, filters: list[tuple] | None) -> DataFrame:
     """Row-level application of the scan predicate.  Manifest pruning is
