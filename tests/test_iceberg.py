@@ -696,3 +696,50 @@ def test_metadata_tables(table, spark):
     mans = t.metadata_table(spark, "manifests").collect()
     assert len(mans) == 2 and all(m["content"] == 0 for m in mans)
     assert {m["added_snapshot_id"] for m in mans} == {1, 2}
+
+
+def test_incremental_scan(spark, tmp_path):
+    """Snapshot-range delta reads: only rows appended after the cursor,
+    upsert deltas read as their new rows, compaction in range refuses."""
+    loc = str(tmp_path / "inc")
+    mk = lambda lo, hi, val: spark.range(lo, hi).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.lit(val).alias("val"),
+        F.element_at(
+            F.array(F.lit("app"), F.lit("db")), (F.col("id") % 2 + 1).cast("int")
+        ).alias("source"),
+    )
+    t = IcebergTable.create(loc, mk(0, 1, 0).schema, partition_by=["source"], commit_ts_ms=1)
+    t.append_df(mk(0, 100, 0), subdir="a1", commit_ts_ms=2)      # snap 1
+    t.append_df(mk(100, 250, 0), subdir="a2", commit_ts_ms=3)    # snap 2
+    t.upsert(spark, mk(200, 300, 7), ["doc_id"], commit_ts_ms=4) # snap 3
+
+    # delta after snap 1 = snap2 appends + snap3 upsert rows (not the
+    # snap2 rows the upsert superseded)
+    delta = t.incremental_scan(spark, from_snapshot_id=1)
+    assert delta.count() == 100 + 100   # d100..d199 from a2 + d200..d299 upsert
+    assert delta.filter("val = 7").count() == 100
+    assert delta.filter("doc_id = 'd250'").first()["val"] == 7
+    assert delta.filter("doc_id = 'd050'").count() == 0  # pre-cursor row absent
+
+    # bounded range (1, 2] sees only the second append
+    mid = t.incremental_scan(spark, 1, 2)
+    assert mid.count() == 150 and mid.filter("val != 0").count() == 0
+
+    # empty range and full-table sanity
+    assert t.incremental_scan(spark, 3).count() == 0
+    assert t.scan(spark).count() == 300
+
+    # filters prune the delta like any scan
+    assert (
+        t.incremental_scan(spark, 1, filters=[("source", "=", "app")]).count()
+        == t.incremental_scan(spark, 1).filter("source = 'app'").count()
+    )
+
+    # compaction is not an incremental-safe boundary
+    t.rewrite_data_files(spark, commit_ts_ms=5)
+    with pytest.raises(ValueError, match="non-incremental"):
+        t.incremental_scan(spark, 1)
+    # but a cursor at/after the replace works again
+    t.append_df(mk(300, 320, 1), subdir="a3", commit_ts_ms=6)
+    assert t.incremental_scan(spark, 4).count() == 20
