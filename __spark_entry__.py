@@ -2774,6 +2774,77 @@ def _sql_iceberg_upsert_scan() -> str:
     """
 
 
+def _q_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (snapshot-range) consumption: the corpus Iceberg table
+    is committed as two snapshots split on the pinned doc_id hash, so a
+    consumer whose cursor sits after snapshot 1 must read EXACTLY the
+    bucket-1 half as its delta — the resumable-ingest path that processes
+    each commit's new files instead of re-scanning the table."""
+    t = _ice_corpus(spark, sf_dir)
+    first = t.snapshots()[0]["snapshot-id"]
+    df = t.incremental_scan(spark, from_snapshot_id=first)
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_tok").cast("bigint").alias("sum_tok"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def _sql_iceberg_incremental() -> str:
+    path = _corpus_sql_path()
+    return f"""
+    SELECT source,
+           count(*) AS n_rows,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM read_parquet('{path}')
+    WHERE {portable_bucket_sql("doc_id", 2)} = 1
+    GROUP BY source
+    """
+
+
+def _q_iceberg_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus Iceberg table consumed through Spark's own reader surface
+    (`spark.read.format("vector_iceberg")`) instead of the layer's scan()
+    call — one input partition per planned data file, merge-on-read deletes
+    applied inside each partition's Arrow read (vector_spark/datasource.py).
+    Filters stay Spark-side (pruning is opt-in; see the module docstring),
+    so this also pins the default read's correctness under the driver's
+    ANSI-on session."""
+    from vector_spark.datasource import register
+
+    t = _ice_corpus(spark, sf_dir)
+    register(spark)
+    df = (
+        spark.read.format("vector_iceberg")
+        .option("path", t.location)
+        .load()
+        .filter(F.col("n_tok") >= 128)
+    )
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_tok").cast("bigint").alias("sum_tok"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def _sql_iceberg_datasource() -> str:
+    path = _corpus_sql_path()
+    return f"""
+    SELECT source,
+           count(*) AS n_rows,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM read_parquet('{path}')
+    WHERE n_tok >= 128
+    GROUP BY source
+    """
+
+
 _BUCKET_SCAN_KEYS = ("doc-000000000007", "doc-000000000123", "doc-000000000456")
 
 
@@ -2916,6 +2987,8 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_delete_scan": _q_iceberg_delete_scan,
         "iceberg_upsert_scan": _q_iceberg_upsert_scan,
         "iceberg_bucket_scan": _q_iceberg_bucket_scan,
+        "iceberg_incremental": _q_iceberg_incremental,
+        "iceberg_datasource": _q_iceberg_datasource,
         "pipeline_iceberg": _q_pipeline_iceberg,
     }
 
@@ -2995,5 +3068,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_delete_scan": _sql_iceberg_delete_scan(),
         "iceberg_upsert_scan": _sql_iceberg_upsert_scan(),
         "iceberg_bucket_scan": _sql_iceberg_bucket_scan(),
+        "iceberg_incremental": _sql_iceberg_incremental(),
+        "iceberg_datasource": _sql_iceberg_datasource(),
         "pipeline_iceberg": _sql_pipeline_aggregates(),
     }

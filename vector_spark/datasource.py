@@ -1,0 +1,349 @@
+"""Spark 4 Python Data Source over the jar-free Iceberg layer.
+
+Registers ``vector_iceberg`` so the table layer plugs into Spark's own
+reader surface instead of a bespoke ``t.scan()`` call:
+
+    spark.dataSource.register(IcebergDataSource)
+    df = spark.read.format("vector_iceberg").option("path", loc).load()
+    stream = spark.readStream.format("vector_iceberg").option("path", loc).load()
+
+Batch reads get one input partition per planned data file (so Spark's
+scheduler distributes them like any file scan), equality/range predicates
+push down into the layer's manifest pruning via ``pushFilters`` (including
+transform-aware projection onto bucket/truncate partition specs), and
+merge-on-read position/equality deletes apply inside each partition's
+Arrow read.  Spark still re-evaluates every pushed filter after the scan
+(`pushFilters` returns them all), so pruning is a pure I/O win, never a
+correctness dependency.
+
+Filter-pruned planning is opt-in: ``.option("pushdown", "true")``.
+Measured on this Spark (4.1): when the Python-datasource pushdown rule
+plans a scan it caches the planned (pruned) partition list on the shared
+relation instance, and a LATER query over the same loaded DataFrame that
+has no pushable filters REUSES that pruned scan — e.g.
+``df.filter(...).count(); df.count()`` undercounts the second query.
+(Minimal repro in tests/test_datasource.py::test_no_cross_query_filter_leak
+— the leak reproduces with a 12-line toy source, so it is the engine's
+scan caching, not this reader.)  Default-off pruning keeps every read
+correct under arbitrary DataFrame reuse; opt in for single-use loads on
+selective point queries, where manifest pruning skips whole files.
+
+The stream reader turns the table into a Structured Streaming source with
+offsets = Iceberg sequence numbers: each microbatch reads exactly the
+snapshots committed since the last offset (the same delta arithmetic as
+``IcebergTable.incremental_scan``), giving exactly-once, checkpointable
+consumption of an append/upsert table — the lakehouse-native counterpart
+of the reference's tailing file/kafka sources (reference semantics:
+src/sources/file/mod.rs checkpointed tailing; offset handling per the
+public Structured Streaming source contract).
+
+Scale notes: planning is driver-side metadata arithmetic, O(manifest
+entries); per-partition reads ship only file paths + identity partition
+values, and delete application reads the (small, path-sorted) delete
+parquet with a file_path predicate so each task touches O(its own
+deletes).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from vector_spark.iceberg import (
+    _ICE_TO_SPARK,
+    IcebergTable,
+    _field_id,
+    _transform_of,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pyarrow as pa
+
+
+def _spark_ddl(schema: dict) -> str:
+    fields = []
+    for f in schema["fields"]:
+        t = f["type"]
+        if isinstance(t, dict):
+            fields.append(f"{f['name']} array<{_ICE_TO_SPARK[t['element']]}>")
+        else:
+            fields.append(f"{f['name']} {_ICE_TO_SPARK[t]}")
+    return ", ".join(fields)
+
+
+def _arrow_type(ice_type) -> "pa.DataType":
+    import pyarrow as pa
+
+    if isinstance(ice_type, dict):  # {"type": "list", "element": ...}
+        return pa.list_(_arrow_type(ice_type["element"]))
+    return {
+        "string": pa.string(),
+        "int": pa.int32(),
+        "long": pa.int64(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "boolean": pa.bool_(),
+        "timestamptz": pa.timestamp("us", tz="UTC"),
+    }[ice_type]
+
+
+@dataclass
+class _FileSlice(InputPartition):
+    """One planned data file: everything a task needs to produce the full
+    table schema — the parquet path, the identity partition values its
+    spec stripped from the file, and the delete files that apply to it."""
+
+    path: str
+    seq: int
+    attach: tuple  # ((name, ice_type, value), ...) in schema order
+    pos_delete_paths: tuple  # positional delete parquet paths
+    eq_deletes: tuple  # ((paths...), (key_col...), delete_seq) entries
+    column_order: tuple  # final output column names, schema order
+    col_types: tuple  # matching iceberg types (str, or dict for lists)
+
+
+def _read_slice(part: _FileSlice) -> Iterator["pa.RecordBatch"]:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(part.path).combine_chunks()
+
+    if part.pos_delete_paths:
+        dels = pq.read_table(
+            list(part.pos_delete_paths),
+            filters=[("file_path", "=", part.path)],
+        )
+        pos = dels.column("pos").to_numpy()
+        if len(pos):
+            mask = np.ones(tbl.num_rows, dtype=bool)
+            mask[pos] = False
+            tbl = tbl.filter(pa.array(mask))
+
+    for paths, key_cols, dseq in part.eq_deletes:
+        if dseq <= part.seq:  # strictly-older rule: our own rows survive
+            continue
+        keys = pq.read_table(list(paths), columns=list(key_cols))
+        if keys.num_rows == 0:
+            continue
+        kdf = keys.to_pandas()
+        ddf = tbl.select(list(key_cols)).to_pandas()
+        import pandas as pd
+
+        killed = pd.MultiIndex.from_frame(ddf).isin(
+            pd.MultiIndex.from_frame(kdf)
+        )
+        tbl = tbl.filter(pa.array(~killed))
+
+    n = tbl.num_rows
+    for name, ice_type, val in part.attach:
+        t = _arrow_type(ice_type)
+        if ice_type == "timestamptz" and val is not None:
+            col = pa.array([int(val)] * n, pa.int64()).cast(t)
+        else:
+            col = pa.array([val] * n, t)
+        tbl = tbl.append_column(name, col)
+    tbl = tbl.select(list(part.column_order))
+    # Parquet physical types drift from the declared schema (timestamps read
+    # back as ns, ints may narrow); Spark's Arrow bridge requires the exact
+    # declared types, so cast the whole batch to the table schema.
+    target = pa.schema(
+        [
+            pa.field(name, _arrow_type(t))
+            for name, t in zip(part.column_order, part.col_types)
+        ]
+    )
+    if tbl.schema != target:
+        tbl = tbl.cast(target)
+    yield from tbl.to_batches(max_chunksize=65536)
+
+
+_PUSHABLE = {
+    EqualTo: "=",
+    In: "in",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+}
+
+
+def _translate_filters(filters) -> tuple[list[tuple], list]:
+    """Spark Filter objects → this layer's (col, op, val) tuples.  Returns
+    (pushed, passthrough); every input filter is ALSO returned to Spark
+    for post-scan evaluation, so translation is best-effort."""
+    pushed = []
+    for f in filters:
+        op = _PUSHABLE.get(type(f))
+        if op is not None and len(f.attribute) == 1:
+            val = list(f.value) if op == "in" else f.value
+            pushed.append((f.attribute[0], op, val))
+    return pushed, list(filters)
+
+
+def _plan_slices(
+    t: IcebergTable, pushed: list[tuple], snapshot_id: int | None = None,
+    min_seq_exclusive: int | None = None,
+) -> list[_FileSlice]:
+    files = t.plan_files(pushed or None, snapshot_id=snapshot_id)
+    if min_seq_exclusive is not None:
+        files = [f for f in files if f["_seq"] > min_seq_exclusive]
+    dels = t.plan_delete_files(snapshot_id=snapshot_id)
+    pos_paths = tuple(d["file_path"] for d in dels if d.get("content", 1) == 1)
+    eq_groups: dict[tuple, list[str]] = {}
+    for d in dels:
+        if d.get("content") == 2:
+            key_cols = tuple(
+                f["name"]
+                for f in t.schema["fields"]
+                if f["id"] in (d.get("equality_ids") or [])
+            )
+            eq_groups.setdefault((key_cols, d["_seq"]), []).append(d["file_path"])
+    eq_deletes = tuple(
+        (tuple(paths), key_cols, seq)
+        for (key_cols, seq), paths in sorted(eq_groups.items())
+    )
+    ice_types = {
+        f["name"]: f["type"]
+        for f in t.schema["fields"]
+        if isinstance(f["type"], str)
+    }
+    column_order = tuple(f["name"] for f in t.schema["fields"])
+    col_types = tuple(f["type"] for f in t.schema["fields"])
+    out = []
+    for f in files:
+        sid = f.get("_spec_id", t.default_spec_id)
+        try:
+            spec = t._spec_fields_of(sid)
+        except KeyError:
+            spec = t.spec_fields
+        attach = tuple(
+            (pf["name"], ice_types[pf["name"]], f["partition"].get(pf["name"]))
+            for pf in spec
+            if _transform_of(pf)[0] == "identity"
+        )
+        out.append(
+            _FileSlice(
+                path=f["file_path"],
+                seq=f["_seq"],
+                attach=attach,
+                pos_delete_paths=pos_paths,
+                eq_deletes=eq_deletes,
+                column_order=column_order,
+                col_types=col_types,
+            )
+        )
+    return out
+
+
+class IcebergBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self._table = IcebergTable(options["path"])
+        snap = options.get("snapshotId") or options.get("snapshotid")
+        self._snapshot_id = int(snap) if snap is not None else None
+        self._prune = str(options.get("pushdown", "false")).lower() == "true"
+        self._pushed: list[tuple] = []
+
+    def pushFilters(self, filters):
+        # Every filter returns to Spark for post-scan evaluation; pruning
+        # only ever skips whole files.  Stored pushed state is honored only
+        # under .option("pushdown", "true") — see the module docstring for
+        # the engine-side cross-query scan-cache hazard that makes
+        # filter-dependent planning unsafe for reused DataFrames.
+        pushed, passthrough = _translate_filters(filters)
+        if self._prune:
+            self._pushed = pushed
+        return passthrough
+
+    def partitions(self) -> Sequence[InputPartition]:
+        pushed, self._pushed = self._pushed, []
+        slices = _plan_slices(self._table, pushed, self._snapshot_id)
+        # Spark requires >=1 partition; an empty table yields one slice-less
+        # marker partition that reads nothing
+        return slices or [InputPartition(0)]
+
+    def read(self, partition):
+        if isinstance(partition, _FileSlice):
+            yield from _read_slice(partition)
+
+
+class IcebergStreamReader(DataSourceStreamReader):
+    """Offsets are Iceberg sequence numbers: microbatch (start, end] reads
+    the data files those commits added, with the same non-incremental
+    (REPLACE) guard as ``incremental_scan``."""
+
+    def __init__(self, options: dict):
+        self._location = options["path"]
+        start = options.get("startingSequence") or options.get("startingsequence")
+        self._start_seq = int(start) if start is not None else 0
+
+    def _table(self) -> IcebergTable:
+        return IcebergTable(self._location)  # re-read metadata each poll
+
+    def initialOffset(self) -> dict:
+        return {"seq": self._start_seq}
+
+    def latestOffset(self) -> dict:
+        return {"seq": self._table().meta["last-sequence-number"]}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        t = self._table()
+        for s in t.meta["snapshots"]:
+            if (
+                start["seq"] < s["sequence-number"] <= end["seq"]
+                and s["summary"].get("operation")
+                not in ("append", "overwrite", "delete")
+            ):
+                raise ValueError(
+                    f"snapshot range ({start['seq']}, {end['seq']}] contains "
+                    f"non-incremental operation at snapshot {s['snapshot-id']}"
+                )
+        snap_id = None
+        for s in t.meta["snapshots"]:
+            if s["sequence-number"] <= end["seq"]:
+                snap_id = s["snapshot-id"] if snap_id is None else max(snap_id, s["snapshot-id"])
+        if snap_id is None:
+            return [InputPartition(0)]
+        slices = _plan_slices(
+            t, [], snapshot_id=snap_id, min_seq_exclusive=start["seq"]
+        )
+        return slices or [InputPartition(0)]
+
+    def read(self, partition):
+        if isinstance(partition, _FileSlice):
+            yield from _read_slice(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class IcebergDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "vector_iceberg"
+
+    def schema(self) -> str:
+        return _spark_ddl(IcebergTable(self.options["path"]).schema)
+
+    def reader(self, schema) -> DataSourceReader:
+        return IcebergBatchReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return IcebergStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(IcebergDataSource)

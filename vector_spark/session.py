@@ -50,6 +50,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # VRL fallible-call parity: errors coerce to NULL (f() ?? null), so
         # casts/parses must be null-on-failure, not ANSI runtime errors
         # (reference: VRL expression docs, SURVEY.md §2.3 error handling).
