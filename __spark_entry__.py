@@ -2308,6 +2308,67 @@ def _sql_pack_sequences() -> str:
     )
 
 
+_CHUNK_WIN = 256
+_CHUNK_STRIDE = 192  # 25% overlap
+_VOCAB_TOP_N = 200
+
+
+def _q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.packing import chunk_windows
+
+    src = _corpus(spark, sf_dir).select("doc_id", "tokens")
+    chunks = chunk_windows(src, _CHUNK_WIN, _CHUNK_STRIDE)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.array_join("tokens", ",").alias("tokens_csv"),
+        "n_tok",
+    )
+
+
+def _sql_chunk_windows() -> str:
+    from vector_spark.packing import sql_chunk_windows
+
+    path = _corpus_sql_path()
+    return sql_chunk_windows(
+        f"(SELECT doc_id, tokens FROM read_parquet('{path}'))",
+        _CHUNK_WIN,
+        _CHUNK_STRIDE,
+    )
+
+
+def _q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.vocab import vocab_stats
+
+    src = _corpus(spark, sf_dir).select("doc_id", "tokens")
+    return vocab_stats(src, _VOCAB_TOP_N)
+
+
+def _sql_vocab_stats() -> str:
+    from vector_spark.vocab import sql_vocab_stats
+
+    path = _corpus_sql_path()
+    return sql_vocab_stats(
+        f"(SELECT doc_id, tokens FROM read_parquet('{path}'))", _VOCAB_TOP_N
+    )
+
+
+def _q_token_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.vocab import token_pair_stats
+
+    src = _corpus(spark, sf_dir).select("tokens")
+    return token_pair_stats(src, _VOCAB_TOP_N)
+
+
+def _sql_token_pair_stats() -> str:
+    from vector_spark.vocab import sql_token_pair_stats
+
+    path = _corpus_sql_path()
+    return sql_token_pair_stats(
+        f"(SELECT tokens FROM read_parquet('{path}'))", _VOCAB_TOP_N
+    )
+
+
 # ---------------------------------------------------------------------------
 # domain-mixture sampling (LLM-data-pipeline extension; vector_spark/mixture.py)
 
@@ -2969,6 +3030,9 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_aggregate": _q_stream_aggregate,
         "dedup_groups": _q_dedup_groups,
         "pack_sequences": _q_pack_sequences,
+        "chunk_windows": _q_chunk_windows,
+        "vocab_stats": _q_vocab_stats,
+        "token_pair_stats": _q_token_pair_stats,
         "mixture_sample": _q_mixture,
         "decontaminate": _q_decontam,
         "repetition_signals": _q_repetition,
@@ -3050,6 +3114,9 @@ def oracle_sql() -> dict[str, str]:
         "stream_aggregate": _SQL_STREAM_AGGREGATE,
         "dedup_groups": _sql_dedup_groups(),
         "pack_sequences": _sql_pack_sequences(),
+        "chunk_windows": _sql_chunk_windows(),
+        "vocab_stats": _sql_vocab_stats(),
+        "token_pair_stats": _sql_token_pair_stats(),
         "mixture_sample": _sql_mixture(),
         "decontaminate": _sql_decontam(),
         "repetition_signals": _sql_repetition(),

@@ -66,6 +66,9 @@ def main() -> None:
             # decontaminate's contract path hashes grams with the portable
             # md5 (oracle twin); the xxhash64 production twin is benched
             "decontaminate",
+            # chunk_windows' contract path renders tokens as CSV for the
+            # hash gate; the raw array operator is benched below
+            "chunk_windows",
         )
     ]
 
@@ -140,6 +143,19 @@ def main() -> None:
     except Exception as e:
         timings["decontaminate_fast"] = -1.0
         print(f"# bench query decontaminate_fast failed: {e}", file=sys.stderr)
+
+    # production-path chunking (raw token arrays; the contract twin's CSV
+    # render is the oracle gate, not the operator)
+    t0 = time.time()
+    try:
+        from vector_spark.packing import chunk_windows
+
+        corpus = P.load_corpus(spark, sf).select("doc_id", "tokens")
+        _materialize(chunk_windows(corpus, 256, 192))
+        timings["chunk_windows_fast"] = round(time.time() - t0, 3)
+    except Exception as e:
+        timings["chunk_windows_fast"] = -1.0
+        print(f"# bench query chunk_windows_fast failed: {e}", file=sys.stderr)
 
     for name in bench_names:
         if name == "pipeline_sink_aggregates":

@@ -48,3 +48,42 @@ def test_pack_order_is_doc_id_lexicographic(spark):
     df = _rows(spark, [("z", [7, 8]), ("a", [1, 2]), ("m", [5, 6])])
     out = pack_sequences(df, 6).collect()
     assert len(out) == 1 and out[0]["tokens"] == [1, 2, 5, 6, 7, 8]
+
+
+# ---------------------------------------------------------------------------
+# chunk_windows (per-doc sliding windows)
+
+from vector_spark.packing import chunk_windows  # noqa: E402
+
+
+def _chunks(spark, data, **kw):
+    out = chunk_windows(_rows(spark, data), **kw).orderBy("doc_id", "chunk_id")
+    return [(r["doc_id"], r["chunk_id"], r["tokens"], r["n_tok"]) for r in out.collect()]
+
+
+def test_chunk_disjoint_default_stride(spark):
+    got = _chunks(spark, [("a", [1, 2, 3, 4, 5])], win=2)
+    assert got == [("a", 0, [1, 2], 2), ("a", 1, [3, 4], 2), ("a", 2, [5], 1)]
+
+
+def test_chunk_overlapping_stride(spark):
+    got = _chunks(spark, [("a", [1, 2, 3, 4, 5])], win=3, stride=2)
+    assert got == [("a", 0, [1, 2, 3], 3), ("a", 1, [3, 4, 5], 3), ("a", 2, [5], 1)]
+
+
+def test_chunk_min_len_drops_ragged_tail(spark):
+    got = _chunks(spark, [("a", [1, 2, 3, 4, 5])], win=3, stride=2, min_len=3)
+    assert got == [("a", 0, [1, 2, 3], 3), ("a", 1, [3, 4, 5], 3)]
+
+
+def test_chunk_short_and_empty_docs(spark):
+    got = _chunks(spark, [("a", []), ("b", [9])], win=4)
+    assert got == [("b", 0, [9], 1)]
+
+
+def test_chunk_never_crosses_doc_boundary(spark):
+    got = _chunks(spark, [("a", [1, 2, 3]), ("b", [4, 5, 6])], win=2)
+    per_doc = {}
+    for d, _, c, _ in got:
+        per_doc.setdefault(d, []).extend(c)
+    assert per_doc == {"a": [1, 2, 3], "b": [4, 5, 6]}

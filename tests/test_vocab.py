@@ -1,0 +1,69 @@
+"""Unit semantics for corpus vocabulary statistics (vector_spark/vocab.py).
+
+The oracle-parity gate covers the sf0.01 corpus; these pin tiny-input
+semantics: pair windows never cross docs, within-doc repeats count,
+deterministic tie ordering, doc-frequency vs occurrence counts.
+"""
+
+from __future__ import annotations
+
+from vector_spark.vocab import token_pair_stats, vocab_stats
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "doc_id string, tokens array<int>")
+
+
+def test_pair_counts_and_ordering(spark):
+    df = _rows(spark, [("a", [1, 2, 1, 2]), ("b", [2, 1, 2])])
+    got = [tuple(r) for r in token_pair_stats(df, 10).collect()]
+    # (1,2): a@1, a@3, b@2 = 3; (2,1): a@2, b@1 = 2
+    assert got == [(1, 2, 3), (2, 1, 2)]
+
+
+def test_pairs_do_not_cross_docs(spark):
+    df = _rows(spark, [("a", [1, 9]), ("b", [9, 1])])
+    got = {(r["t1"], r["t2"]): r["n_occ"] for r in token_pair_stats(df, 10).collect()}
+    assert got == {(1, 9): 1, (9, 1): 1}  # no (9,9) from the doc boundary
+
+
+def test_pair_short_docs_contribute_nothing(spark):
+    df = _rows(spark, [("a", []), ("b", [7]), ("c", [7, 7])])
+    got = [tuple(r) for r in token_pair_stats(df, 10).collect()]
+    assert got == [(7, 7, 1)]
+
+
+def test_pair_tie_break_is_key_order(spark):
+    df = _rows(spark, [("a", [3, 4]), ("b", [1, 2])])
+    got = [tuple(r) for r in token_pair_stats(df, 10).collect()]
+    assert got == [(1, 2, 1), (3, 4, 1)]
+
+
+def test_vocab_occ_vs_doc_frequency(spark):
+    df = _rows(spark, [("a", [5, 5, 5]), ("b", [5, 6]), ("c", [6])])
+    got = [tuple(r) for r in vocab_stats(df, 10).collect()]
+    assert got == [(5, 4, 2), (6, 2, 2)]
+
+
+def test_vocab_top_n_limit(spark):
+    df = _rows(spark, [("a", [1, 1, 2, 2, 3])])
+    got = [tuple(r) for r in vocab_stats(df, 2).collect()]
+    assert got == [(1, 2, 1), (2, 2, 1)]
+
+
+def test_fast_and_hof_twins_agree(spark):
+    # incl. negative + INT_MAX tokens (the packed-key bijection edge)
+    df = _rows(
+        spark,
+        [
+            ("a", [1, 2, 1, 2]),
+            ("b", [2, 1, 2]),
+            ("c", []),
+            ("d", [7]),
+            ("e", [-3, -3, 2147483647, -3]),
+        ],
+    )
+    for fn in (token_pair_stats, vocab_stats):
+        fast = sorted(map(tuple, fn(df, 100, fast=True).collect()))
+        slow = sorted(map(tuple, fn(df, 100, fast=False).collect()))
+        assert fast == slow, fn.__name__

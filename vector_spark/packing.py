@@ -140,6 +140,80 @@ def pack_sequences(
     )
 
 
+def chunk_windows(
+    df: DataFrame,
+    win: int,
+    stride: int | None = None,
+    min_len: int = 1,
+    id_col: str = "doc_id",
+    tok_col: str = "tokens",
+) -> DataFrame:
+    """Per-doc sliding-window chunking: each doc's token sequence becomes
+    overlapping windows of ``win`` tokens starting every ``stride`` tokens
+    (default ``stride=win`` → disjoint chunks).  Returns (id, chunk_id,
+    tokens, n_tok) with ``chunk_id`` the 0-based window index within its
+    doc.  Tail windows shorter than ``win`` are kept iff their length >=
+    ``min_len`` (set ``min_len=win`` to drop ragged tails).
+
+    The context-window twin of :func:`pack_sequences`: packing concatenates
+    ACROSS docs for pretraining batches; chunking splits WITHIN a doc for
+    long-context / retrieval-granularity prep where windows must not cross
+    document boundaries.
+
+    Scale design: pure per-row codegen (sequence → transform/slice →
+    posexplode) — no shuffle, no Python; output rows ≈ ceil(n_tok/stride)
+    per doc, so the op is embarrassingly parallel at any corpus size.
+    """
+    if stride is None:
+        stride = win
+    if win < 1 or stride < 1 or min_len < 1:
+        raise ValueError("chunk_windows: win/stride/min_len must be >= 1")
+    toks = F.col(tok_col)
+    starts = F.when(
+        F.size(toks) > 0,
+        F.sequence(F.lit(0), F.size(toks) - 1, F.lit(int(stride))),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.filter(
+        F.transform(starts, lambda s: F.slice(toks, s + 1, win)),
+        lambda c: F.size(c) >= min_len,
+    )
+    return df.select(id_col, F.posexplode(chunks).alias("chunk_id", tok_col)).select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        tok_col,
+        F.size(tok_col).cast("long").alias("n_tok"),
+    )
+
+
+def sql_chunk_windows(
+    src_sql: str, win: int, stride: int | None = None, min_len: int = 1
+) -> str:
+    """DuckDB oracle for :func:`chunk_windows` (tokens rendered as CSV for
+    hash-stable comparison)."""
+    if stride is None:
+        stride = win
+    return f"""
+WITH docs AS (
+  SELECT doc_id, tokens AS t FROM {src_sql}
+), starts AS (
+  SELECT doc_id, t, unnest(range(0, len(t), {stride})) AS s
+  FROM docs WHERE len(t) > 0
+), chunks AS (
+  SELECT doc_id, s // {stride} AS raw_idx,
+         list_slice(t, s + 1, least(s + {win}, len(t))) AS c
+  FROM starts
+), kept AS (
+  SELECT doc_id, c,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY raw_idx) - 1 AS chunk_id
+  FROM chunks WHERE len(c) >= {min_len}
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       array_to_string(c, ',') AS tokens_csv,
+       CAST(len(c) AS BIGINT) AS n_tok
+FROM kept
+"""
+
+
 def sql_pack_sequences(src_sql: str, seq_len: int, eos: int | None = None) -> str:
     """DuckDB oracle: same packing via token-level unnest + window row
     numbering (fixture-scale reference semantics; the Spark path above is

@@ -1,0 +1,236 @@
+"""Corpus-wide token vocabulary statistics over tokenized sequences.
+
+The two scans every tokenizer/training-data pipeline runs before (re)
+training a BPE vocabulary or auditing a corpus mix:
+
+- :func:`vocab_stats` — per-token frequency + document frequency, top-N.
+  (The unigram census: vocabulary coverage, OOV-rate inputs, stopword-ish
+  token identification.)
+- :func:`token_pair_stats` — adjacent-token-pair frequency, top-N.  (The
+  BPE merge-candidate scan: one iteration of the public BPE algorithm,
+  Sennrich et al. 2016, is "count all adjacent symbol pairs, merge the
+  most frequent" — at corpus scale this count IS the expensive step.)
+
+The reference repo is a log pipeline with no tokenizer surface; this is
+an LLM-data-pipeline extension alongside SURVEY.md §2 (same family as
+packing/dup-span/decontamination).
+
+Scale design (10^12-sequence corpus): both ops are
+explode → partial-aggregate → exchange-on-key → final-aggregate → TakeOrdered.
+The explode is per-row codegen (``posexplode`` of a zip of two shifted
+slices for pairs — no UDF, no gram-string materialization); map-side
+partial aggregation collapses each task's stream to its distinct keys, so
+the exchange carries O(distinct tokens | distinct pairs) rows per task,
+not O(total tokens); the global top-N is Spark's TakeOrderedAndProject
+(per-partition heap, driver merges N rows — no full sort shuffle).
+Ordering is total (count desc, then key asc) so results are deterministic
+under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _flat_tokens(batch, tok_col):
+    """(flat int64 token stream, per-row boundary mask) for one Arrow batch:
+    ``same_row[i]`` is True when flat[i] and flat[i+1] come from one doc."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    toks = batch.column(tok_col)
+    lens = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    rowidx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    return flat, rowidx
+
+
+def vocab_stats(
+    df: DataFrame,
+    top_n: int = 100,
+    id_col: str = "doc_id",
+    tok_col: str = "tokens",
+    fast: bool = True,
+) -> DataFrame:
+    """Top-``top_n`` tokens by corpus frequency: (token, n_occ, n_docs).
+    ``n_docs`` counts documents containing the token at least once.
+
+    ``fast=True`` (default, production): a zero-copy Arrow kernel
+    pre-aggregates each batch with ``np.unique`` over (doc, token) pairs,
+    emitting (token, occ_partial, docs_partial) — the exchange carries
+    O(distinct tokens per batch) rows instead of O(total tokens).  A doc's
+    tokens live in one row (hence one batch), so per-batch doc-distinct
+    partials sum exactly.  ``fast=False`` is the pure-DataFrame twin
+    (explode + two-level aggregate) — same result, kept as the
+    plan-readable reference."""
+    if not fast:
+        occ = df.select(id_col, F.explode(tok_col).alias("token"))
+        per_doc = occ.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("_c"))
+        return (
+            per_doc.groupBy("token")
+            .agg(
+                F.sum("_c").cast("long").alias("n_occ"),
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+            )
+            .orderBy(F.desc("n_occ"), F.asc("token"))
+            .limit(top_n)
+            .select(F.col("token").cast("long").alias("token"), "n_occ", "n_docs")
+        )
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from vector_spark.arena import warm_numpy_arena
+
+        warm_numpy_arena()
+        schema = pa.schema(
+            [("token", pa.int64()), ("_occ", pa.int64()), ("_docs", pa.int64())]
+        )
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            flat, rowidx = _flat_tokens(batch, tok_col)
+            if not len(flat):
+                continue
+            toks_u, occ = np.unique(flat, return_counts=True)
+            # distinct (doc, token) pairs -> docs-per-token partial; the
+            # (row << 32 | token) pack is a bijection for int32 tokens
+            key = (rowidx << np.int64(32)) | (flat & np.int64(0xFFFFFFFF))
+            _, first = np.unique(key, return_index=True)
+            docs_u, docs = np.unique(flat[first], return_counts=True)
+            # toks_u and docs_u are both the sorted distinct token set
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(toks_u), pa.array(occ.astype(np.int64)), pa.array(docs)],
+                schema=schema,
+            )
+
+    partials = df.select(tok_col).mapInArrow(
+        kernel, schema="token long, _occ long, _docs long"
+    )
+    return (
+        partials.groupBy("token")
+        .agg(
+            F.sum("_occ").cast("long").alias("n_occ"),
+            F.sum("_docs").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occ"), F.asc("token"))
+        .limit(top_n)
+    )
+
+
+def sql_vocab_stats(src_sql: str, top_n: int = 100) -> str:
+    """DuckDB oracle for :func:`vocab_stats`."""
+    return f"""
+WITH occ AS (
+  SELECT doc_id, unnest(tokens) AS token FROM {src_sql}
+), per_doc AS (
+  SELECT doc_id, token, COUNT(*) AS c FROM occ GROUP BY doc_id, token
+)
+SELECT CAST(token AS BIGINT) AS token,
+       CAST(SUM(c) AS BIGINT) AS n_occ,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM per_doc GROUP BY token
+ORDER BY n_occ DESC, token ASC LIMIT {top_n}
+"""
+
+
+def token_pair_stats(
+    df: DataFrame,
+    top_n: int = 100,
+    tok_col: str = "tokens",
+    fast: bool = True,
+) -> DataFrame:
+    """Top-``top_n`` adjacent token pairs by corpus frequency:
+    (t1, t2, n_occ) — the BPE merge-candidate ranking.  Pairs never cross
+    document boundaries; a doc of n tokens contributes n-1 pairs.
+
+    ``fast=True`` (default, production): a zero-copy Arrow kernel counts
+    each batch's pairs with one ``np.unique`` over the packed
+    (t1 << 32 | t2) key — no pair-struct materialization — emitting
+    O(distinct pairs per batch) partials (measured ~25x the HOF twin at
+    sf0.01, 15.4M pairs: 2.1s vs 58s warm; the synthetic corpus is
+    near-uniform so partials barely collapse — worst case for the
+    exchange, which real Zipfian text collapses massively).
+    ``fast=False`` is the pure-DataFrame twin (zip-shifted-slices +
+    explode; HOF lambdas are interpreted, hence the gap) — same result,
+    kept as the plan-readable reference."""
+    if not fast:
+        toks = F.col(tok_col)
+        pairs = F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("t1"), b.alias("t2")),
+        )
+        return (
+            df.select(F.explode(pairs).alias("p"))
+            .groupBy(
+                F.col("p.t1").cast("long").alias("t1"),
+                F.col("p.t2").cast("long").alias("t2"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+            .orderBy(F.desc("n_occ"), F.asc("t1"), F.asc("t2"))
+            .limit(top_n)
+        )
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from vector_spark.arena import warm_numpy_arena
+
+        warm_numpy_arena()
+        schema = pa.schema(
+            [("t1", pa.int64()), ("t2", pa.int64()), ("_occ", pa.int64())]
+        )
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            flat, rowidx = _flat_tokens(batch, tok_col)
+            if len(flat) < 2:
+                continue
+            same = rowidx[:-1] == rowidx[1:]
+            t1, t2 = flat[:-1][same], flat[1:][same]
+            if not len(t1):
+                continue
+            # (t1 << 32 | t2) is a bijection for int32 tokens
+            key = (t1 << np.int64(32)) | (t2 & np.int64(0xFFFFFFFF))
+            ku, occ = np.unique(key, return_counts=True)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ku >> np.int64(32)),
+                    # arithmetic shift back: sign-extend the low half
+                    pa.array((ku << np.int64(32)) >> np.int64(32)),
+                    pa.array(occ.astype(np.int64)),
+                ],
+                schema=schema,
+            )
+
+    partials = df.select(tok_col).mapInArrow(
+        kernel, schema="t1 long, t2 long, _occ long"
+    )
+    return (
+        partials.groupBy("t1", "t2")
+        .agg(F.sum("_occ").cast("long").alias("n_occ"))
+        .orderBy(F.desc("n_occ"), F.asc("t1"), F.asc("t2"))
+        .limit(top_n)
+    )
+
+
+def sql_token_pair_stats(src_sql: str, top_n: int = 100) -> str:
+    """DuckDB oracle for :func:`token_pair_stats`."""
+    return f"""
+WITH docs AS (
+  SELECT tokens AS t FROM {src_sql} WHERE len(tokens) >= 2
+), pos AS (
+  SELECT t, unnest(range(1, len(t))) AS i FROM docs
+)
+SELECT CAST(t[i] AS BIGINT) AS t1,
+       CAST(t[i + 1] AS BIGINT) AS t2,
+       CAST(COUNT(*) AS BIGINT) AS n_occ
+FROM pos GROUP BY t1, t2
+ORDER BY n_occ DESC, t1 ASC, t2 ASC LIMIT {top_n}
+"""
