@@ -1889,6 +1889,22 @@ def _q_embedding_dup_lsh_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-pruned embedding dedup —
+    cell assignment via the seeded centroids, per-cell GEMM scoring,
+    keep-first-by-id.  The third embedding-dedup scale path alongside the
+    exact pair join and the LSH buckets."""
+    from vector_spark.similarity import semantic_dedup
+
+    return semantic_dedup(_embs(spark, sf_dir), threshold=0.3, n_cells=8, dim=64)
+
+
+def _sql_semantic_dedup() -> str:
+    from vector_spark.similarity import sql_semantic_dedup
+
+    return sql_semantic_dedup("embeddings", threshold=0.3, n_cells=8, dim=64)
+
+
 def _q_ann_topk_lsh_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production twin of ann_topk_lsh: bucket-pruned scan + per-bucket GEMM
     scoring via mapInPandas (no corpus shuffle).  Shares the ann_topk_lsh
@@ -2999,6 +3015,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_dup_lsh_gemm": _q_embedding_dup_lsh_gemm,
+        "semantic_dedup": _q_semantic_dedup,
         "ann_topk_lsh_gemm": _q_ann_topk_lsh_gemm,
         "ann_topk_ivf_gemm": _q_ann_topk_ivf_gemm,
         "media_features": _q_media_features,
@@ -3083,6 +3100,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": _sql_ann_topk_lsh(),
         "ann_topk_ivf": _sql_ann_topk_ivf(),
         "embedding_dup_lsh_gemm": _sql_embedding_dup_lsh(),
+        "semantic_dedup": _sql_semantic_dedup(),
         "ann_topk_lsh_gemm": _sql_ann_topk_lsh(),
         "ann_topk_ivf_gemm": _sql_ann_topk_ivf(),
         "media_features": _sql_media_features(),

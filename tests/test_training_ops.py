@@ -312,3 +312,31 @@ def test_incremental_near_dup_matches_self_join(spark):
     # -> candidate sets may differ on borderline docs, but both must catch
     # the seeded near-identical dups (which collide under ANY hash family)
     assert fast & set(inc)
+
+
+def test_semantic_dedup_keep_first_by_id(spark):
+    from vector_spark.similarity import semantic_dedup
+
+    # two exact-duplicate groups + one singleton; dim-64 one-hot-ish rows
+    def vec(i, scale=1.0):
+        v = [0.0] * 64
+        v[i] = scale
+        return v
+
+    rows = [
+        (10, vec(0)), (11, vec(0, 2.0)), (12, vec(0, 0.5)),  # same direction
+        (20, vec(1)), (21, vec(1, 3.0)),
+        (30, vec(2)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in semantic_dedup(df, threshold=0.99, dim=64).collect()}
+    assert len(out) == 6  # one row per input
+    # group keepers: lowest id of each neighborhood
+    assert not out[10]["is_dup"] and out[10]["kept_by"] is None
+    assert out[11]["is_dup"] and out[11]["kept_by"] == 10
+    assert out[12]["is_dup"] and out[12]["kept_by"] == 10
+    assert not out[20]["is_dup"]
+    assert out[21]["is_dup"] and out[21]["kept_by"] == 20
+    assert not out[30]["is_dup"]
+    # same-direction rows share a cell (identical cosine to every centroid)
+    assert out[10]["cell"] == out[11]["cell"] == out[12]["cell"]

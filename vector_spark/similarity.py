@@ -440,3 +440,102 @@ def topk_cosine_lsh(
     )
     w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.3,
+    n_cells: int = 8,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    chunk: int = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster embeddings into cells, then within each cell greedily keep the
+    lowest-id member of every semantic-duplicate neighborhood.  Returns one
+    row per input: (id, cell, is_dup, kept_by) — ``is_dup`` true iff some
+    SAME-CELL row with a smaller id has cosine >= ``threshold``;
+    ``kept_by`` is the smallest such id (NULL for keepers).  Downstream
+    drops ``is_dup`` rows; keep-first-by-id makes the decision
+    deterministic and order-independent.
+
+    The third embedding-dedup scale path alongside the exact pair join
+    (`dedup.embedding_dup_pairs`) and the LSH buckets
+    (`embedding_dup_pairs_lsh*`): cluster-pruned comparison — O(sum
+    cell^2) pairs, one shuffle on the cell id, per-cell BLAS GEMM scoring
+    chunked so task memory stays O(chunk x cell).  Cell assignment uses
+    the seeded deterministic centroids (`centroids()`); a trained k-means
+    codebook drops in unchanged (the paper's setting — centroid quality
+    affects recall, not the mechanism).
+    """
+    import pandas as pd
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    cents = centroids(dim, n_cells)
+    b = df.select(id_col, vec_col).withColumn("cell", ivf_cell(F.col(vec_col), cents))
+
+    def _mark(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)[order]
+        nrm = np.linalg.norm(mat, axis=1)
+        cell = int(pdf["cell"].iloc[0])
+        n = len(ids)
+        cols = np.arange(n)
+        kept_by = np.full(n, -1, dtype=np.int64)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            sims = np.round((mat[s:e] @ mat.T) / np.outer(nrm[s:e], nrm), 6)
+            rows_idx = np.arange(s, e)
+            # ids ascending => column j qualifies iff j < global row index
+            mask = (sims >= threshold) & (cols[None, :] < rows_idx[:, None])
+            has = mask.any(axis=1)
+            first = mask.argmax(axis=1)  # smallest qualifying column = min id
+            kept_by[rows_idx[has]] = ids[first[has]]
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cell": np.full(n, cell, dtype=np.int64),
+                "is_dup": kept_by >= 0,
+                "kept_by": pd.array(
+                    [int(k) if k >= 0 else None for k in kept_by], dtype="Int64"
+                ),
+            }
+        )
+
+    return b.groupBy("cell").applyInPandas(
+        _mark, schema=f"{id_col} long, cell long, is_dup boolean, kept_by long"
+    )
+
+
+def sql_semantic_dedup(
+    table: str, threshold: float = 0.3, n_cells: int = 8, dim: int = 64
+) -> str:
+    """DuckDB oracle for :func:`semantic_dedup` — same seeded centroids,
+    same rounded-cosine filter, keep-first-by-id via MIN over qualifying
+    earlier same-cell neighbors."""
+    cell = sql_ivf_cell("embedding", centroids(dim, n_cells))
+    dot = (
+        "list_sum(list_transform(range(1, {n} + 1), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    cs = (
+        f"(({dot.format(a='a.embedding', b='b.embedding', n=dim)}) / "
+        f"(sqrt({dot.format(a='a.embedding', b='a.embedding', n=dim)}) * "
+        f"sqrt({dot.format(a='b.embedding', b='b.embedding', n=dim)})))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding, CAST({cell} AS BIGINT) AS cell FROM {table}
+), d AS (
+  SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS kept_by
+  FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND({cs}, 6) >= {threshold}
+  GROUP BY b.vec_id
+)
+SELECT e.vec_id, e.cell, d.vec_id IS NOT NULL AS is_dup, d.kept_by
+FROM e LEFT JOIN d USING (vec_id)
+"""
