@@ -340,3 +340,39 @@ def test_semantic_dedup_keep_first_by_id(spark):
     assert not out[30]["is_dup"]
     # same-direction rows share a cell (identical cosine to every centroid)
     assert out[10]["cell"] == out[11]["cell"] == out[12]["cell"]
+
+
+def test_kmeans_refine_recovers_planted_clusters(spark):
+    import numpy as np
+
+    from vector_spark.similarity import kmeans_refine, semantic_dedup
+
+    # three tight planted clusters in dim 8, far apart
+    rng = np.random.default_rng(7)
+    true = np.eye(3, 8)  # unit axis directions
+    rows = []
+    vid = 0
+    for c in range(3):
+        for _ in range(40):
+            v = true[c] + 0.05 * rng.standard_normal(8)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(4)
+
+    from vector_spark.similarity import init_maximin
+
+    init = init_maximin(df, 3)
+    trained = kmeans_refine(df, init, iters=6)
+    tm = np.asarray(trained)
+    # every planted direction has a near-identical trained centroid
+    sims = (true / np.linalg.norm(true, axis=1)[:, None]) @ tm.T
+    assert (sims.max(axis=1) > 0.98).all()
+    # deterministic under a different partitioning (sums reduce exactly
+    # per (cell, dim); rounding to 6 absorbs the float reduce order)
+    again = kmeans_refine(df.repartition(7), init, iters=6)
+    assert np.allclose(tm, np.asarray(again), atol=2e-6)
+    # the trained codebook drops into semantic_dedup: clusters now map
+    # 1:1 to cells, so each planted cluster keeps exactly one doc
+    out = semantic_dedup(df, threshold=0.9, dim=8, cents=trained).collect()
+    keepers = [r["vec_id"] for r in out if not r["is_dup"]]
+    assert len(keepers) == 3

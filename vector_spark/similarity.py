@@ -450,6 +450,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     chunk: int = 4096,
+    cents: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     cluster embeddings into cells, then within each cell greedily keep the
@@ -473,7 +474,8 @@ def semantic_dedup(
 
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    cents = centroids(dim, n_cells)
+    if cents is None:
+        cents = centroids(dim, n_cells)
     b = df.select(id_col, vec_col).withColumn("cell", ivf_cell(F.col(vec_col), cents))
 
     def _mark(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -539,3 +541,134 @@ WITH e AS (
 SELECT e.vec_id, e.cell, d.vec_id IS NOT NULL AS is_dup, d.kept_by
 FROM e LEFT JOIN d USING (vec_id)
 """
+
+
+def kmeans_refine(
+    df: DataFrame,
+    init: list[list[float]],
+    iters: int = 5,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed spherical k-means (Lloyd's) refinement of a centroid
+    codebook — the training step SemDeDup assumes (Abbas et al. 2023 use
+    faiss k-means; this is the Spark-native equivalent).  Deterministic
+    given ``init`` (ties break to the lowest cell index, matching
+    :func:`ivf_cell`); returns the refined codebook, rounded to 6 places
+    so it can be inlined as plan/SQL literals like :func:`centroids`.
+
+    Scale design: each iteration is ONE pass — a zero-copy Arrow kernel
+    GEMM-assigns every batch to its argmax-cosine cell and emits the
+    k x dim per-cell (sum, count) PARTIALS (k rows per batch, not per
+    vector); Spark reduces them with a posexplode + (cell, dim) hash
+    aggregate whose exchange is k*dim tiny rows; the driver only ever
+    touches the k x dim codebook.  No per-vector shuffle, no cached
+    intermediate, O(k*dim) driver state — the standard scalable Lloyd's
+    layout (same shape as MLlib's, rebuilt here so the codebook stays a
+    deterministic plan literal).
+    """
+    import numpy as np  # noqa: F811 (module-level alias is fine too)
+
+    k = len(init)
+    dim = len(init[0])
+    cents = np.asarray(init, dtype=np.float64)
+    spark_f = F
+
+    for _ in range(iters):
+        c = cents  # bind the current codebook into the kernel closure
+
+        def kernel(batches, _c=c):
+            import numpy as np
+            import pyarrow as pa
+
+            from vector_spark.arena import warm_numpy_arena
+
+            warm_numpy_arena()
+            schema = pa.schema(
+                [("cell", pa.int64()), ("vsum", pa.list_(pa.float64())), ("n", pa.int64())]
+            )
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                col = batch.column(0)
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                if len(flat) == batch.num_rows * _c.shape[1]:
+                    mat = flat.reshape(batch.num_rows, -1).astype(np.float64)
+                else:  # ragged/null rows: fall back to the safe path
+                    mat = np.asarray(col.to_pylist(), dtype=np.float64)
+                nrm = np.linalg.norm(mat, axis=1)
+                nrm[nrm == 0] = 1.0
+                # argmax cosine == argmax dot of the normalized rows
+                cell = np.argmax((mat / nrm[:, None]) @ _c.T, axis=1)
+                sums = np.zeros((len(_c), mat.shape[1]))
+                np.add.at(sums, cell, mat)
+                counts = np.bincount(cell, minlength=len(_c)).astype(np.int64)
+                nz = np.nonzero(counts)[0]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(nz.astype(np.int64)),
+                        pa.array(list(sums[nz])),
+                        pa.array(counts[nz]),
+                    ],
+                    schema=schema,
+                )
+
+        partials = df.select(vec_col).mapInArrow(
+            kernel, schema="cell long, vsum array<double>, n long"
+        )
+        reduced = (
+            partials.select("cell", "n", spark_f.posexplode("vsum").alias("d", "v"))
+            .groupBy("cell", "d")
+            .agg(spark_f.sum("v").alias("s"), spark_f.sum("n").alias("cnt"))
+            .collect()
+        )
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k, dtype=np.int64)
+        for r in reduced:
+            sums[r["cell"], r["d"]] = r["s"]
+            counts[r["cell"]] = r["cnt"]  # identical across a cell's d rows
+        new = cents.copy()  # empty cells keep their previous centroid
+        nzc = counts > 0
+        means = sums[nzc] / counts[nzc, None]
+        mn = np.linalg.norm(means, axis=1)
+        mn[mn == 0] = 1.0
+        new[nzc] = means / mn[:, None]  # spherical: re-normalize
+        cents = new
+    return [[round(float(v), 6) for v in row] for row in cents]
+
+
+def init_maximin(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic farthest-point (Gonzalez maximin) codebook init for
+    :func:`kmeans_refine`: seed with the lowest-id vector, then k-1 times
+    add the vector minimizing its max cosine to the chosen set (ties break
+    to the lowest id).  k-1 narrow passes, each reduced by a 1-row
+    TakeOrdered — no shuffle of the corpus.  Avoids the empty/merged-cell
+    local optima random Gaussian seeding falls into."""
+    def _unit(vec) -> list[float]:
+        a = np.asarray(list(vec), dtype=np.float64)
+        n = float(np.linalg.norm(a)) or 1.0
+        return [round(float(v), 6) for v in a / n]
+
+    first = df.select(id_col, vec_col).orderBy(id_col).first()
+    chosen = [_unit(first[vec_col])]
+    for _ in range(k - 1):
+        d = _dots(F.col(vec_col), chosen)  # chosen rows are unit directions
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform(F.col(vec_col), lambda x: x.cast("double") * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+        score = F.round(F.array_max(d) / norm, 6)  # max cosine to chosen set
+        nxt = (
+            df.select(id_col, vec_col, score.alias("_s"))
+            .orderBy(F.asc("_s"), F.asc(id_col))
+            .first()
+        )
+        chosen.append(_unit(nxt[vec_col]))
+    return chosen
