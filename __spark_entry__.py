@@ -1896,7 +1896,13 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact pair join and the LSH buckets."""
     from vector_spark.similarity import semantic_dedup
 
-    return semantic_dedup(_embs(spark, sf_dir), threshold=0.3, n_cells=8, dim=64)
+    out = semantic_dedup(_embs(spark, sf_dir), threshold=0.3, n_cells=8, dim=64)
+    # kept_by is NULL for keepers; the contract surface pins it to -1 so the
+    # value compare never depends on how a NULL bigint round-trips through
+    # pandas (DuckDB fetch_df turns it into NaN, Spark collect into None).
+    return out.withColumn(
+        "kept_by", F.coalesce(F.col("kept_by"), F.lit(-1)).cast("long")
+    )
 
 
 def _sql_semantic_dedup() -> str:
@@ -2986,6 +2992,107 @@ def _q_pipeline_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# corpus curation (curation.py): line dedup / DSIR / percentile / divergence
+
+_LD_MIN_DOCS = 2
+_LD_HDR_A = "Accept cookies to continue"
+_LD_HDR_B = "Home | About | Contact"
+_LD_FOOTER = "(c) 2024 Example Corp"
+_DSIR_K = 25
+_DSIR_BUCKETS = 512
+_QP_KEEP = 0.3
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-doc line dedup.  The documents fixture is
+    single-line, so the query plants deterministic boilerplate around each
+    text (hash-selected header variant + a footer common to even buckets,
+    unique doc_id line on odd) — the operator must strip exactly the
+    planted lines plus any text bodies shared by >= 2 docs."""
+    from vector_spark.curation import strip_common_lines
+
+    d = _docs(spark, sf_dir)
+    b = portable_bucket(F.col("doc_id"), 10)
+    pages = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.when(b < 6, F.lit(_LD_HDR_A)).otherwise(F.lit(_LD_HDR_B)),
+            F.col("text"),
+            F.when(b % 2 == 0, F.lit(_LD_FOOTER)).otherwise(
+                F.col("doc_id").cast("string")
+            ),
+        ).alias("text"),
+    )
+    return strip_common_lines(pages, min_docs=_LD_MIN_DOCS)
+
+
+def _sql_line_dedup() -> str:
+    from vector_spark.curation import sql_strip_common_lines
+
+    bucket = portable_bucket_sql("doc_id", 10)
+    pages = f"""
+  SELECT doc_id,
+         (CASE WHEN {bucket} < 6 THEN '{_LD_HDR_A}' ELSE '{_LD_HDR_B}' END)
+         || chr(10) || text || chr(10) ||
+         (CASE WHEN ({bucket}) % 2 = 0 THEN '{_LD_FOOTER}'
+               ELSE CAST(doc_id AS VARCHAR) END) AS text
+  FROM documents
+"""
+    return sql_strip_common_lines(min_docs=_LD_MIN_DOCS, table=f"({pages}) AS pages")
+
+
+def _q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling: score every doc against the lang='en'
+    target slice via hashed word-unigram bucket log-ratios (integer
+    micro-nats), return the top-k."""
+    from vector_spark.curation import dsir_topk
+
+    d = _docs(spark, sf_dir)
+    return dsir_topk(d, F.col("lang") == "en", k=_DSIR_K, n_buckets=_DSIR_BUCKETS)
+
+
+def _sql_dsir_topk() -> str:
+    from vector_spark.curation import sql_dsir_topk
+
+    return sql_dsir_topk("lang = 'en'", k=_DSIR_K, n_buckets=_DSIR_BUCKETS)
+
+
+def _q_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source relative quality selection: top 30% of each source by
+    quality score (deterministic tiebreak), per-source audit row with a
+    selected-set checksum."""
+    from vector_spark import textstats as T
+    from vector_spark.curation import quality_percentile
+
+    d = _docs(spark, sf_dir)
+    return quality_percentile(d, T.quality_score("text"), keep_frac=_QP_KEEP)
+
+
+def _sql_quality_percentile() -> str:
+    from vector_spark import textstats as T
+    from vector_spark.curation import sql_quality_percentile
+
+    return sql_quality_percentile(T.sql_quality_score("text"), keep_frac=_QP_KEEP)
+
+
+def _q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-drift monitor: per-source token-unigram KL divergence vs
+    the corpus-wide distribution, in integer nano-nats."""
+    from vector_spark.curation import source_divergence
+
+    src = _corpus(spark, sf_dir).select("source", "tokens")
+    return source_divergence(src)
+
+
+def _sql_source_divergence() -> str:
+    from vector_spark.curation import sql_source_divergence
+
+    path = _corpus_sql_path()
+    return sql_source_divergence(f"(SELECT source, tokens FROM read_parquet('{path}'))")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _shipped(fn) for name, fn in _QUERY_FNS().items()}
 
@@ -3016,6 +3123,10 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_dup_lsh_gemm": _q_embedding_dup_lsh_gemm,
         "semantic_dedup": _q_semantic_dedup,
+        "line_dedup": _q_line_dedup,
+        "dsir_topk": _q_dsir_topk,
+        "quality_percentile": _q_quality_percentile,
+        "source_divergence": _q_source_divergence,
         "ann_topk_lsh_gemm": _q_ann_topk_lsh_gemm,
         "ann_topk_ivf_gemm": _q_ann_topk_ivf_gemm,
         "media_features": _q_media_features,
@@ -3101,6 +3212,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": _sql_ann_topk_ivf(),
         "embedding_dup_lsh_gemm": _sql_embedding_dup_lsh(),
         "semantic_dedup": _sql_semantic_dedup(),
+        "line_dedup": _sql_line_dedup(),
+        "dsir_topk": _sql_dsir_topk(),
+        "quality_percentile": _sql_quality_percentile(),
+        "source_divergence": _sql_source_divergence(),
         "ann_topk_lsh_gemm": _sql_ann_topk_lsh(),
         "ann_topk_ivf_gemm": _sql_ann_topk_ivf(),
         "media_features": _sql_media_features(),

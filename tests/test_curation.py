@@ -1,0 +1,116 @@
+"""Unit tests for vector_spark.curation (line dedup / DSIR / percentile /
+divergence) on tiny hand-checkable fixtures."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+
+def _h(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_strip_common_lines_removes_boilerplate(spark):
+    from vector_spark.curation import strip_common_lines
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "BANNER\nunique alpha\nFOOTER"),
+            ("b", "BANNER\nunique beta\nFOOTER"),
+            ("c", "BANNER\nunique gamma"),
+            ("d", "all mine\n\nalso mine"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in strip_common_lines(docs, min_docs=2).collect()}
+    assert out["a"]["n_lines"] == 3 and out["a"]["n_removed"] == 2
+    assert out["a"]["clean_h"] == _h("unique alpha")
+    assert out["c"]["n_removed"] == 1
+    assert out["c"]["clean_h"] == _h("unique gamma")
+    # empty lines are never counted as common and survive in place
+    assert out["d"]["n_removed"] == 0
+    assert out["d"]["clean_h"] == _h("all mine\n\nalso mine")
+
+
+def test_strip_common_lines_fully_boilerplate_doc_survives_empty(spark):
+    from vector_spark.curation import strip_common_lines
+
+    docs = spark.createDataFrame(
+        [("a", "SAME"), ("b", "SAME"), ("c", "other")],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in strip_common_lines(docs, min_docs=2).collect()}
+    assert out["a"]["n_removed"] == 1 and out["a"]["n_chars_clean"] == 0
+    assert out["a"]["clean_h"] == _h("")
+    assert out["c"]["n_removed"] == 0
+
+
+def test_dsir_topk_prefers_target_like_docs(spark):
+    from vector_spark.curation import dsir_topk
+
+    rows = []
+    # target slice: docs full of "alpha beta"; distractors: "zulu yankee"
+    for i in range(6):
+        rows.append((i, "en", ("alpha beta " * 20).strip()))
+    for i in range(6, 12):
+        rows.append((i, "de", ("zulu yankee " * 20).strip()))
+    # one unlabeled doc that *looks* like the target must outrank the
+    # distractors (the whole point of importance weighting)
+    rows.append((100, "de", ("alpha beta " * 20).strip()))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    top = dsir_topk(docs, F.col("lang") == "en", k=7, n_buckets=64).collect()
+    top_ids = [r["doc_id"] for r in top]
+    assert 100 in top_ids  # target-like doc selected
+    assert not any(i in top_ids for i in range(6, 12))  # distractors excluded
+    # weights are integer micro-nats: sums divide exactly across reruns
+    assert all(isinstance(r["w_sum"], int) for r in top)
+
+
+def test_quality_percentile_keeps_top_fraction_per_source(spark):
+    from vector_spark.curation import quality_percentile
+
+    # 10 docs per source with strictly increasing scores 0.0 .. 0.9
+    rows = [
+        (s * 100 + i, f"s{s}", float(i) / 10.0) for s in range(2) for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = {
+        r["source"]: r
+        for r in quality_percentile(
+            docs, F.col("score"), keep_frac=0.25
+        ).collect()
+    }
+    # percent_rank <= 0.25 over 10 rows keeps ranks 1..3 (pr 0, 1/9, 2/9)
+    for s in range(2):
+        r = out[f"s{s}"]
+        assert r["n_kept"] == 3
+        kept_ids = [s * 100 + 9, s * 100 + 8, s * 100 + 7]  # highest scores
+        assert r["sel_sum"] == sum(_h(str(i)) for i in kept_ids)
+        assert r["min_q"] == 0.7
+
+
+def test_source_divergence_zero_for_identical_distributions(spark):
+    from vector_spark.curation import source_divergence
+
+    same = [1, 1, 2, 3]
+    corpus = spark.createDataFrame(
+        [("a", same), ("b", same)], "source string, tokens array<int>"
+    )
+    out = {r["source"]: r for r in source_divergence(corpus).collect()}
+    # p_s == p_corpus for every token => every term ln(1) = 0 exactly
+    assert out["a"]["kl_nano"] == 0 and out["b"]["kl_nano"] == 0
+    assert out["a"]["n_tokens"] == 4 and out["a"]["vocab_size"] == 3
+
+
+def test_source_divergence_flags_skewed_source(spark):
+    from vector_spark.curation import source_divergence
+
+    corpus = spark.createDataFrame(
+        [("bal", list(range(16))), ("skew", [0] * 16)],
+        "source string, tokens array<int>",
+    )
+    out = {r["source"]: r for r in source_divergence(corpus).collect()}
+    assert out["skew"]["kl_nano"] > out["bal"]["kl_nano"]
+    assert out["skew"]["kl_nano"] > 0

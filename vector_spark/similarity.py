@@ -538,7 +538,8 @@ WITH e AS (
   WHERE ROUND({cs}, 6) >= {threshold}
   GROUP BY b.vec_id
 )
-SELECT e.vec_id, e.cell, d.vec_id IS NOT NULL AS is_dup, d.kept_by
+SELECT e.vec_id, e.cell, d.vec_id IS NOT NULL AS is_dup,
+       COALESCE(d.kept_by, -1)::BIGINT AS kept_by
 FROM e LEFT JOIN d USING (vec_id)
 """
 
