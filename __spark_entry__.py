@@ -3077,6 +3077,28 @@ def _sql_quality_percentile() -> str:
     return sql_quality_percentile(T.sql_quality_score("text"), keep_frac=_QP_KEEP)
 
 
+_SHARDS = 8
+
+
+def _q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced training-shard export plan: snake assignment over the
+    size-ranked corpus (distributed global row_number — range exchange +
+    per-partition window, no single-reducer sort), per-shard audit."""
+    from vector_spark.sharding import shard_stats
+
+    src = _corpus(spark, sf_dir).select("doc_id", "n_tok")
+    return shard_stats(src, n_shards=_SHARDS)
+
+
+def _sql_shard_plan() -> str:
+    from vector_spark.sharding import sql_shard_stats
+
+    path = _corpus_sql_path()
+    return sql_shard_stats(
+        f"(SELECT doc_id, n_tok FROM read_parquet('{path}'))", n_shards=_SHARDS
+    )
+
+
 def _q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-drift monitor: per-source token-unigram KL divergence vs
     the corpus-wide distribution, in integer nano-nats."""
@@ -3127,6 +3149,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_topk": _q_dsir_topk,
         "quality_percentile": _q_quality_percentile,
         "source_divergence": _q_source_divergence,
+        "shard_plan": _q_shard_plan,
         "ann_topk_lsh_gemm": _q_ann_topk_lsh_gemm,
         "ann_topk_ivf_gemm": _q_ann_topk_ivf_gemm,
         "media_features": _q_media_features,
@@ -3216,6 +3239,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_topk": _sql_dsir_topk(),
         "quality_percentile": _sql_quality_percentile(),
         "source_divergence": _sql_source_divergence(),
+        "shard_plan": _sql_shard_plan(),
         "ann_topk_lsh_gemm": _sql_ann_topk_lsh(),
         "ann_topk_ivf_gemm": _sql_ann_topk_ivf(),
         "media_features": _sql_media_features(),

@@ -50,6 +50,11 @@ from pyspark.sql import functions as F
 
 from vector_spark.hashing import portable_bucket, portable_bucket_sql, portable_hash64, portable_hash64_sql
 
+# checksum addends are hash % 1e6, not the raw 60-bit hash: a bigint SUM of
+# 2^60-sized addends overflows past ~15 rows (throws under ANSI sessions,
+# and DuckDB's hugeint sum would disagree with a wrapped Spark sum anyway)
+_CKSUM_MOD = 1_000_000
+
 _NL = "\n"
 
 
@@ -323,7 +328,9 @@ def quality_percentile(
             F.count(F.lit(1)).alias("n_kept"),
             F.round(F.avg("q"), 6).alias("avg_q"),
             F.round(F.min("q"), 6).alias("min_q"),
-            F.sum(portable_hash64(F.col(id_col))).cast("long").alias("sel_sum"),
+            F.sum(portable_bucket(F.col(id_col), _CKSUM_MOD))
+            .cast("long")
+            .alias("sel_sum"),
         )
         .orderBy(source_col)
     )
@@ -340,7 +347,7 @@ ranked AS (
 )
 SELECT source, COUNT(*)::BIGINT AS n_kept,
        ROUND(AVG(q), 6) AS avg_q, ROUND(MIN(q), 6) AS min_q,
-       SUM({portable_hash64_sql("doc_id")})::BIGINT AS sel_sum
+       SUM({portable_bucket_sql("doc_id", _CKSUM_MOD)})::BIGINT AS sel_sum
 FROM ranked WHERE pr <= {keep_frac}
 GROUP BY source ORDER BY source
 """
