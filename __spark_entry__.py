@@ -3077,6 +3077,22 @@ def _sql_quality_percentile() -> str:
     return sql_quality_percentile(T.sql_quality_score("text"), keep_frac=_QP_KEEP)
 
 
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal: add-one bigram model trained on the
+    corpus itself, per-doc NLL in integer micro-nats."""
+    from vector_spark.lm import lm_score
+
+    src = _corpus(spark, sf_dir).select("doc_id", "tokens")
+    return lm_score(src)
+
+
+def _sql_lm_perplexity() -> str:
+    from vector_spark.lm import sql_lm_score
+
+    path = _corpus_sql_path()
+    return sql_lm_score(f"(SELECT doc_id, tokens FROM read_parquet('{path}'))")
+
+
 _SHARDS = 8
 
 
@@ -3150,6 +3166,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_percentile": _q_quality_percentile,
         "source_divergence": _q_source_divergence,
         "shard_plan": _q_shard_plan,
+        "lm_perplexity": _q_lm_perplexity,
         "ann_topk_lsh_gemm": _q_ann_topk_lsh_gemm,
         "ann_topk_ivf_gemm": _q_ann_topk_ivf_gemm,
         "media_features": _q_media_features,
@@ -3240,6 +3257,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_percentile": _sql_quality_percentile(),
         "source_divergence": _sql_source_divergence(),
         "shard_plan": _sql_shard_plan(),
+        "lm_perplexity": _sql_lm_perplexity(),
         "ann_topk_lsh_gemm": _sql_ann_topk_lsh(),
         "ann_topk_ivf_gemm": _sql_ann_topk_ivf(),
         "media_features": _sql_media_features(),

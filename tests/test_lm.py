@@ -1,0 +1,56 @@
+"""Unit tests for vector_spark.lm (corpus-trained bigram NLL scoring)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+
+
+def test_bigram_model_counts_and_smoothing(spark):
+    from vector_spark.lm import bigram_model
+
+    import math
+
+    df = _corpus(spark, [("a", [1, 2, 1, 2]), ("b", [1, 2])])
+    model = {(r["prev"], r["cur"]): r["nll_micro"] for r in bigram_model(df).collect()}
+    # bigrams: a -> (1,2),(2,1),(1,2); b -> (1,2).  c2(1,2)=3, c2(2,1)=1
+    # c1(1)=3, c1(2)=1; V=2
+    assert model[(1, 2)] == math.floor(-math.log((3 + 1) / (3 + 2)) * 1e6)
+    assert model[(2, 1)] == math.floor(-math.log((1 + 1) / (1 + 2)) * 1e6)
+
+
+def test_lm_score_flags_atypical_docs(spark):
+    from vector_spark.lm import lm_score
+
+    common = [1, 2, 3, 4]
+    rows = [(f"c{i}", common) for i in range(10)] + [("odd", [9, 8, 7, 6])]
+    out = {r["doc_id"]: r for r in lm_score(_corpus(spark, rows)).collect()}
+    # the repeated doc's bigrams dominate the corpus => low NLL;
+    # the singleton doc's bigrams are rare => high NLL
+    assert out["odd"]["nll_avg"] > out["c0"]["nll_avg"]
+    assert out["c0"]["n_bigrams"] == 3
+    # all repeated docs score identically (pure function of content)
+    assert len({out[f"c{i}"]["nll_sum"] for i in range(10)}) == 1
+
+
+def test_lm_score_skips_sub_bigram_docs(spark):
+    from vector_spark.lm import lm_score
+
+    rows = [("a", [1, 2, 3]), ("single", [5]), ("empty", [])]
+    out = lm_score(_corpus(spark, rows)).collect()
+    assert {r["doc_id"] for r in out} == {"a"}
+
+
+def test_lm_score_with_external_model(spark):
+    from vector_spark.lm import bigram_model, lm_score
+
+    ref = _corpus(spark, [(f"r{i}", [1, 2, 3]) for i in range(5)])
+    model = bigram_model(ref)
+    tgt = _corpus(spark, [("t", [1, 2, 3]), ("u", [3, 2, 1])])
+    out = {r["doc_id"]: r for r in lm_score(tgt, model=model).collect()}
+    assert out["t"]["n_bigrams"] == 2
+    # 'u' has no bigram seen by the reference model => dropped entirely
+    assert "u" not in out

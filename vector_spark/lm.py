@@ -1,0 +1,126 @@
+"""Corpus-trained bigram language-model scoring (CCNet-style quality
+signal, Wenzek et al. 2020 — public).
+
+CCNet buckets web documents by the perplexity of a small LM; the
+Spark-native equivalent trains an add-one-smoothed bigram model ON the
+corpus itself (one aggregate) and scores every document's per-token
+negative log-likelihood.  Low-NLL docs look like the corpus average
+(fluent); high-NLL docs are outliers (garbled text, wrong language,
+boilerplate token soup).  Complements the linear classifier
+(`classifier.py`) and the heuristic quality score (`textstats.py`):
+this one needs no labels and no hand-written features.
+
+Determinism: per-bigram NLL is quantized to integer micro-nats in the
+model table (|observed bigrams| rows, once), so every per-doc reduction
+is an integer sum — order-independent and bit-identical across engines
+(same trick as curation.dsir_weights).
+
+Scale design: the bigram stream never materializes strings — it is a
+packed (prev, cur) pair explode straight off the token arrays.  Model
+training is one map-side-combined hash aggregate (exchange ~|observed
+bigrams|).  Scoring joins the pair stream to the model on the bigram
+key — an equi-join AQE can plan (broadcast when the model is small,
+shuffled otherwise) — then one per-doc integer-sum aggregate.  Nothing
+is driver-sized except the vocab/total scalars.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MICRO = 1_000_000
+
+
+def _bigrams(corpus: DataFrame, id_col: str, tokens_col: str) -> DataFrame:
+    """(id, prev, cur) — one row per adjacent token pair, pairs never
+    crossing document boundaries."""
+    t = F.col(tokens_col)
+    pairs = F.arrays_zip(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))).alias("prev"),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))).alias("cur"),
+    )
+    return (
+        corpus.select(id_col, F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    )
+
+
+def bigram_model(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Add-one-smoothed bigram NLL table: (prev, cur, nll_micro) where
+    ``nll_micro = floor(-ln((c2+1)/(c1+V)) * 1e6)`` — c2 the bigram count,
+    c1 the prev-token count (as predecessor), V the vocab size."""
+    bg = _bigrams(corpus, id_col, tokens_col)
+    c2 = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    vocab = corpus.select(F.explode(tokens_col).alias("t")).agg(
+        F.count_distinct("t").alias("v")
+    ).collect()[0]["v"]
+    p = (F.col("c2") + F.lit(1)) / (F.col("c1") + F.lit(int(vocab))).cast("double")
+    return c2.join(c1, "prev").select(
+        "prev",
+        "cur",
+        F.floor(-F.log(p) * F.lit(_MICRO)).cast("long").alias("nll_micro"),
+    )
+
+
+def lm_score(
+    corpus: DataFrame,
+    model: DataFrame | None = None,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Per-document LM fluency score: (id, n_bigrams, nll_sum, nll_avg)
+    in integer micro-nats (lower = more corpus-typical).  With no
+    ``model``, trains on ``corpus`` itself (the CCNet setting scores the
+    target corpus with a model from a reference corpus — pass one here).
+    Docs with < 2 tokens have no bigrams and are omitted (they carry no
+    fluency evidence)."""
+    if model is None:
+        model = bigram_model(corpus, id_col, tokens_col)
+    bg = _bigrams(corpus, id_col, tokens_col)
+    scored = (
+        bg.join(model, ["prev", "cur"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("nll_micro").cast("long").alias("nll_sum"),
+        )
+    )
+    avg = F.floor(F.col("nll_sum") / F.col("n_bigrams").cast("double")).cast("long")
+    return scored.select(id_col, "n_bigrams", "nll_sum", avg.alias("nll_avg"))
+
+
+def sql_lm_score(src_sql: str, id_col: str = "doc_id") -> str:
+    """DuckDB twin of self-trained :func:`lm_score`; ``src_sql`` must
+    yield (id_col, tokens list)."""
+    return f"""
+WITH src AS (SELECT {id_col}, tokens FROM {src_sql}),
+bg AS (
+  SELECT {id_col},
+         unnest(tokens[1:len(tokens)-1]) AS prev,
+         unnest(tokens[2:len(tokens)])   AS cur
+  FROM src WHERE len(tokens) >= 2
+),
+c2 AS (SELECT prev, cur, COUNT(*)::BIGINT AS c2 FROM bg GROUP BY prev, cur),
+c1 AS (SELECT prev, SUM(c2)::BIGINT AS c1 FROM c2 GROUP BY prev),
+v AS (SELECT COUNT(DISTINCT t)::BIGINT AS v FROM (SELECT unnest(tokens) AS t FROM src)),
+model AS (
+  SELECT c2.prev, c2.cur,
+         FLOOR(-ln((c2.c2 + 1) / CAST(c1.c1 + v.v AS DOUBLE)) * 1e6)::BIGINT AS nll_micro
+  FROM c2 JOIN c1 USING (prev), v
+),
+scored AS (
+  SELECT bg.{id_col}, COUNT(*)::BIGINT AS n_bigrams,
+         SUM(model.nll_micro)::BIGINT AS nll_sum
+  FROM bg JOIN model USING (prev, cur)
+  GROUP BY bg.{id_col}
+)
+SELECT {id_col}, n_bigrams, nll_sum,
+       FLOOR(nll_sum / CAST(n_bigrams AS DOUBLE))::BIGINT AS nll_avg
+FROM scored
+"""
