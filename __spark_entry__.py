@@ -3012,10 +3012,25 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted lines plus any text bodies shared by >= 2 docs."""
     from vector_spark.curation import strip_common_lines
 
+    return strip_common_lines(_pages(spark, sf_dir), min_docs=_LD_MIN_DOCS)
+
+
+def _sql_line_dedup() -> str:
+    from vector_spark.curation import sql_strip_common_lines
+
+    return sql_strip_common_lines(
+        min_docs=_LD_MIN_DOCS, table=f"({_pages_sql()}) AS pages"
+    )
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted-boilerplate multi-line view of the documents fixture
+    (shared by line_dedup and curation_pipeline)."""
     d = _docs(spark, sf_dir)
     b = portable_bucket(F.col("doc_id"), 10)
-    pages = d.select(
+    return d.select(
         "doc_id",
+        "source",
         F.concat_ws(
             "\n",
             F.when(b < 6, F.lit(_LD_HDR_A)).otherwise(F.lit(_LD_HDR_B)),
@@ -3025,22 +3040,44 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("text"),
     )
-    return strip_common_lines(pages, min_docs=_LD_MIN_DOCS)
 
 
-def _sql_line_dedup() -> str:
-    from vector_spark.curation import sql_strip_common_lines
-
+def _pages_sql() -> str:
     bucket = portable_bucket_sql("doc_id", 10)
-    pages = f"""
-  SELECT doc_id,
+    return f"""
+  SELECT doc_id, source,
          (CASE WHEN {bucket} < 6 THEN '{_LD_HDR_A}' ELSE '{_LD_HDR_B}' END)
          || chr(10) || text || chr(10) ||
          (CASE WHEN ({bucket}) % 2 = 0 THEN '{_LD_FOOTER}'
                ELSE CAST(doc_id AS VARCHAR) END) AS text
   FROM documents
 """
-    return sql_strip_common_lines(min_docs=_LD_MIN_DOCS, table=f"({pages}) AS pages")
+
+
+_CURATE_KEEP = 0.5
+
+
+def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation recipe end-to-end as ONE lazy plan:
+    exact-dedup -> cross-doc line strip -> per-source quality percentile
+    -> per-source audit.  `vector_spark.curate.run_curation` executes the
+    same chain stage-by-stage with parquet artifacts + manifest resume
+    (pytest-gated)."""
+    from vector_spark.curate import curate_audit
+
+    return curate_audit(
+        _pages(spark, sf_dir), min_docs=_LD_MIN_DOCS, keep_frac=_CURATE_KEEP
+    )
+
+
+def _sql_curation_pipeline() -> str:
+    from vector_spark.curate import sql_curate_audit
+
+    return sql_curate_audit(
+        min_docs=_LD_MIN_DOCS,
+        keep_frac=_CURATE_KEEP,
+        table=f"({_pages_sql()})",
+    )
 
 
 def _q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3167,6 +3204,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_divergence": _q_source_divergence,
         "shard_plan": _q_shard_plan,
         "lm_perplexity": _q_lm_perplexity,
+        "curation_pipeline": _q_curation_pipeline,
         "ann_topk_lsh_gemm": _q_ann_topk_lsh_gemm,
         "ann_topk_ivf_gemm": _q_ann_topk_ivf_gemm,
         "media_features": _q_media_features,
@@ -3258,6 +3296,7 @@ def oracle_sql() -> dict[str, str]:
         "source_divergence": _sql_source_divergence(),
         "shard_plan": _sql_shard_plan(),
         "lm_perplexity": _sql_lm_perplexity(),
+        "curation_pipeline": _sql_curation_pipeline(),
         "ann_topk_lsh_gemm": _sql_ann_topk_lsh(),
         "ann_topk_ivf_gemm": _sql_ann_topk_ivf(),
         "media_features": _sql_media_features(),
