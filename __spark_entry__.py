@@ -3123,6 +3123,15 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(src)
 
 
+def _q_lm_perplexity_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of lm_perplexity: one-shuffle partition-by-prev
+    Arrow kernel (join-free self-trained scoring), same oracle."""
+    from vector_spark.lm import lm_score
+
+    src = _corpus(spark, sf_dir).select("doc_id", "tokens")
+    return lm_score(src, fast=True)
+
+
 def _sql_lm_perplexity() -> str:
     from vector_spark.lm import sql_lm_score
 
@@ -3204,6 +3213,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_divergence": _q_source_divergence,
         "shard_plan": _q_shard_plan,
         "lm_perplexity": _q_lm_perplexity,
+        "lm_perplexity_fast": _q_lm_perplexity_fast,
         "curation_pipeline": _q_curation_pipeline,
         "ann_topk_lsh_gemm": _q_ann_topk_lsh_gemm,
         "ann_topk_ivf_gemm": _q_ann_topk_ivf_gemm,
@@ -3296,6 +3306,7 @@ def oracle_sql() -> dict[str, str]:
         "source_divergence": _sql_source_divergence(),
         "shard_plan": _sql_shard_plan(),
         "lm_perplexity": _sql_lm_perplexity(),
+        "lm_perplexity_fast": _sql_lm_perplexity(),
         "curation_pipeline": _sql_curation_pipeline(),
         "ann_topk_lsh_gemm": _sql_ann_topk_lsh(),
         "ann_topk_ivf_gemm": _sql_ann_topk_ivf(),

@@ -54,3 +54,33 @@ def test_lm_score_with_external_model(spark):
     assert out["t"]["n_bigrams"] == 2
     # 'u' has no bigram seen by the reference model => dropped entirely
     assert "u" not in out
+
+
+def test_lm_score_fast_matches_join_path(spark):
+    """fast=True is the production twin: bit-identical to the join plan."""
+    import random
+
+    from vector_spark.lm import lm_score
+
+    rng = random.Random(7)
+    rows = [
+        (f"d{i}", [rng.randrange(0, 40) for _ in range(rng.randrange(0, 30))])
+        for i in range(60)
+    ]
+    src = _corpus(spark, rows)
+    slow = {r["doc_id"]: tuple(r)[1:] for r in lm_score(src).collect()}
+    fast = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in lm_score(src, fast=True, num_partitions=5).collect()
+    }
+    assert slow == fast and len(slow) > 0
+
+
+def test_lm_score_fast_rejects_external_model(spark):
+    import pytest
+
+    from vector_spark.lm import bigram_model, lm_score
+
+    src = _corpus(spark, [("a", [1, 2, 3])])
+    with pytest.raises(ValueError):
+        lm_score(src, model=bigram_model(src), fast=True)
