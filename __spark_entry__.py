@@ -2391,6 +2391,33 @@ def _sql_token_pair_stats() -> str:
     )
 
 
+_REMAP_KEEP = 4096  # ~8% of the 50257 vocab: both kept and OOV paths exercised
+
+
+def _q_remap_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary compaction: remap ids to dense frequency rank, tail →
+    OOV sentinel (the tag_cardinality_limit idiom applied to the token
+    stream; production = broadcast searchsorted Arrow kernel)."""
+    from vector_spark.vocab import remap_tokens
+
+    src = _corpus(spark, sf_dir).select("doc_id", "tokens")
+    out = remap_tokens(src, _REMAP_KEEP)
+    return out.select(
+        "doc_id",
+        F.array_join("tokens", ",").alias("tokens_csv"),
+        F.col("n_oov").cast("long").alias("n_oov"),
+    )
+
+
+def _sql_remap_tokens() -> str:
+    from vector_spark.vocab import sql_remap_tokens
+
+    path = _corpus_sql_path()
+    return sql_remap_tokens(
+        f"(SELECT doc_id, tokens FROM read_parquet('{path}'))", _REMAP_KEEP
+    )
+
+
 # ---------------------------------------------------------------------------
 # domain-mixture sampling (LLM-data-pipeline extension; vector_spark/mixture.py)
 
@@ -3214,6 +3241,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_plan": _q_shard_plan,
         "lm_perplexity": _q_lm_perplexity,
         "lm_perplexity_fast": _q_lm_perplexity_fast,
+        "remap_tokens": _q_remap_tokens,
         "curation_pipeline": _q_curation_pipeline,
         "ann_topk_lsh_gemm": _q_ann_topk_lsh_gemm,
         "ann_topk_ivf_gemm": _q_ann_topk_ivf_gemm,
@@ -3307,6 +3335,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_plan": _sql_shard_plan(),
         "lm_perplexity": _sql_lm_perplexity(),
         "lm_perplexity_fast": _sql_lm_perplexity(),
+        "remap_tokens": _sql_remap_tokens(),
         "curation_pipeline": _sql_curation_pipeline(),
         "ann_topk_lsh_gemm": _sql_ann_topk_lsh(),
         "ann_topk_ivf_gemm": _sql_ann_topk_ivf(),

@@ -69,6 +69,9 @@ def main() -> None:
             # chunk_windows' contract path renders tokens as CSV for the
             # hash gate; the raw array operator is benched below
             "chunk_windows",
+            # lm_perplexity's join path is the oracle twin; the join-free
+            # partition-local plan (lm_perplexity_fast, 4.4x) is benched
+            "lm_perplexity",
         )
     ]
 

@@ -51,6 +51,53 @@ def test_vocab_top_n_limit(spark):
     assert got == [(1, 2, 1), (2, 2, 1)]
 
 
+def test_remap_semantics(spark):
+    from vector_spark.vocab import remap_tokens
+
+    # freq: 5 x4, 6 x2, 9 x1 -> ranks 5->0, 6->1, 9->2; keep=2 => 9 is OOV(=2)
+    df = _rows(spark, [("a", [5, 5, 5]), ("b", [5, 6]), ("c", [6, 9]), ("d", [])])
+    got = {
+        r["doc_id"]: (list(r["tokens"]), r["n_oov"])
+        for r in remap_tokens(df, keep=2).collect()
+    }
+    assert got == {
+        "a": ([0, 0, 0], 0),
+        "b": ([0, 1], 0),
+        "c": ([1, 2], 1),
+        "d": ([], 0),
+    }
+
+
+def test_remap_oov_id_and_keep_zero(spark):
+    from vector_spark.vocab import remap_tokens
+
+    df = _rows(spark, [("a", [1, 2, 3])])
+    got = remap_tokens(df, keep=0, oov_id=-1).collect()[0]
+    assert list(got["tokens"]) == [-1, -1, -1] and got["n_oov"] == 3
+
+
+def test_remap_fast_and_join_twins_agree(spark):
+    import random
+
+    from vector_spark.vocab import remap_tokens
+
+    rng = random.Random(11)
+    rows = [
+        (f"d{i}", [rng.randrange(0, 25) for _ in range(rng.randrange(0, 40))])
+        for i in range(80)
+    ]
+    df = _rows(spark, rows)
+    fast = {
+        r["doc_id"]: (list(r["tokens"]), r["n_oov"])
+        for r in remap_tokens(df, keep=10, fast=True).collect()
+    }
+    slow = {
+        r["doc_id"]: (list(r["tokens"]), r["n_oov"])
+        for r in remap_tokens(df, keep=10, fast=False).collect()
+    }
+    assert fast == slow and len(fast) == 80
+
+
 def test_fast_and_hof_twins_agree(spark):
     # incl. negative + INT_MAX tokens (the packed-key bijection edge)
     df = _rows(

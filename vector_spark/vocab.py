@@ -220,6 +220,185 @@ def token_pair_stats(
     )
 
 
+def token_rank_table(df: DataFrame, tok_col: str = "tokens") -> DataFrame:
+    """Full vocabulary census with a deterministic frequency rank:
+    (token, n_occ, rank) where rank 0 is the most frequent token, ties
+    broken by token asc.
+
+    Scale design: the census is explode → hash-aggregate (map-side
+    combined, exchange O(distinct tokens per task)); the rank reuses
+    :func:`vector_spark.sharding.global_row_number` — a range exchange of
+    the VOCAB-sized table plus per-partition windows, no single-reducer
+    global sort.  Vocabularies are bounded (10^5–10^7) even for 10^12
+    token corpora, so every post-census structure is tiny relative to the
+    corpus scan."""
+    from vector_spark.sharding import global_row_number
+
+    census = (
+        df.select(F.explode(tok_col).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+        .select(F.col("token").cast("long").alias("token"), "n_occ")
+    )
+    return global_row_number(census, [F.desc("n_occ"), F.asc("token")])
+
+
+def remap_tokens(
+    df: DataFrame,
+    keep: int,
+    oov_id: int | None = None,
+    id_col: str = "doc_id",
+    tok_col: str = "tokens",
+    fast: bool = True,
+    rank_table: DataFrame | None = None,
+) -> DataFrame:
+    """Vocabulary compaction: remap every token id to its corpus frequency
+    rank, keeping the ``keep`` most frequent tokens (new ids 0..keep-1,
+    densest-first — the embedding-table truncation step of a tokenizer
+    pipeline) and collapsing the tail to ``oov_id`` (default ``keep``).
+    Returns (id_col, tok_col remapped as array<long>, n_oov) with
+    per-position order preserved; docs keep their length exactly.
+
+    The closest reference idiom is `tag_cardinality_limit`
+    (src/transforms/tag_cardinality_limit/mod.rs) — keep the head of a
+    value distribution, collapse the tail to a sentinel — applied to the
+    token stream instead of tag values.
+
+    ``fast=True`` (production): the kept (token → rank) mapping — ``keep``
+    rows, a user-bounded constant — is collected and broadcast as two
+    sorted numpy arrays; a zero-copy Arrow kernel remaps each batch's flat
+    token buffer with one ``np.searchsorted`` and rebuilds the list column
+    from the original offsets.  No join, no shuffle, no per-token exchange:
+    the corpus is touched by exactly one narrow pass.  ``fast=False`` is
+    the plan-readable twin (posexplode → broadcast LEFT join → ordered
+    re-aggregate; exchange O(tokens) on doc_id) and the shape the oracle
+    SQL mirrors."""
+    if oov_id is None:
+        oov_id = keep
+    ranked = rank_table if rank_table is not None else token_rank_table(df, tok_col)
+    keep_map = ranked.filter(F.col("rank") < keep).select(
+        "token", F.col("rank").alias("new_id")
+    )
+
+    if not fast:
+        pos = df.select(id_col, F.posexplode(tok_col).alias("pos", "token"))
+        mapped = pos.join(F.broadcast(keep_map), "token", "left").select(
+            id_col,
+            "pos",
+            F.coalesce(F.col("new_id"), F.lit(oov_id)).cast("long").alias("nid"),
+            F.col("new_id").isNull().cast("int").alias("is_oov"),
+        )
+        agg = mapped.groupBy(id_col).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "nid"))),
+                lambda s: s["nid"],
+            ).alias("_toks"),
+            F.sum("is_oov").cast("long").alias("_oov"),
+        )
+        return (
+            df.select(id_col)
+            .join(agg, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("_toks", F.array().cast("array<long>")).alias(tok_col),
+                F.coalesce("_oov", F.lit(0)).cast("long").alias("n_oov"),
+            )
+        )
+
+    rows = keep_map.collect()
+    import numpy as np
+
+    old = np.array([r["token"] for r in rows], dtype=np.int64)
+    new = np.array([r["new_id"] for r in rows], dtype=np.int64)
+    order = np.argsort(old)
+    old, new = old[order], new[order]
+    bc = df.sparkSession.sparkContext.broadcast((old, new))
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from vector_spark.arena import warm_numpy_arena
+
+        warm_numpy_arena()
+        old_s, new_s = bc.value
+        schema = pa.schema(
+            [
+                (id_col, pa.string()),
+                (tok_col, pa.list_(pa.int64())),
+                ("n_oov", pa.int64()),
+            ]
+        )
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            flat, rowidx = _flat_tokens(batch, tok_col)
+            lens = pc.fill_null(
+                pc.list_value_length(batch.column(tok_col)), 0
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(old_s) and len(flat):
+                idx = np.searchsorted(old_s, flat)
+                idx_c = np.minimum(idx, len(old_s) - 1)
+                hit = (idx < len(old_s)) & (old_s[idx_c] == flat)
+                new_flat = np.where(hit, new_s[idx_c], np.int64(oov_id))
+            else:
+                hit = np.zeros(len(flat), dtype=bool)
+                new_flat = np.full(len(flat), oov_id, dtype=np.int64)
+            n_oov = np.bincount(
+                rowidx[~hit], minlength=batch.num_rows
+            ).astype(np.int64)
+            offsets = np.zeros(batch.num_rows + 1, dtype=np.int32)
+            np.cumsum(lens, out=offsets[1:])
+            toks = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(new_flat, type=pa.int64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(id_col).cast(pa.string()), toks, pa.array(n_oov)],
+                schema=schema,
+            )
+
+    return df.select(id_col, tok_col).mapInArrow(
+        kernel, schema=f"{id_col} string, {tok_col} array<long>, n_oov long"
+    )
+
+
+def sql_remap_tokens(src_sql: str, keep: int, oov_id: int | None = None) -> str:
+    """DuckDB oracle for :func:`remap_tokens` — tokens rendered as CSV
+    (the routed_tokens convention) so arrays hash portably."""
+    if oov_id is None:
+        oov_id = keep
+    return f"""
+WITH census AS (
+  SELECT token, COUNT(*) AS n
+  FROM (SELECT unnest(tokens) AS token FROM {src_sql}) GROUP BY token
+), keepmap AS (
+  SELECT token, rnk AS new_id FROM (
+    SELECT token, ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) - 1 AS rnk
+    FROM census
+  ) WHERE rnk < {keep}
+), pos AS (
+  SELECT doc_id, i, t[i] AS token
+  FROM (SELECT doc_id, tokens AS t, unnest(range(1, len(tokens) + 1)) AS i
+        FROM {src_sql})
+), mapped AS (
+  SELECT doc_id, i,
+         COALESCE(k.new_id, {oov_id}) AS nid,
+         CASE WHEN k.new_id IS NULL THEN 1 ELSE 0 END AS is_oov
+  FROM pos LEFT JOIN keepmap k USING (token)
+), agg AS (
+  SELECT doc_id,
+         string_agg(CAST(nid AS VARCHAR), ',' ORDER BY i) AS toks,
+         SUM(is_oov) AS n_oov
+  FROM mapped GROUP BY doc_id
+)
+SELECT s.doc_id,
+       COALESCE(a.toks, '') AS tokens_csv,
+       CAST(COALESCE(a.n_oov, 0) AS BIGINT) AS n_oov
+FROM {src_sql} s LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def sql_token_pair_stats(src_sql: str, top_n: int = 100) -> str:
     """DuckDB oracle for :func:`token_pair_stats`."""
     return f"""
