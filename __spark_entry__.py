@@ -2418,6 +2418,44 @@ def _sql_remap_tokens() -> str:
     )
 
 
+# BPE encode gate: the uniform-[0,50257) corpus has no dense pairs, so the
+# gate projects tokens mod 7 (dense 7-symbol alphabet — every merge fires,
+# incl. the chained one) over the short-doc subset (n_tok <= 64 keeps the
+# oracle's per-merge position explosion DuckDB-sized).  Merge 3 consumes
+# merge 1's output id; merge 2 is a self-pair (overlap-run parity path).
+_BPE_MERGES = [(0, 1, 7), (2, 2, 8), (7, 2, 9)]
+_BPE_MAX_NTOK = 64
+
+
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BPE encode: priority-ordered merge list applied leftmost-
+    greedy per doc by the zero-copy Arrow kernel (vector_spark/bpe.py)."""
+    from vector_spark.bpe import apply_merges
+
+    src = (
+        _corpus(spark, sf_dir)
+        .filter(F.col("n_tok") <= _BPE_MAX_NTOK)
+        .select("doc_id", F.transform("tokens", lambda x: x % 7).alias("tokens"))
+    )
+    out = apply_merges(src, _BPE_MERGES)
+    return out.select(
+        "doc_id",
+        F.array_join("tokens", ",").alias("tokens_csv"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+    )
+
+
+def _sql_bpe_encode() -> str:
+    from vector_spark.bpe import sql_apply_merges
+
+    path = _corpus_sql_path()
+    src = (
+        f"(SELECT doc_id, list_transform(tokens, x -> x % 7) AS tokens "
+        f"FROM read_parquet('{path}') WHERE n_tok <= {_BPE_MAX_NTOK})"
+    )
+    return sql_apply_merges(src, _BPE_MERGES)
+
+
 # ---------------------------------------------------------------------------
 # domain-mixture sampling (LLM-data-pipeline extension; vector_spark/mixture.py)
 
@@ -3242,6 +3280,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _q_lm_perplexity,
         "lm_perplexity_fast": _q_lm_perplexity_fast,
         "remap_tokens": _q_remap_tokens,
+        "bpe_encode": _q_bpe_encode,
         "curation_pipeline": _q_curation_pipeline,
         "ann_topk_lsh_gemm": _q_ann_topk_lsh_gemm,
         "ann_topk_ivf_gemm": _q_ann_topk_ivf_gemm,
@@ -3336,6 +3375,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": _sql_lm_perplexity(),
         "lm_perplexity_fast": _sql_lm_perplexity(),
         "remap_tokens": _sql_remap_tokens(),
+        "bpe_encode": _sql_bpe_encode(),
         "curation_pipeline": _sql_curation_pipeline(),
         "ann_topk_lsh_gemm": _sql_ann_topk_lsh(),
         "ann_topk_ivf_gemm": _sql_ann_topk_ivf(),

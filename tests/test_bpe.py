@@ -1,0 +1,82 @@
+"""Unit semantics for BPE merge application + training (vector_spark/bpe.py).
+
+The oracle-parity gate (`bpe_encode`) covers the sf0.01 corpus; these pin
+tiny-input semantics against a pure-Python leftmost-greedy reference:
+overlap runs (a==b self-pairs), chained merges, doc boundaries, empties,
+and deterministic training.
+"""
+
+from __future__ import annotations
+
+import random
+
+from vector_spark.bpe import apply_merges, train_bpe
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "doc_id string, tokens array<int>")
+
+
+def _ref_apply(tokens, merges):
+    toks = list(tokens)
+    for a, b, c in merges:
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(c)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+def test_apply_basic_and_chained(spark):
+    # (0,1)->7 then (7,2)->9: the second merge consumes the first's output
+    df = _rows(spark, [("a", [0, 1, 2, 0, 1]), ("b", [0, 0, 1, 1])])
+    got = {r["doc_id"]: list(r["tokens"]) for r in
+           apply_merges(df, [(0, 1, 7), (7, 2, 9)]).collect()}
+    assert got == {"a": [9, 7], "b": [0, 7, 1]}
+
+
+def test_apply_self_pair_runs_leftmost_greedy(spark):
+    df = _rows(spark, [("a", [5, 5, 5]), ("b", [5, 5, 5, 5]), ("c", [5, 5, 5, 5, 5])])
+    got = {r["doc_id"]: list(r["tokens"]) for r in
+           apply_merges(df, [(5, 5, 9)]).collect()}
+    assert got == {"a": [9, 5], "b": [9, 9], "c": [9, 9, 5]}
+
+
+def test_apply_empty_and_single(spark):
+    df = _rows(spark, [("a", []), ("b", [3])])
+    got = {r["doc_id"]: (list(r["tokens"]), r["n_tok"]) for r in
+           apply_merges(df, [(3, 3, 9)]).collect()}
+    assert got == {"a": ([], 0), "b": ([3], 1)}
+
+
+def test_apply_matches_python_reference_fuzz(spark):
+    rng = random.Random(13)
+    rows = [
+        (f"d{i}", [rng.randrange(0, 5) for _ in range(rng.randrange(0, 30))])
+        for i in range(120)
+    ]
+    merges = [(0, 1, 5), (2, 2, 6), (5, 6, 7), (3, 3, 8), (8, 8, 9)]
+    df = _rows(spark, rows)
+    got = {r["doc_id"]: list(r["tokens"]) for r in
+           apply_merges(df, merges).collect()}
+    want = {d: _ref_apply(t, merges) for d, t in rows}
+    assert got == want
+
+
+def test_train_learns_planted_pair_and_is_deterministic(spark):
+    # (1,2) dominates; merge 0 mints 100, then (100,3) dominates round 2
+    rows = [("d%d" % i, [1, 2, 3, 1, 2, 3, 4]) for i in range(20)]
+    df = _rows(spark, rows)
+    merges = train_bpe(df, 2, new_id_start=100)
+    assert merges == [(1, 2, 100), (100, 3, 101)]
+    assert train_bpe(df.repartition(7), 2, new_id_start=100) == merges
+
+
+def test_train_min_count_stops_early(spark):
+    df = _rows(spark, [("a", [1, 2])])
+    assert train_bpe(df, 5, new_id_start=10, min_count=2) == []

@@ -1,0 +1,250 @@
+"""Exact BPE merge application + training over pre-tokenized sequences.
+
+`vocab.py::token_pair_stats` is one iteration of the public BPE
+algorithm's COUNT step (Sennrich et al. 2016, "count all adjacent symbol
+pairs, merge the most frequent").  This module adds the other half:
+
+- :func:`apply_merges` — apply a learned, priority-ordered merge list to
+  the whole corpus exactly (leftmost-greedy within each document, the
+  standard BPE encode order).  The retokenization pass every vocabulary
+  migration runs.
+- :func:`train_bpe` — the iterative trainer: each round re-counts pairs
+  *with the merges-so-far applied on the fly inside the count kernel*, so
+  a round is ONE corpus scan + an O(distinct pairs) exchange + a 1-row
+  TakeOrdered — no intermediate corpus is ever materialized and no
+  lineage chain grows (each round re-reads the immutable source).
+
+The reference repo is a log pipeline with no tokenizer surface; this is
+an LLM-data-pipeline extension in the same family as `vocab.py` /
+`packing.py`.  Its closest reference idiom is the iterative-reduce shape
+of `transforms/reduce` (merge state folded over a stream) — here folded
+over merge rounds instead of events.
+
+Scale design (10^12-token corpus): `apply_merges` is a zero-copy Arrow
+kernel over the flat token buffer — per merge one vectorized
+candidate-mask + overlap-parity pass (overlapping candidates only occur
+for self-pairs a==b, resolved leftmost-first by keeping even offsets
+within runs), O(M·n) work, no join, no shuffle, document boundaries
+respected via the row-index mask.  Training at this scale runs the same
+kernel on a deterministic hash-sample of the corpus (pair ranks converge
+long before 1% of 10^12 tokens); each round's exchange carries only
+per-batch distinct-pair partials.  A merge can never create a new
+occurrence of ITSELF (its output id is fresh), so one left-to-right pass
+per merge is exact — the property that makes the vectorized pass correct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _apply_merges_np(flat, rowidx, merges):
+    """Apply priority-ordered merges [(a, b, new_id), ...] to a flat token
+    buffer with per-position row indices.  Returns (flat, rowidx) after
+    all merges; leftmost-greedy per document, exact."""
+    import numpy as np
+
+    for a, b, c in merges:
+        if len(flat) < 2:
+            break
+        cand = (flat[:-1] == a) & (flat[1:] == b) & (rowidx[:-1] == rowidx[1:])
+        idx = np.flatnonzero(cand)
+        if not len(idx):
+            continue
+        # overlapping candidates (only possible when a == b, e.g. [a,a,a])
+        # resolve leftmost-first: keep even offsets within each run of
+        # consecutive candidate positions
+        run_start = np.empty(len(idx), dtype=bool)
+        run_start[0] = True
+        run_start[1:] = idx[1:] != idx[:-1] + 1
+        run_first = idx[run_start][np.cumsum(run_start) - 1]
+        kidx = idx[((idx - run_first) % 2) == 0]
+        flat[kidx] = c
+        keep_mask = np.ones(len(flat), dtype=bool)
+        keep_mask[kidx + 1] = False
+        flat = flat[keep_mask]
+        rowidx = rowidx[keep_mask]
+    return flat, rowidx
+
+
+def apply_merges(
+    df: DataFrame,
+    merges: list[tuple[int, int, int]],
+    id_col: str = "doc_id",
+    tok_col: str = "tokens",
+) -> DataFrame:
+    """Exact BPE encode: apply ``merges`` — a priority-ordered list of
+    (left, right, new_id) — to every document, leftmost-greedy, never
+    across document boundaries.  Returns (id_col, tok_col as array<long>,
+    n_tok) with ``n_tok`` the post-merge length.  One narrow corpus pass:
+    the merge list ships in the task closure (M is vocabulary-sized, i.e.
+    tiny), the kernel is pure numpy over the zero-copy flat buffer."""
+    from vector_spark.vocab import _flat_tokens
+
+    merges_t = [(int(a), int(b), int(c)) for a, b, c in merges]
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from vector_spark.arena import warm_numpy_arena
+
+        warm_numpy_arena()
+        schema = pa.schema(
+            [
+                (id_col, pa.string()),
+                (tok_col, pa.list_(pa.int64())),
+                ("n_tok", pa.int64()),
+            ]
+        )
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            flat, rowidx = _flat_tokens(batch, tok_col)
+            flat, rowidx = _apply_merges_np(flat.copy(), rowidx, merges_t)
+            lens = np.bincount(rowidx, minlength=batch.num_rows).astype(np.int64)
+            offsets = np.zeros(batch.num_rows + 1, dtype=np.int32)
+            np.cumsum(lens, out=offsets[1:])
+            toks = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(flat, type=pa.int64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(id_col).cast(pa.string()), toks, pa.array(lens)],
+                schema=schema,
+            )
+
+    return df.select(id_col, tok_col).mapInArrow(
+        kernel, schema=f"{id_col} string, {tok_col} array<long>, n_tok long"
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int,
+    new_id_start: int,
+    tok_col: str = "tokens",
+    min_count: int = 2,
+) -> list[tuple[int, int, int]]:
+    """Learn ``n_merges`` BPE merges from the corpus.  Round i counts all
+    adjacent pairs WITH merges 0..i-1 applied on the fly (inside the same
+    Arrow kernel as :func:`apply_merges`), then takes the most frequent
+    pair — ties broken (t1, t2) asc so training is deterministic under
+    any partitioning.  Stops early when the best pair's count falls below
+    ``min_count``.  Returns [(left, right, new_id), ...] in priority
+    order; merge i mints ``new_id_start + i``.
+
+    Each round: one corpus scan, an exchange of O(distinct pairs/batch)
+    partial counts, and a 1-row TakeOrdered to the driver.  For 10^12
+    tokens, pass a hash-sampled ``df`` — ranks converge on a fraction of
+    the stream."""
+    merges: list[tuple[int, int, int]] = []
+    for i in range(n_merges):
+        best = _pair_counts_after(df, merges, tok_col).orderBy(
+            F.desc("n_occ"), F.asc("t1"), F.asc("t2")
+        ).limit(1).collect()
+        if not best or int(best[0]["n_occ"]) < min_count:
+            break
+        merges.append(
+            (int(best[0]["t1"]), int(best[0]["t2"]), new_id_start + i)
+        )
+    return merges
+
+
+def _pair_counts_after(
+    df: DataFrame, merges: list[tuple[int, int, int]], tok_col: str
+) -> DataFrame:
+    """(t1, t2, n_occ) over the corpus with ``merges`` applied on the fly
+    — the trainer's count step; same per-batch np.unique pre-aggregation
+    as `vocab.token_pair_stats(fast=True)`."""
+    from vector_spark.vocab import _flat_tokens
+
+    merges_t = [(int(a), int(b), int(c)) for a, b, c in merges]
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from vector_spark.arena import warm_numpy_arena
+
+        warm_numpy_arena()
+        schema = pa.schema(
+            [("t1", pa.int64()), ("t2", pa.int64()), ("_occ", pa.int64())]
+        )
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            flat, rowidx = _flat_tokens(batch, tok_col)
+            flat, rowidx = _apply_merges_np(flat.copy(), rowidx, merges_t)
+            if len(flat) < 2:
+                continue
+            same = rowidx[:-1] == rowidx[1:]
+            t1, t2 = flat[:-1][same], flat[1:][same]
+            if not len(t1):
+                continue
+            key = (t1 << np.int64(32)) | (t2 & np.int64(0xFFFFFFFF))
+            ku, occ = np.unique(key, return_counts=True)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ku >> np.int64(32)),
+                    pa.array((ku << np.int64(32)) >> np.int64(32)),
+                    pa.array(occ.astype(np.int64)),
+                ],
+                schema=schema,
+            )
+
+    partials = df.select(tok_col).mapInArrow(
+        kernel, schema="t1 long, t2 long, _occ long"
+    )
+    return partials.groupBy("t1", "t2").agg(
+        F.sum("_occ").cast("long").alias("n_occ")
+    )
+
+
+def sql_apply_merges(
+    src_sql: str, merges: list[tuple[int, int, int]]
+) -> str:
+    """DuckDB oracle for :func:`apply_merges` — the merge chain unrolled
+    as one CTE block per merge (positions → candidates → run parity →
+    rebuild), tokens rendered as CSV (routed_tokens convention).
+    ``src_sql`` must yield (doc_id, tokens)."""
+    ctes = [f"s0 AS (SELECT doc_id, tokens AS t FROM {src_sql})"]
+    k = 0
+    for a, b, c in merges:
+        p, prev = k + 1, f"s{k}"
+        ctes.append(
+            f"""p{p} AS (
+  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM {prev}
+), cand{p} AS (
+  SELECT doc_id, i FROM p{p}
+  WHERE i < len(t) AND t[i] = {int(a)} AND t[i + 1] = {int(b)}
+), run{p} AS (
+  SELECT doc_id, i,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM cand{p}
+), keep{p} AS (
+  SELECT doc_id, i FROM (
+    SELECT doc_id, i,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, grp ORDER BY i) AS rn
+    FROM run{p}
+  ) WHERE rn % 2 = 1
+), s{p} AS (
+  SELECT p.doc_id,
+         list(CASE WHEN k1.i IS NOT NULL THEN {int(c)} ELSE p.t[p.i] END
+              ORDER BY p.i) AS t
+  FROM p{p} p
+  LEFT JOIN keep{p} k1 ON k1.doc_id = p.doc_id AND k1.i = p.i
+  LEFT JOIN keep{p} k2 ON k2.doc_id = p.doc_id AND k2.i = p.i - 1
+  WHERE k2.i IS NULL
+  GROUP BY p.doc_id
+)"""
+        )
+        k = p
+    chain = ",\n".join(ctes)
+    return f"""
+WITH {chain}
+SELECT b.doc_id,
+       COALESCE(array_to_string(f.t, ','), '') AS tokens_csv,
+       CAST(COALESCE(len(f.t), 0) AS BIGINT) AS n_tok
+FROM s0 b LEFT JOIN s{k} f USING (doc_id)
+"""
