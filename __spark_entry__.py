@@ -1911,6 +1911,59 @@ def _sql_semantic_dedup() -> str:
     return sql_semantic_dedup("embeddings", threshold=0.3, n_cells=8, dim=64)
 
 
+# PQ compression gates (vector_spark/pq.py): dim 64 -> m=8 codes of k=16.
+_PQ_M, _PQ_K = 8, 16
+
+
+def _q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (Jégou et al. 2011): every embedding
+    compressed to m per-subspace nearest-centroid codes in one narrow
+    Arrow-kernel pass."""
+    from vector_spark.pq import pq_codebooks, pq_encode
+
+    books = pq_codebooks(64, _PQ_M, _PQ_K)
+    out = pq_encode(_embs(spark, sf_dir), books)
+    return out.select("vec_id", F.array_join("codes", ",").alias("codes_csv"))
+
+
+def _sql_pq_encode() -> str:
+    from vector_spark.pq import pq_codebooks, sql_pq_encode
+
+    return sql_pq_encode("embeddings", pq_codebooks(64, _PQ_M, _PQ_K))
+
+
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over PQ codes: integer distance tables broadcast in the
+    task closure, batch-local top-k, integer scores end-to-end (the
+    memory-side scale path: 256 B/vector -> 8 B/vector)."""
+    from vector_spark.pq import pq_codebooks, pq_topk
+
+    embs = _embs(spark, sf_dir)
+    books = pq_codebooks(64, _PQ_M, _PQ_K)
+    qvecs = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in embs.filter(F.col("vec_id") < 3).collect()
+    }
+    return pq_topk(embs, qvecs, books, k=5)
+
+
+def _sql_pq_topk() -> str:
+    import duckdb
+
+    from vector_spark.pq import pq_codebooks, pq_lut_int, sql_pq_topk
+
+    books = pq_codebooks(64, _PQ_M, _PQ_K)
+    # the SAME integer ADC tables the Spark kernel consumes, computed once
+    # here from the oracle-scale fixture (the driver compares at sf0.01)
+    rows = duckdb.sql(
+        "SELECT vec_id, embedding FROM "
+        f"read_parquet('/root/testdata/sf{CORPUS_SF}/embeddings.parquet') "
+        "WHERE vec_id < 3"
+    ).fetchall()
+    luts = {int(vid): pq_lut_int(list(vec), books) for vid, vec in rows}
+    return sql_pq_topk("embeddings", luts, books, k=5)
+
+
 def _q_ann_topk_lsh_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production twin of ann_topk_lsh: bucket-pruned scan + per-bucket GEMM
     scoring via mapInPandas (no corpus shuffle).  Shares the ann_topk_lsh
@@ -3272,6 +3325,8 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_dup_lsh_gemm": _q_embedding_dup_lsh_gemm,
         "semantic_dedup": _q_semantic_dedup,
+        "pq_encode": _q_pq_encode,
+        "pq_topk": _q_pq_topk,
         "line_dedup": _q_line_dedup,
         "dsir_topk": _q_dsir_topk,
         "quality_percentile": _q_quality_percentile,
@@ -3367,6 +3422,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": _sql_ann_topk_ivf(),
         "embedding_dup_lsh_gemm": _sql_embedding_dup_lsh(),
         "semantic_dedup": _sql_semantic_dedup(),
+        "pq_encode": _sql_pq_encode(),
+        "pq_topk": _sql_pq_topk(),
         "line_dedup": _sql_line_dedup(),
         "dsir_topk": _sql_dsir_topk(),
         "quality_percentile": _sql_quality_percentile(),

@@ -1,0 +1,98 @@
+"""Unit semantics for product-quantization compression + ADC search
+(vector_spark/pq.py).  The oracle gates (`pq_encode`, `pq_topk`) cover
+the sf0.01 embeddings; these pin the algorithm against hand-built
+codebooks and a pure-Python ADC reference.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+
+from vector_spark.pq import (
+    pq_codebooks,
+    pq_encode,
+    pq_lut_int,
+    pq_topk,
+)
+
+
+def _emb_rows(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_encode_exact_centroids(spark):
+    # 2 subspaces x 2 dims, 3 centroids each; vectors placed ON centroids
+    books = [
+        [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]],
+        [[2.0, 2.0], [-1.0, 0.0], [0.5, 0.5]],
+    ]
+    df = _emb_rows(
+        spark,
+        [
+            (1, [1.0, 0.0, -1.0, 0.0]),   # sub0 -> c1, sub1 -> c1
+            (2, [0.0, 1.0, 2.0, 2.0]),    # sub0 -> c2, sub1 -> c0
+            (3, [0.0, 0.0, 0.5, 0.5]),    # sub0 -> c0, sub1 -> c2
+        ],
+    )
+    got = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, books).collect()}
+    assert got == {1: [1, 1], 2: [2, 0], 3: [0, 2]}
+
+
+def test_encode_tie_breaks_to_lowest_index(spark):
+    books = [[[1.0], [1.0], [3.0]]]  # c0 == c1: equidistant, pick 0
+    df = _emb_rows(spark, [(1, [1.0])])
+    assert list(pq_encode(df, books).collect()[0]["codes"]) == [0]
+
+
+def _ref_topk(rows, qv, books, k):
+    m, sub = len(books), len(books[0][0])
+    out = []
+    lut = pq_lut_int(qv, books)
+    for vid, vec in rows:
+        dist = 0
+        for mi in range(m):
+            seg = np.asarray(vec[mi * sub : (mi + 1) * sub], dtype=np.float64)
+            d = [
+                round(float(sum((seg[j] - c[j]) ** 2 for j in range(sub))), 6)
+                for c in books[mi]
+            ]
+            code = min(range(len(d)), key=lambda ci: (d[ci], ci))
+            dist += lut[mi][code]
+        out.append((vid, dist))
+    out.sort(key=lambda t: (t[1], t[0]))
+    return out[:k]
+
+
+def test_topk_matches_python_reference_fuzz(spark):
+    rng = random.Random(17)
+    dim, m, k_cb = 8, 4, 5
+    books = pq_codebooks(dim, m, k_cb)
+    rows = [
+        (i, [round(rng.uniform(-2, 2), 3) for _ in range(dim)]) for i in range(150)
+    ]
+    qv = {0: rows[0][1], 1: rows[7][1]}
+    df = _emb_rows(spark, rows).repartition(6)
+    got = {
+        (r["query_id"], r["vec_id"]): r["dist_micro"]
+        for r in pq_topk(df, qv, books, k=7).collect()
+    }
+    want = {
+        (q, vid): d for q, v in qv.items() for vid, d in _ref_topk(rows, v, books, 7)
+    }
+    assert got == want and len(got) == 14
+
+
+def test_topk_self_query_ranks_itself_first(spark):
+    books = pq_codebooks(8, 4, 8)
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    df = _emb_rows(spark, rows)
+    out = pq_topk(df, {5: rows[5][1]}, books, k=1).collect()
+    # the query IS corpus row 5: zero asymmetric self-distance gap means
+    # its own codes minimize the table sum (ties id-asc keep it first
+    # only if no other row shares all codes with a lower id — use dist)
+    assert out[0]["dist_micro"] <= min(
+        d for _, d in _ref_topk(rows, rows[5][1], books, 50)
+    )
