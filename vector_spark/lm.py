@@ -29,11 +29,13 @@ partitions the pair stream on ``prev`` ONCE, which makes both model
 statistics partition-complete (c2 is keyed by (prev, cur) and c1 by
 prev, so every pair with a given prev — and hence every count either
 statistic needs — lands in one partition).  An Arrow kernel then counts
-c2/c1 with ``np.unique`` over packed int64 keys and reduces per-doc
-integer NLL partials locally, so the plan is ONE pair-stream exchange +
-one tiny per-doc aggregate instead of explode x2 + a 2x|pairs| sort-
-merge join (measured 4.4x at sf0.1: 260s -> 59s, same bit-exact
-result).  Skew note: a partition holds every occurrence of its prev
+c2/c1 with hash-based dictionary encodes over packed int64 keys and
+reduces per-doc integer NLL partials locally, so the plan is ONE
+pair-stream exchange + one tiny per-doc aggregate instead of explode x2
++ a 2x|pairs| sort-merge join (measured 2.2x at sf0.1 on the sandbox
+host: 245s -> 112s, same bit-exact result; the remaining fast-path cost
+is ~60% shuffle+Arrow-IPC of the 153M-pair stream, ~40% kernel).  Skew
+note: a partition holds every occurrence of its prev
 keys, so the worst partition is bounded by the hottest prev's unigram
 frequency — at Zipfian 10^12-token scale, raise the partition count so
 the head token's pair stream fits one task, or pre-split hot prevs with
@@ -43,13 +45,8 @@ and needs neither.
 
 from __future__ import annotations
 
-from typing import TYPE_CHECKING, Iterator
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-if TYPE_CHECKING:  # pragma: no cover
-    import pandas as pd
 
 _MICRO = 1_000_000
 
@@ -135,13 +132,21 @@ def _lm_score_fast(
     tokens_col: str,
     num_partitions: int | None,
 ) -> DataFrame:
-    """Join-free self-trained scoring: hash-partition the pair stream on
-    ``prev`` once; c2 (bigram count) and c1 (prev count) are then both
+    """Join-free self-trained scoring: pack (prev, cur) into one int64 in
+    the JVM (codegen), hash-partition the packed pair stream on its prev
+    half once; c2 (bigram count) and c1 (prev count) are then both
     partition-complete, so an Arrow kernel computes the smoothed NLL per
-    distinct bigram locally (``np.unique`` over packed u32:u32 keys) and
-    emits per-doc integer partials; a final tiny groupBy sums them.
-    Bit-identical to the join path: the same ``floor(-ln(p)*1e6)``
-    quantization happens on the same (c2, c1, V) values."""
+    distinct bigram locally and emits per-doc integer partials; a final
+    tiny groupBy sums them.  Bit-identical to the join path: the same
+    ``floor(-ln(p)*1e6)`` quantization happens on the same (c2, c1, V)
+    values.
+
+    Kernel note: grouping uses Arrow's HASH kernels (dictionary_encode)
+    rather than np.unique — on this host 32 concurrent 5M-element numpy
+    sorts ran ~10x slower than single-process (SMT/memory contention;
+    measured 50s vs 4.9s per partition) while the Arrow hash encode of
+    the same volume stayed ~1s.  Everything stays Arrow/numpy O(n): no
+    sort, no Python objects (doc ids remain Arrow strings end-to-end)."""
     spark = corpus.sparkSession
     vocab = int(
         corpus.select(F.explode(tokens_col).alias("t"))
@@ -149,36 +154,68 @@ def _lm_score_fast(
         .collect()[0]["v"]
     )
     n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    bg = _bigrams(corpus, id_col, tokens_col).repartition(n_parts, "prev")
+    mask = F.lit(0xFFFFFFFF)
+    bg = (
+        _bigrams(corpus, id_col, tokens_col)
+        .select(
+            id_col,
+            F.shiftleft(F.col("prev").cast("long").bitwiseAND(mask), 32)
+            .bitwiseOR(F.col("cur").cast("long").bitwiseAND(mask))
+            .alias("key"),
+        )
+        .repartition(n_parts, F.shiftright("key", 32))
+    )
 
-    def _score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    def _score(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        ids_parts, key_parts = [], []
-        for pdf in batches:  # whole partition: c1/c2 need every row at once
-            ids_parts.append(pdf[id_col].to_numpy())
-            prev = pdf["prev"].to_numpy().astype(np.int64) & 0xFFFFFFFF
-            cur = pdf["cur"].to_numpy().astype(np.int64) & 0xFFFFFFFF
-            key_parts.append((prev << 32) | cur)
-        if not ids_parts:
+        from vector_spark.arena import warm_numpy_arena
+
+        warm_numpy_arena()
+        id_chunks, key_chunks = [], []
+        for batch in batches:  # whole partition: c1/c2 need every row at once
+            if batch.num_rows == 0:
+                continue
+            id_chunks.append(batch.column(id_col))
+            key_chunks.append(batch.column("key"))
+        if not key_chunks:
             return
-        ids = np.concatenate(ids_parts)
-        keys = np.concatenate(key_parts)
-        uk, inv, c2 = np.unique(keys, return_inverse=True, return_counts=True)
-        up, pinv = np.unique(uk >> 32, return_inverse=True)
+        kenc = pc.dictionary_encode(
+            pa.chunked_array(key_chunks).combine_chunks()
+        )
+        inv = kenc.indices.to_numpy().astype(np.int64)
+        uk = kenc.dictionary.to_numpy(zero_copy_only=False)
+        c2 = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        penc = pc.dictionary_encode(pa.array(uk >> 32))
+        pinv = penc.indices.to_numpy().astype(np.int64)
         # counts < 2^53 so float64 bincount sums are exact
-        c1 = np.bincount(pinv, weights=c2).astype(np.int64)
+        c1 = np.bincount(pinv, weights=c2, minlength=0).astype(np.int64)
         nll = np.floor(
             -np.log((c2 + 1.0) / (c1[pinv] + float(vocab))) * _MICRO
         ).astype(np.int64)
         per_pair = nll[inv]
-        uids, dinv = np.unique(ids, return_inverse=True)
-        nll_sum = np.bincount(dinv, weights=per_pair).astype(np.int64)
-        n_bg = np.bincount(dinv).astype(np.int64)
-        yield pd.DataFrame({id_col: uids, "n_bigrams": n_bg, "nll_sum": nll_sum})
+        denc = pc.dictionary_encode(
+            pa.chunked_array(id_chunks).combine_chunks()
+        )
+        dinv = denc.indices.to_numpy().astype(np.int64)
+        uids = denc.dictionary
+        nll_sum = np.bincount(dinv, weights=per_pair, minlength=len(uids))
+        n_bg = np.bincount(dinv, minlength=len(uids))
+        yield pa.RecordBatch.from_arrays(
+            [
+                uids,
+                pa.array(n_bg.astype(np.int64)),
+                pa.array(nll_sum.astype(np.int64)),
+            ],
+            schema=pa.schema(
+                [(id_col, pa.string()), ("n_bigrams", pa.int64()),
+                 ("nll_sum", pa.int64())]
+            ),
+        )
 
-    partials = bg.mapInPandas(
+    partials = bg.mapInArrow(
         _score, schema=f"{id_col} string, n_bigrams long, nll_sum long"
     )
     scored = partials.groupBy(id_col).agg(
