@@ -164,6 +164,7 @@ def _pair_counts_after(
     def kernel(batches):
         import numpy as np
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         from vector_spark.arena import warm_numpy_arena
 
@@ -183,12 +184,15 @@ def _pair_counts_after(
             if not len(t1):
                 continue
             key = (t1 << np.int64(32)) | (t2 & np.int64(0xFFFFFFFF))
-            ku, occ = np.unique(key, return_counts=True)
+            # hash-counted (pc.value_counts), not np.unique — concurrent
+            # numpy sorts collapse ~10x on SMT hosts (see lm.py)
+            vc = pc.value_counts(pa.array(key))
+            ku = vc.field("values").to_numpy()
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(ku >> np.int64(32)),
                     pa.array((ku << np.int64(32)) >> np.int64(32)),
-                    pa.array(occ.astype(np.int64)),
+                    vc.field("counts").cast(pa.int64()),
                 ],
                 schema=schema,
             )

@@ -83,6 +83,7 @@ def vocab_stats(
     def kernel(batches):
         import numpy as np
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         from vector_spark.arena import warm_numpy_arena
 
@@ -96,15 +97,33 @@ def vocab_stats(
             flat, rowidx = _flat_tokens(batch, tok_col)
             if not len(flat):
                 continue
-            toks_u, occ = np.unique(flat, return_counts=True)
+            # hash-grouped (pc.value_counts), not np.unique: concurrent
+            # numpy sorts over the full token stream collapse ~10x on SMT
+            # hosts (see lm.py) — only the DISTINCT sets (vocab-sized) are
+            # ever sorted, to align the occurrence and doc-count halves
+            vc = pc.value_counts(pa.array(flat))
+            toks_u = vc.field("values").to_numpy()
+            occ = vc.field("counts").to_numpy()
+            o = np.argsort(toks_u)
+            toks_u, occ = toks_u[o], occ[o]
             # distinct (doc, token) pairs -> docs-per-token partial; the
             # (row << 32 | token) pack is a bijection for int32 tokens
             key = (rowidx << np.int64(32)) | (flat & np.int64(0xFFFFFFFF))
-            _, first = np.unique(key, return_index=True)
-            docs_u, docs = np.unique(flat[first], return_counts=True)
-            # toks_u and docs_u are both the sorted distinct token set
+            pairs_u = pc.value_counts(pa.array(key)).field("values").to_numpy()
+            dvc = pc.value_counts(pa.array(pairs_u & np.int64(0xFFFFFFFF)))
+            # re-sign the masked low half (arithmetic shift) so its sort
+            # order matches the signed toks_u order for negative tokens
+            docs_tok = (dvc.field("values").to_numpy() << np.int64(32)) >> np.int64(32)
+            docs = dvc.field("counts").to_numpy()
+            d = np.argsort(docs_tok)
+            # both argsorts now order the SAME distinct token set
+            docs = docs[d]
             yield pa.RecordBatch.from_arrays(
-                [pa.array(toks_u), pa.array(occ.astype(np.int64)), pa.array(docs)],
+                [
+                    pa.array(toks_u),
+                    pa.array(occ.astype(np.int64)),
+                    pa.array(docs.astype(np.int64)),
+                ],
                 schema=schema,
             )
 
@@ -179,13 +198,12 @@ def token_pair_stats(
     def kernel(batches):
         import numpy as np
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         from vector_spark.arena import warm_numpy_arena
 
         warm_numpy_arena()
-        schema = pa.schema(
-            [("t1", pa.int64()), ("t2", pa.int64()), ("_occ", pa.int64())]
-        )
+        schema = pa.schema([("k", pa.int64()), ("_occ", pa.int64())])
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -196,27 +214,26 @@ def token_pair_stats(
             t1, t2 = flat[:-1][same], flat[1:][same]
             if not len(t1):
                 continue
-            # (t1 << 32 | t2) is a bijection for int32 tokens
+            # (t1 << 32 | t2) is a bijection for int32 tokens; counted with
+            # the hash-based Arrow kernel, not np.unique (concurrent numpy
+            # sorts collapse ~10x on SMT hosts, see lm.py) and exchanged
+            # PACKED — half the bytes, unpacked only after the top-N
             key = (t1 << np.int64(32)) | (t2 & np.int64(0xFFFFFFFF))
-            ku, occ = np.unique(key, return_counts=True)
+            vc = pc.value_counts(pa.array(key))
             yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(ku >> np.int64(32)),
-                    # arithmetic shift back: sign-extend the low half
-                    pa.array((ku << np.int64(32)) >> np.int64(32)),
-                    pa.array(occ.astype(np.int64)),
-                ],
+                [vc.field("values"), vc.field("counts").cast(pa.int64())],
                 schema=schema,
             )
 
-    partials = df.select(tok_col).mapInArrow(
-        kernel, schema="t1 long, t2 long, _occ long"
-    )
+    partials = df.select(tok_col).mapInArrow(kernel, schema="k long, _occ long")
+    t1 = F.shiftright("k", 32)
+    t2 = F.shiftright(F.shiftleft("k", 32), 32)  # sign-extend the low half
     return (
-        partials.groupBy("t1", "t2")
+        partials.groupBy("k")
         .agg(F.sum("_occ").cast("long").alias("n_occ"))
-        .orderBy(F.desc("n_occ"), F.asc("t1"), F.asc("t2"))
+        .orderBy(F.desc("n_occ"), F.asc(t1), F.asc(t2))
         .limit(top_n)
+        .select(t1.alias("t1"), t2.alias("t2"), "n_occ")
     )
 
 
