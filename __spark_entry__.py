@@ -1964,6 +1964,45 @@ def _sql_pq_topk() -> str:
     return sql_pq_topk("embeddings", luts, books, k=5)
 
 
+def _q_pq_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC: IVF cells prune the scan (nprobe=1), PQ codes + integer
+    ADC tables rank in-cell — the full FAISS composition."""
+    from vector_spark.pq import pq_codebooks, pq_topk_ivf
+    from vector_spark.similarity import centroids
+
+    embs = _embs(spark, sf_dir)
+    books = pq_codebooks(64, _PQ_M, _PQ_K)
+    cents = centroids(64, 8)
+    qvecs = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in embs.filter(F.col("vec_id") < 3).collect()
+    }
+    return pq_topk_ivf(embs, qvecs, books, cents, k=5)
+
+
+def _sql_pq_topk_ivf() -> str:
+    import duckdb
+
+    from vector_spark.pq import pq_codebooks, pq_lut_int, sql_pq_topk_ivf
+    from vector_spark.similarity import centroids
+
+    books = pq_codebooks(64, _PQ_M, _PQ_K)
+    rows = duckdb.sql(
+        "SELECT vec_id, embedding FROM "
+        f"read_parquet('/root/testdata/sf{CORPUS_SF}/embeddings.parquet') "
+        "WHERE vec_id < 3"
+    ).fetchall()
+    luts = {int(vid): pq_lut_int(list(vec), books) for vid, vec in rows}
+    return sql_pq_topk_ivf(
+        "embeddings",
+        luts,
+        books,
+        centroids(64, 8),
+        "(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3)",
+        k=5,
+    )
+
+
 def _q_ann_topk_lsh_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production twin of ann_topk_lsh: bucket-pruned scan + per-bucket GEMM
     scoring via mapInPandas (no corpus shuffle).  Shares the ann_topk_lsh
@@ -3327,6 +3366,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "pq_encode": _q_pq_encode,
         "pq_topk": _q_pq_topk,
+        "pq_topk_ivf": _q_pq_topk_ivf,
         "line_dedup": _q_line_dedup,
         "dsir_topk": _q_dsir_topk,
         "quality_percentile": _q_quality_percentile,
@@ -3424,6 +3464,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _sql_semantic_dedup(),
         "pq_encode": _sql_pq_encode(),
         "pq_topk": _sql_pq_topk(),
+        "pq_topk_ivf": _sql_pq_topk_ivf(),
         "line_dedup": _sql_line_dedup(),
         "dsir_topk": _sql_dsir_topk(),
         "quality_percentile": _sql_quality_percentile(),

@@ -84,6 +84,38 @@ def test_topk_matches_python_reference_fuzz(spark):
     assert got == want and len(got) == 14
 
 
+def test_topk_ivf_matches_cell_restricted_reference(spark):
+    from pyspark.sql import functions as F
+
+    from vector_spark.pq import pq_topk_ivf
+    from vector_spark.similarity import centroids, ivf_cell
+
+    rng = random.Random(23)
+    dim, m, k_cb = 8, 4, 5
+    books = pq_codebooks(dim, m, k_cb)
+    cents = centroids(dim, 4)
+    rows = [
+        (i, [round(rng.uniform(-2, 2), 3) for _ in range(dim)]) for i in range(200)
+    ]
+    qv = {0: rows[0][1], 3: rows[3][1]}
+    df = _emb_rows(spark, rows).repartition(5)
+    # cells from Spark's own assignment expression (the engine under test)
+    cells = {
+        r["vec_id"]: r["_c"]
+        for r in df.withColumn("_c", ivf_cell(F.col("embedding"), cents)).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"]): r["dist_micro"]
+        for r in pq_topk_ivf(df, qv, books, cents, k=6).collect()
+    }
+    want = {}
+    for q, v in qv.items():
+        in_cell = [(vid, vec) for vid, vec in rows if cells[vid] == cells[q]]
+        for vid, d in _ref_topk(in_cell, v, books, 6):
+            want[(q, vid)] = d
+    assert got == want and len(got) > 0
+
+
 def test_topk_self_query_ranks_itself_first(spark):
     books = pq_codebooks(8, 4, 8)
     rng = random.Random(3)

@@ -201,6 +201,142 @@ def pq_topk(
     )
 
 
+def pq_topk_ivf(
+    corpus: DataFrame,
+    query_vectors: dict[int, list[float]],
+    books,
+    cents: list[list[float]],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §V): the IVF coarse quantizer prunes the
+    scan to each query's cell (`similarity.ivf_cell`, nprobe=1, codegen —
+    the filter reaches the scan), then PQ codes + the integer ADC table
+    rank only in-cell rows.  At 10^12 vectors this is the full FAISS
+    composition: cells bound the scan, 8-byte codes bound the memory, the
+    table gather bounds the math.  Same determinism contract as
+    :func:`pq_topk`."""
+    from vector_spark.similarity import ivf_cell
+
+    spark = corpus.sparkSession
+    qids = sorted(query_vectors)
+    # assign query cells with the SAME engine + expression as the corpus
+    # rows, so assignment can never disagree with the scan-side filter
+    qdf = spark.createDataFrame(
+        [(q, [float(v) for v in query_vectors[q]]) for q in qids],
+        f"{qid_col} long, {vec_col} array<float>",
+    )
+    qcells = {
+        int(r[qid_col]): int(r["_cell"])
+        for r in qdf.withColumn("_cell", ivf_cell(F.col(vec_col), cents)).collect()
+    }
+    luts = {q: np.asarray(pq_lut_int(query_vectors[q], books), dtype=np.int64)
+            for q in qids}
+    pruned = corpus.withColumn("_cell", ivf_cell(F.col(vec_col), cents)).filter(
+        F.col("_cell").isin(*sorted(set(qcells.values())))
+    )
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from vector_spark.arena import warm_numpy_arena
+
+        warm_numpy_arena()
+        m = len(books)
+        schema = pa.schema(
+            [(qid_col, pa.int64()), (id_col, pa.int64()), ("dist_micro", pa.int64())]
+        )
+        cols = np.arange(m)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            X = np.asarray(
+                batch.column(vec_col).to_pylist(), dtype=np.float64
+            ).reshape(batch.num_rows, -1)
+            codes = _encode_np(X, books)
+            ids = batch.column(id_col).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            cells = batch.column("_cell").to_numpy(zero_copy_only=False)
+            for q in qids:
+                sel = cells == qcells[q]
+                if not sel.any():
+                    continue
+                dist = luts[q][cols, codes[sel]].sum(axis=1)
+                sids = ids[sel]
+                top = np.lexsort((sids, dist))[:k]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.full(len(top), q, dtype=np.int64)),
+                        pa.array(sids[top]),
+                        pa.array(dist[top]),
+                    ],
+                    schema=schema,
+                )
+
+    partial = pruned.select(id_col, vec_col, "_cell").mapInArrow(
+        kernel, schema=f"{qid_col} long, {id_col} long, dist_micro long"
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("dist_micro").asc(), F.col(id_col).asc()
+    )
+    return (
+        partial.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def sql_pq_topk_ivf(
+    src_sql: str,
+    query_luts: dict[int, list[list[int]]],
+    books,
+    cents: list[list[float]],
+    query_src_sql: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB oracle for :func:`pq_topk_ivf`: cells from the literal
+    `sql_ivf_cell` expression on BOTH sides (corpus rows and the query
+    rows in ``query_src_sql``, which must yield (vec_id, embedding)),
+    codes + integer ADC identical to :func:`sql_pq_topk`, ranking
+    restricted to each query's cell."""
+    from vector_spark.similarity import sql_ivf_cell
+
+    cell_expr = sql_ivf_cell("embedding", cents)
+    codes = sql_pq_codes(src_sql, books, id_col)
+    lut_rows = ", ".join(
+        f"({q}, {mi}, {ci}, {val})"
+        for q in sorted(query_luts)
+        for mi, row in enumerate(query_luts[q])
+        for ci, val in enumerate(row)
+    )
+    return f"""
+WITH cells AS (
+  SELECT {id_col}, {cell_expr} AS cell FROM {src_sql}
+), qcell AS (
+  SELECT {id_col} AS query_id, {cell_expr} AS cell FROM {query_src_sql}
+), codes AS ({codes}),
+lut(query_id, m, code, d) AS (VALUES {lut_rows}),
+dist AS (
+  SELECT l.query_id, c.{id_col},
+         CAST(SUM(l.d) AS BIGINT) AS dist_micro
+  FROM codes c
+  JOIN cells ce ON ce.{id_col} = c.{id_col}
+  JOIN qcell qc ON qc.cell = ce.cell
+  JOIN lut l ON l.query_id = qc.query_id AND l.m = c.m AND l.code = c.code
+  GROUP BY l.query_id, c.{id_col}
+)
+SELECT query_id, {id_col}, dist_micro FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY dist_micro ASC, {id_col} ASC) AS rk
+  FROM dist
+) WHERE rk <= {k}
+"""
+
+
 def _sql_sub_dist(vec_expr: str, mi: int, sub: int, cent) -> str:
     """Rounded L2² of subvector mi against one centroid — the literal
     fold the kernel mirrors."""
