@@ -2003,6 +2003,46 @@ def _sql_pq_topk_ivf() -> str:
     )
 
 
+def _q_pq_topk_ivf_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVFADC (nprobe=2): the standard recall/scan-cost dial —
+    each query ranks rows from its two nearest cells."""
+    from vector_spark.pq import pq_codebooks, pq_topk_ivf
+    from vector_spark.similarity import centroids
+
+    embs = _embs(spark, sf_dir)
+    books = pq_codebooks(64, _PQ_M, _PQ_K)
+    cents = centroids(64, 8)
+    qvecs = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in embs.filter(F.col("vec_id") < 3).collect()
+    }
+    return pq_topk_ivf(embs, qvecs, books, cents, k=5, nprobe=2)
+
+
+def _sql_pq_topk_ivf_mp() -> str:
+    import duckdb
+
+    from vector_spark.pq import pq_codebooks, pq_lut_int, sql_pq_topk_ivf
+    from vector_spark.similarity import centroids
+
+    books = pq_codebooks(64, _PQ_M, _PQ_K)
+    rows = duckdb.sql(
+        "SELECT vec_id, embedding FROM "
+        f"read_parquet('/root/testdata/sf{CORPUS_SF}/embeddings.parquet') "
+        "WHERE vec_id < 3"
+    ).fetchall()
+    luts = {int(vid): pq_lut_int(list(vec), books) for vid, vec in rows}
+    return sql_pq_topk_ivf(
+        "embeddings",
+        luts,
+        books,
+        centroids(64, 8),
+        "(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3)",
+        k=5,
+        nprobe=2,
+    )
+
+
 def _q_ann_topk_lsh_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production twin of ann_topk_lsh: bucket-pruned scan + per-bucket GEMM
     scoring via mapInPandas (no corpus shuffle).  Shares the ann_topk_lsh
@@ -3367,6 +3407,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": _q_pq_encode,
         "pq_topk": _q_pq_topk,
         "pq_topk_ivf": _q_pq_topk_ivf,
+        "pq_topk_ivf_mp": _q_pq_topk_ivf_mp,
         "line_dedup": _q_line_dedup,
         "dsir_topk": _q_dsir_topk,
         "quality_percentile": _q_quality_percentile,
@@ -3465,6 +3506,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_encode": _sql_pq_encode(),
         "pq_topk": _sql_pq_topk(),
         "pq_topk_ivf": _sql_pq_topk_ivf(),
+        "pq_topk_ivf_mp": _sql_pq_topk_ivf_mp(),
         "line_dedup": _sql_line_dedup(),
         "dsir_topk": _sql_dsir_topk(),
         "quality_percentile": _sql_quality_percentile(),

@@ -116,6 +116,58 @@ def test_topk_ivf_matches_cell_restricted_reference(spark):
     assert got == want and len(got) > 0
 
 
+def test_topk_ivf_multiprobe_covers_two_cells(spark):
+    from pyspark.sql import functions as F
+
+    from vector_spark.pq import pq_topk_ivf
+    from vector_spark.similarity import centroids, ivf_cell, ivf_cells
+
+    rng = random.Random(29)
+    dim, m, k_cb = 8, 4, 5
+    books = pq_codebooks(dim, m, k_cb)
+    cents = centroids(dim, 4)
+    rows = [
+        (i, [round(rng.uniform(-2, 2), 3) for _ in range(dim)]) for i in range(200)
+    ]
+    qv = {0: rows[0][1], 3: rows[3][1]}
+    df = _emb_rows(spark, rows).repartition(5)
+    cells = {
+        r["vec_id"]: r["_c"]
+        for r in df.withColumn("_c", ivf_cell(F.col("embedding"), cents)).collect()
+    }
+    qdf = spark.createDataFrame(
+        [(q, v) for q, v in qv.items()], "query_id long, embedding array<float>"
+    )
+    probes = {
+        r["query_id"]: list(r["_p"])
+        for r in qdf.withColumn(
+            "_p", ivf_cells(F.col("embedding"), cents, 2)
+        ).collect()
+    }
+    # nprobe=1 head of the probe list agrees with ivf_cell
+    assert all(p[0] == cells[q] for q, p in probes.items())
+    got = {
+        (r["query_id"], r["vec_id"]): r["dist_micro"]
+        for r in pq_topk_ivf(df, qv, books, cents, k=6, nprobe=2).collect()
+    }
+    want = {}
+    for q, v in qv.items():
+        in_probe = [(vid, vec) for vid, vec in rows if cells[vid] in probes[q]]
+        for vid, d in _ref_topk(in_probe, v, books, 6):
+            want[(q, vid)] = d
+    assert got == want and len(got) > 0
+    # multi-probe candidate pool strictly contains the single-probe pool
+    single = {
+        (r["query_id"], r["vec_id"])
+        for r in pq_topk_ivf(df, qv, books, cents, k=200, nprobe=1).collect()
+    }
+    multi = {
+        (r["query_id"], r["vec_id"])
+        for r in pq_topk_ivf(df, qv, books, cents, k=200, nprobe=2).collect()
+    }
+    assert single < multi
+
+
 def test_topk_self_query_ranks_itself_first(spark):
     books = pq_codebooks(8, 4, 8)
     rng = random.Random(3)

@@ -207,35 +207,42 @@ def pq_topk_ivf(
     books,
     cents: list[list[float]],
     k: int = 5,
+    nprobe: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     qid_col: str = "query_id",
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011 §V): the IVF coarse quantizer prunes the
-    scan to each query's cell (`similarity.ivf_cell`, nprobe=1, codegen —
-    the filter reaches the scan), then PQ codes + the integer ADC table
-    rank only in-cell rows.  At 10^12 vectors this is the full FAISS
-    composition: cells bound the scan, 8-byte codes bound the memory, the
-    table gather bounds the math.  Same determinism contract as
+    scan to each query's ``nprobe`` nearest cells (`similarity.ivf_cells`,
+    codegen — the filter reaches the scan), then PQ codes + the integer
+    ADC table rank only in-probe rows.  At 10^12 vectors this is the full
+    FAISS composition: cells bound the scan, 8-byte codes bound the
+    memory, the table gather bounds the math; ``nprobe`` is the standard
+    recall/scan-cost dial.  Same determinism contract as
     :func:`pq_topk`."""
-    from vector_spark.similarity import ivf_cell
+    from vector_spark.similarity import ivf_cells
 
     spark = corpus.sparkSession
     qids = sorted(query_vectors)
-    # assign query cells with the SAME engine + expression as the corpus
-    # rows, so assignment can never disagree with the scan-side filter
+    # assign query probe cells with the SAME engine + expression as the
+    # corpus rows, so assignment can never disagree with the scan filter
     qdf = spark.createDataFrame(
         [(q, [float(v) for v in query_vectors[q]]) for q in qids],
         f"{qid_col} long, {vec_col} array<float>",
     )
     qcells = {
-        int(r[qid_col]): int(r["_cell"])
-        for r in qdf.withColumn("_cell", ivf_cell(F.col(vec_col), cents)).collect()
+        int(r[qid_col]): np.asarray(r["_cells"], dtype=np.int64)
+        for r in qdf.withColumn(
+            "_cells", ivf_cells(F.col(vec_col), cents, nprobe)
+        ).collect()
     }
     luts = {q: np.asarray(pq_lut_int(query_vectors[q], books), dtype=np.int64)
             for q in qids}
+    from vector_spark.similarity import ivf_cell
+
+    probe_union = sorted({int(c) for cs in qcells.values() for c in cs})
     pruned = corpus.withColumn("_cell", ivf_cell(F.col(vec_col), cents)).filter(
-        F.col("_cell").isin(*sorted(set(qcells.values())))
+        F.col("_cell").isin(*probe_union)
     )
 
     def kernel(batches):
@@ -261,7 +268,7 @@ def pq_topk_ivf(
             )
             cells = batch.column("_cell").to_numpy(zero_copy_only=False)
             for q in qids:
-                sel = cells == qcells[q]
+                sel = np.isin(cells, qcells[q])
                 if not sel.any():
                     continue
                 dist = luts[q][cols, codes[sel]].sum(axis=1)
@@ -296,16 +303,19 @@ def sql_pq_topk_ivf(
     cents: list[list[float]],
     query_src_sql: str,
     k: int = 5,
+    nprobe: int = 1,
     id_col: str = "vec_id",
 ) -> str:
     """DuckDB oracle for :func:`pq_topk_ivf`: cells from the literal
-    `sql_ivf_cell` expression on BOTH sides (corpus rows and the query
-    rows in ``query_src_sql``, which must yield (vec_id, embedding)),
-    codes + integer ADC identical to :func:`sql_pq_topk`, ranking
-    restricted to each query's cell."""
-    from vector_spark.similarity import sql_ivf_cell
+    `sql_ivf_cell`/`sql_ivf_cells` expressions on BOTH sides (corpus rows
+    and the query rows in ``query_src_sql``, which must yield
+    (vec_id, embedding)), codes + integer ADC identical to
+    :func:`sql_pq_topk`, ranking restricted to each query's nprobe
+    cells."""
+    from vector_spark.similarity import sql_ivf_cell, sql_ivf_cells
 
     cell_expr = sql_ivf_cell("embedding", cents)
+    probe_expr = sql_ivf_cells("embedding", cents, nprobe)
     codes = sql_pq_codes(src_sql, books, id_col)
     lut_rows = ", ".join(
         f"({q}, {mi}, {ci}, {val})"
@@ -317,7 +327,9 @@ def sql_pq_topk_ivf(
 WITH cells AS (
   SELECT {id_col}, {cell_expr} AS cell FROM {src_sql}
 ), qcell AS (
-  SELECT {id_col} AS query_id, {cell_expr} AS cell FROM {query_src_sql}
+  SELECT query_id, unnest(probes) AS cell FROM (
+    SELECT {id_col} AS query_id, {probe_expr} AS probes FROM {query_src_sql}
+  )
 ), codes AS ({codes}),
 lut(query_id, m, code, d) AS (VALUES {lut_rows}),
 dist AS (

@@ -188,6 +188,45 @@ def sql_ivf_cell(vec_expr: str, cents: list[list[float]]) -> str:
     return f"list_indexof([{terms}], list_max([{terms}]))"
 
 
+def ivf_cells(vec: Column, cents: list[list[float]], nprobe: int) -> Column:
+    """Multi-probe cell list: the ``nprobe`` nearest coarse centroids
+    (1-based ids, best first; dot desc, cell-id asc ties — same total
+    order as the DuckDB twin).  ``nprobe=1`` reduces to
+    :func:`ivf_cell`'s choice."""
+    d = _dots(vec, cents)
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-F.get(d, i)).alias("nd"), F.lit(i + 1).alias("cell")
+                )
+                for i in range(len(cents))
+            ]
+        )
+    )
+    return F.transform(
+        F.slice(ranked, 1, nprobe), lambda s: s["cell"].cast("long")
+    )
+
+
+def sql_ivf_cells(vec_expr: str, cents: list[list[float]], nprobe: int) -> str:
+    """DuckDB twin of :func:`ivf_cells` (list of nprobe 1-based cells,
+    best first)."""
+    pairs = ", ".join(
+        "{'nd': -%s, 'cell': %d}"
+        % (
+            "ROUND(list_sum(list_transform(range(1, %d + 1), "
+            "i -> CAST(%s[i] AS DOUBLE) * (%s::DOUBLE[])[i])), 6)"
+            % (len(c), vec_expr, "[" + ", ".join(repr(v) for v in c) + "]"),
+            ci + 1,
+        )
+        for ci, c in enumerate(cents)
+    )
+    return (
+        f"list_transform(list_sort([{pairs}])[1:{nprobe}], s -> CAST(s.cell AS BIGINT))"
+    )
+
+
 def topk_cosine_ivf(
     corpus: DataFrame,
     queries: DataFrame,
