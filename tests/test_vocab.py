@@ -98,6 +98,49 @@ def test_remap_fast_and_join_twins_agree(spark):
     assert fast == slow and len(fast) == 80
 
 
+def test_pair_stats_approx_certifies_planted_head(spark):
+    import random
+
+    from vector_spark.vocab import token_pair_stats, token_pair_stats_approx
+
+    rng = random.Random(31)
+    rows = []
+    # heavy pairs: (7,8) and (8,7) dominate; a wide uniform tail behind
+    for i in range(40):
+        rows.append((f"h{i}", [7, 8] * 30))
+    for i in range(300):
+        rows.append(
+            (f"n{i}", [rng.randrange(100, 4000) for _ in range(40)])
+        )
+    df = _rows(spark, rows).repartition(4)
+    exact = {
+        (r["t1"], r["t2"]): r["n_occ"]
+        for r in token_pair_stats(df, 10_000).collect()
+    }
+    got = token_pair_stats_approx(df, top_n=5, k_sketch=512).collect()
+    err = got[0]["err_ub"]
+    # every reported pair's bound brackets the exact count
+    for r in got:
+        true = exact[(r["t1"], r["t2"])]
+        assert r["cnt_lb"] <= true <= r["cnt_lb"] + err
+    # the two planted heavy pairs are found, in the exact order, and the
+    # gap to the tail exceeds the certificate so the head is trustworthy
+    assert [(r["t1"], r["t2"]) for r in got[:2]] == [(7, 8), (8, 7)]
+    assert got[1]["cnt_lb"] - err > max(
+        c for p, c in exact.items() if p not in {(7, 8), (8, 7)}
+    )
+
+
+def test_pair_stats_approx_exact_when_under_sketch_size(spark):
+    from vector_spark.vocab import token_pair_stats, token_pair_stats_approx
+
+    df = _rows(spark, [("a", [1, 2, 1, 2]), ("b", [2, 1, 2]), ("c", [5, 5, 5])])
+    exact = [tuple(r) for r in token_pair_stats(df, 10).collect()]
+    got = token_pair_stats_approx(df, top_n=10, k_sketch=64).collect()
+    assert got[0]["err_ub"] == 0  # never spilled: counts are exact
+    assert [(r["t1"], r["t2"], r["cnt_lb"]) for r in got] == exact
+
+
 def test_fast_and_hof_twins_agree(spark):
     # incl. negative + INT_MAX tokens (the packed-key bijection edge)
     df = _rows(

@@ -237,6 +237,116 @@ def token_pair_stats(
     )
 
 
+def token_pair_stats_approx(
+    df: DataFrame,
+    top_n: int = 100,
+    k_sketch: int = 4096,
+    tok_col: str = "tokens",
+) -> DataFrame:
+    """Bounded-memory heavy-hitter pair scan: (t1, t2, cnt_lb, err_ub).
+
+    The exact scan's exchange carries O(distinct pairs) partial rows — on
+    a near-uniform corpus that is ~|pairs| (the documented worst case, no
+    map-side collapse).  This twin runs a Misra-Gries summary (public
+    algorithm, Misra & Gries 1982; merge rule per Agarwal et al., "Mergeable
+    Summaries", PODS 2012) of ``k_sketch`` counters per partition, so the
+    exchange carries at most ``k_sketch x partitions`` rows REGARDLESS of
+    the corpus — the 10^12-token answer when the pair distribution has
+    heavy hitters worth finding.
+
+    Guarantees (self-certifying output): for every reported pair,
+    ``cnt_lb <= true count <= cnt_lb + err_ub``; any pair NOT reported has
+    true count ``<= err_ub``.  ``err_ub`` is the summed per-partition
+    decrement total — computed, not assumed, so callers can check whether
+    the ranking gap exceeds the error before trusting the order.  On a
+    uniform corpus err_ub is large and says so; on Zipfian text the head
+    is certified cheaply.
+
+    Per batch: one hash count (pc.value_counts) merges into the numpy MG
+    state via dictionary-encode group-sum + an O(n) np.partition
+    threshold decrement — no sorts (see lm.py's concurrent-sort note)."""
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from vector_spark.arena import warm_numpy_arena
+
+        warm_numpy_arena()
+        schema = pa.schema(
+            [("k", pa.int64()), ("cnt", pa.int64()), ("err", pa.int64())]
+        )
+        st_keys = np.empty(0, dtype=np.int64)
+        st_cnts = np.empty(0, dtype=np.int64)
+        err = 0
+        saw = False
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            flat, rowidx = _flat_tokens(batch, tok_col)
+            if len(flat) < 2:
+                continue
+            same = rowidx[:-1] == rowidx[1:]
+            t1, t2 = flat[:-1][same], flat[1:][same]
+            if not len(t1):
+                continue
+            saw = True
+            key = (t1 << np.int64(32)) | (t2 & np.int64(0xFFFFFFFF))
+            vc = pc.value_counts(pa.array(key))
+            # group-sum the state with the batch counts (hash, no sort)
+            allk = np.concatenate([st_keys, vc.field("values").to_numpy()])
+            allc = np.concatenate(
+                [st_cnts, vc.field("counts").to_numpy().astype(np.int64)]
+            )
+            enc = pc.dictionary_encode(pa.array(allk))
+            idx = enc.indices.to_numpy().astype(np.int64)
+            uk = enc.dictionary.to_numpy(zero_copy_only=False)
+            cnts = np.bincount(idx, weights=allc, minlength=len(uk)).astype(
+                np.int64
+            )
+            if len(uk) > k_sketch:
+                # subtract the (k+1)-th largest from everyone, keep > 0:
+                # at most k counters survive; O(n) selection, no sort
+                thresh = np.partition(cnts, len(cnts) - k_sketch - 1)[
+                    len(cnts) - k_sketch - 1
+                ]
+                err += int(thresh)
+                keep = cnts > thresh
+                st_keys, st_cnts = uk[keep], cnts[keep] - thresh
+            else:
+                st_keys, st_cnts = uk, cnts
+        if not saw:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.append(st_keys, 0).astype(np.int64)),
+                pa.array(np.append(st_cnts, 0).astype(np.int64)),
+                pa.array(
+                    np.append(np.zeros(len(st_keys), np.int64), err)
+                ),
+            ],
+            schema=schema,
+        )
+
+    partials = df.select(tok_col).mapInArrow(
+        kernel, schema="k long, cnt long, err long"
+    )
+    total_err = partials.agg(F.sum("err").cast("long").alias("err_ub"))
+    t1 = F.shiftright("k", 32)
+    t2 = F.shiftright(F.shiftleft("k", 32), 32)
+    top = (
+        partials.filter(F.col("cnt") > 0)
+        .groupBy("k")
+        .agg(F.sum("cnt").cast("long").alias("cnt_lb"))
+        .orderBy(F.desc("cnt_lb"), F.asc(t1), F.asc(t2))
+        .limit(top_n)
+    )
+    return top.crossJoin(F.broadcast(total_err)).select(
+        t1.alias("t1"), t2.alias("t2"), "cnt_lb", "err_ub"
+    )
+
+
 def token_rank_table(df: DataFrame, tok_col: str = "tokens") -> DataFrame:
     """Full vocabulary census with a deterministic frequency rank:
     (token, n_occ, rank) where rank 0 is the most frequent token, ties
