@@ -147,6 +147,20 @@ def main() -> None:
         timings["decontaminate_fast"] = -1.0
         print(f"# bench query decontaminate_fast failed: {e}", file=sys.stderr)
 
+    # bounded-memory heavy-hitter pair scan (Misra-Gries): same corpus as
+    # token_pair_stats but the exchange is k x partitions rows, not
+    # O(distinct pairs) — the sketch answer to the uniform worst case
+    t0 = time.time()
+    try:
+        from vector_spark.vocab import token_pair_stats_approx
+
+        corpus = P.load_corpus(spark, sf).select("tokens")
+        _materialize(token_pair_stats_approx(corpus, 200, k_sketch=4096))
+        timings["token_pair_stats_approx"] = round(time.time() - t0, 3)
+    except Exception as e:
+        timings["token_pair_stats_approx"] = -1.0
+        print(f"# bench query token_pair_stats_approx failed: {e}", file=sys.stderr)
+
     # production-path chunking (raw token arrays; the contract twin's CSV
     # render is the oracle gate, not the operator)
     t0 = time.time()
