@@ -274,6 +274,29 @@ WHERE {portable_bucket_sql("doc_id", 10)} = 0
 """
 
 
+def _q_sample_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter-mode sample (every rate-th event, sample.rs:133-137) made
+    batch-deterministic by an explicit total order over (ts, doc_id) —
+    the reference's behavior replayed over the sorted stream; rank via
+    the distributed global_row_number, no single-reducer sort."""
+    logs = _corpus(spark, sf_dir)
+    return sample(
+        logs.select("doc_id", "ts", "n_tok"), rate=10, order_by=["ts", "doc_id"]
+    ).select("doc_id", F.col("n_tok").cast("long").alias("n_tok"), "sample_rate")
+
+
+def _sql_sample_counter() -> str:
+    path = _corpus_sql_path()
+    return f"""
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, '10' AS sample_rate
+FROM (
+  SELECT doc_id, n_tok,
+         ROW_NUMBER() OVER (ORDER BY ts, doc_id) - 1 AS rk
+  FROM read_parquet('{path}')
+) WHERE rk % 10 = 0
+"""
+
+
 def _q_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     d = dedupe(ev, match_fields=["user_id", "event_type"], order_by="event_id")
@@ -3385,6 +3408,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_grok": _q_parse_grok,
         "filter": _q_filter,
         "sample_hash": _q_sample,
+        "sample_counter": _q_sample_counter,
         "dedupe": _q_dedupe,
         "throttle": _q_throttle,
         "reduce": _q_reduce,
@@ -3484,6 +3508,7 @@ def oracle_sql() -> dict[str, str]:
         "parse_grok": _sql_parse_grok(),
         "filter": _SQL_FILTER,
         "sample_hash": _sql_sample(),
+        "sample_counter": _sql_sample_counter(),
         "dedupe": _SQL_DEDUPE,
         "throttle": _SQL_THROTTLE,
         "reduce": _SQL_REDUCE,

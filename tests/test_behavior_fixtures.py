@@ -342,6 +342,18 @@ def test_sample_bucket_semantics(spark):
     assert len(rows) == expected
 
 
+def test_sample_counter_mode_every_nth_in_order(spark):
+    # counter mode (sample.rs:133-137) over an explicit total order:
+    # every rate-th row of the sorted stream, starting with the first
+    df = spark.createDataFrame(
+        [(f"k{i:03d}", i) for i in range(20)], ["key", "v"]
+    ).repartition(4)
+    out = sample(df, rate=5, order_by=["key"]).collect()
+    assert sorted(r["key"] for r in out) == ["k000", "k005", "k010", "k015"]
+    assert all(r["sample_rate"] == "5" for r in out)
+    assert "rank" not in out[0].asDict()
+
+
 def test_sample_exclude_bypass(spark):
     df = spark.createDataFrame([("a", True), ("b", False)], ["key", "vip"])
     out = sample(df, rate=1000000, key_field="key", exclude=F.col("vip"))

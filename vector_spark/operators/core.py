@@ -28,25 +28,47 @@ def sample(
     key_field: str | None = None,
     exclude: Column | None = None,
     annotate: bool = True,
+    order_by: list[str] | None = None,
 ) -> DataFrame:
-    """``sample`` transform, key-bucket mode (reference
-    src/transforms/sample.rs:112-155).
+    """``sample`` transform (reference src/transforms/sample.rs:112-155).
 
-    Keep rows whose ``hash(key) % rate == 0`` — whole key groups survive
-    together (sample.rs:124-131).  ``exclude`` rows bypass sampling and are
-    always kept (sample.rs:117-122).  Survivors are annotated with
-    ``sample_rate`` (sample.rs:139-152).  Counter mode is intentionally NOT
-    implemented (stream-order dependent; SURVEY.md §7).
+    Key-bucket mode (``key_field``): keep rows whose
+    ``hash(key) % rate == 0`` — whole key groups survive together
+    (sample.rs:124-131).
+
+    Counter mode (``order_by``): the reference keeps every ``rate``-th
+    event in STREAM order (sample.rs:133-137) — undefined for a
+    distributed batch until an order is fixed, so this rebuild requires an
+    explicit total order (e.g. ``["ts", "doc_id"]``; the listed columns
+    must be a unique key) and keeps rows whose 0-based rank under that
+    order satisfies ``rank % rate == 0`` — exactly the reference's
+    behavior replayed over the sorted stream.  The rank is
+    `sharding.global_row_number` (range exchange + per-partition window,
+    no single-reducer sort), computed only over the order columns.
+
+    ``exclude`` rows bypass sampling and are always kept
+    (sample.rs:117-122).  Survivors are annotated with ``sample_rate``
+    (sample.rs:139-152).
     """
-    if key_field is None:
+    if key_field is None and order_by is None:
         raise NotImplementedError(
-            "counter-mode sampling is stream-order dependent; use key_field "
-            "(deterministic bucket sampling, sample.rs:124-131)"
+            "counter-mode sampling needs an explicit total order in batch: "
+            "pass order_by=[...] (unique key), or key_field for "
+            "deterministic bucket sampling (sample.rs:124-131)"
         )
-    keep = portable_bucket(key_field, rate) == 0
+    if key_field is not None:
+        keep = portable_bucket(key_field, rate) == 0
+    else:
+        from vector_spark.sharding import global_row_number
+
+        ranked = global_row_number(df, [F.asc(c) for c in order_by])
+        df = ranked
+        keep = (F.col("rank") % rate == 0)
     if exclude is not None:
         keep = keep | (exclude.isNotNull() & exclude)
     out = df.filter(keep)
+    if key_field is None:
+        out = out.drop("rank")
     if annotate:
         out = out.withColumn("sample_rate", F.lit(str(rate)))
     return out
