@@ -98,9 +98,13 @@ def pq_encode(
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            X = np.asarray(
-                batch.column(vec_col).to_pylist(), dtype=np.float64
-            ).reshape(batch.num_rows, -1)
+            X = (
+                batch.column(vec_col)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(batch.num_rows, -1)
+            )  # zero-copy flat buffer, no per-row Python lists
             codes = _encode_np(X, books)
             offsets = np.arange(0, (batch.num_rows + 1) * m, m, dtype=np.int32)
             yield pa.RecordBatch.from_arrays(
@@ -169,9 +173,13 @@ def pq_topk(
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            X = np.asarray(
-                batch.column(vec_col).to_pylist(), dtype=np.float64
-            ).reshape(batch.num_rows, -1)
+            X = (
+                batch.column(vec_col)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(batch.num_rows, -1)
+            )  # zero-copy flat buffer, no per-row Python lists
             codes = _encode_np(X, books)
             ids = batch.column(id_col).cast(pa.int64()).to_numpy(
                 zero_copy_only=False
@@ -259,9 +267,13 @@ def pq_topk_ivf(
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            X = np.asarray(
-                batch.column(vec_col).to_pylist(), dtype=np.float64
-            ).reshape(batch.num_rows, -1)
+            X = (
+                batch.column(vec_col)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(batch.num_rows, -1)
+            )  # zero-copy flat buffer, no per-row Python lists
             codes = _encode_np(X, books)
             ids = batch.column(id_col).cast(pa.int64()).to_numpy(
                 zero_copy_only=False
