@@ -2641,6 +2641,46 @@ def _sql_mixture() -> str:
     )
 
 
+_MIX_ALPHA = 0.3  # strong tail upsampling: clearly differs from natural mix
+
+
+def _q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture (mT5/XLM-R α-smoothing): weights derive
+    from the corpus's own per-source token counts with w_s ∝ A_s^α, then
+    the deterministic hash-bucket sampler applies them."""
+    from vector_spark.mixture import mixture_summary, temperature_weights
+
+    sf = datagen.sf_from_dir(sf_dir)
+    src = _corpus(spark, sf_dir).select("doc_id", "source", "n_tok")
+    w = temperature_weights(src, _MIX_ALPHA)
+    return mixture_summary(src, w, _mix_budget(sf))
+
+
+def _sql_mixture_temperature() -> str:
+    import duckdb
+
+    from vector_spark.mixture import (
+        sql_mixture_summary,
+        temperature_weights_from_avail,
+    )
+
+    path = _corpus_sql_path()
+    avail = {
+        s: int(a)
+        for s, a in duckdb.sql(
+            f"SELECT source, SUM(n_tok) FROM read_parquet('{path}') GROUP BY source"
+        ).fetchall()
+    }
+    # SAME helper as the Spark side -> identical weight literals; the SQL
+    # then re-derives rates + selection + audit entirely in DuckDB
+    w = temperature_weights_from_avail(avail, _MIX_ALPHA)
+    return sql_mixture_summary(
+        f"(SELECT doc_id, source, n_tok FROM read_parquet('{path}'))",
+        w,
+        _mix_budget(CORPUS_SF),
+    )
+
+
 # deterministic stratified train/val/test split (mixture.stratified_split):
 # shuffle-free hash-threshold assignment; per-(source, split) audit with a
 # selected-set checksum is the contract surface
@@ -3477,6 +3517,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": _q_vocab_stats,
         "token_pair_stats": _q_token_pair_stats,
         "mixture_sample": _q_mixture,
+        "mixture_temperature": _q_mixture_temperature,
         "decontaminate": _q_decontam,
         "repetition_signals": _q_repetition,
         "pii_scrub": _q_pii_scrub,
@@ -3577,6 +3618,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_stats": _sql_vocab_stats(),
         "token_pair_stats": _sql_token_pair_stats(),
         "mixture_sample": _sql_mixture(),
+        "mixture_temperature": _sql_mixture_temperature(),
         "decontaminate": _sql_decontam(),
         "repetition_signals": _sql_repetition(),
         "pii_scrub": _sql_pii_scrub(),

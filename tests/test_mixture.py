@@ -23,6 +23,35 @@ def test_rates_saturate_for_underfilled_sources(spark):
     assert rates["big"] == 100_000
 
 
+def test_temperature_weights_limits_and_ordering(spark):
+    from vector_spark.mixture import temperature_weights_from_avail
+
+    avail = {"big": 900, "mid": 90, "tiny": 10}
+    # alpha=1: natural proportions
+    w1 = temperature_weights_from_avail(avail, 1.0)
+    assert abs(w1["big"] - 0.9) < 1e-12 and abs(w1["tiny"] - 0.01) < 1e-12
+    # alpha=0: uniform
+    w0 = temperature_weights_from_avail(avail, 0.0)
+    assert all(abs(v - 1 / 3) < 1e-12 for v in w0.values())
+    # 0<alpha<1: tail upsampled relative to natural, order preserved
+    wh = temperature_weights_from_avail(avail, 0.5)
+    assert wh["tiny"] > w1["tiny"] and wh["big"] < w1["big"]
+    assert wh["big"] > wh["mid"] > wh["tiny"]
+    assert abs(sum(wh.values()) - 1.0) < 1e-12
+
+
+def test_temperature_weights_from_corpus(spark):
+    from vector_spark.mixture import temperature_weights
+
+    df = spark.createDataFrame(
+        [("a", "web", 800), ("b", "web", 100), ("c", "code", 100)],
+        "doc_id string, source string, n_tok int",
+    )
+    w = temperature_weights(df, 0.5)
+    assert set(w) == {"web", "code"}
+    assert abs(w["web"] / w["code"] - 3.0) < 1e-9  # sqrt(900/100)
+
+
 def test_sample_deterministic_and_rate_bounded(spark):
     rows = [(f"d{i}", "s", 10) for i in range(2000)]
     df = _docs(spark, rows)

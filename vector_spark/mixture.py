@@ -43,6 +43,40 @@ def normalized_weights(weights: dict[str, float]) -> dict[str, float]:
     return {s: w / total for s, w in weights.items()}
 
 
+def temperature_weights_from_avail(
+    avail: dict[str, int], alpha: float
+) -> dict[str, float]:
+    """α-smoothed source weights from availability counts:
+    ``w_s ∝ (A_s)^alpha`` (the multilingual-sampling rule of mT5 /
+    XLM-R: alpha=1 reproduces natural proportions, alpha→0 approaches
+    uniform, 0<alpha<1 upsamples rare sources).  Pure driver-side float
+    math so the oracle derives THE SAME literals from the same counts —
+    no cross-engine pow."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    pw = {s: float(a) ** float(alpha) for s, a in avail.items() if a > 0}
+    total = sum(pw.values())
+    if total <= 0:
+        raise ValueError("no source has tokens")
+    return {s: v / total for s, v in sorted(pw.items())}
+
+
+def temperature_weights(
+    df: DataFrame,
+    alpha: float,
+    source_col: str = "source",
+    n_col: str = "n_tok",
+) -> dict[str, float]:
+    """α-smoothed weights from the corpus itself (one narrow aggregate,
+    |sources| rows to the driver); feed into :func:`mixture_sample` /
+    :func:`mixture_summary`."""
+    avail = {
+        r[source_col]: int(r["_a"])
+        for r in df.groupBy(source_col).agg(F.sum(n_col).alias("_a")).collect()
+    }
+    return temperature_weights_from_avail(avail, alpha)
+
+
 def mixture_rates(
     df: DataFrame,
     weights: dict[str, float],
@@ -122,7 +156,12 @@ def sql_mixture_summary(
     """DuckDB oracle: recomputes availability, rates, selection, and the
     summary entirely in SQL (cross-checks the driver-side rate math)."""
     wn = normalized_weights(weights)
-    wrows = ", ".join(f"('{s}', {w!r})" for s, w in sorted(wn.items()))
+    # CAST: DuckDB parses long float literals as wide DECIMALs, which
+    # overflow when multiplied by the token budget; the engines must both
+    # use the float64 value of the same literal anyway
+    wrows = ", ".join(
+        f"('{s}', CAST({w!r} AS DOUBLE))" for s, w in sorted(wn.items())
+    )
     bucket = f"({portable_hash64_sql(id_col)} % {_PPM})"
     return f"""
 WITH src AS (
