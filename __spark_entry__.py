@@ -1564,6 +1564,78 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-curation capstone: the documents table consumed AS A FILE
+    STREAM, the C4-style quality filter applied in-stream, survivors
+    committed EXACTLY-ONCE into a jar-free Iceberg table (one fast-append
+    snapshot per micro-batch, batch-id replay dedup —
+    streaming.py::stream_iceberg_sink), then the TABLE is scanned back and
+    audited per source.  Streaming ≡ batch proven through the oracle:
+    the committed table must equal the plain batch filter."""
+    import os as _os
+    import tempfile
+
+    from vector_spark import textstats as T
+    from vector_spark.iceberg import IcebergTable
+    from vector_spark.streaming import stream_from_directory, stream_iceberg_sink
+
+    tmp = tempfile.mkdtemp(prefix="stream_curate_")
+    stream = stream_from_directory(
+        spark,
+        sf_dir,
+        "doc_id long, text string, lang string, source string, n_chars long",
+        pathGlobFilter="documents.parquet",
+    )
+    kept = (
+        stream.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            T.quality_score("text").alias("q"),
+            T.token_count_bpe("text").alias("n_bpe"),
+        )
+        .filter((F.col("q") >= 0.7) & (F.col("n_bpe") >= 20))
+        .drop("q", "n_bpe")
+    )
+    table = IcebergTable.create(
+        _os.path.join(tmp, "table"), kept.schema, commit_ts_ms=1
+    )
+    q = (
+        stream_iceberg_sink(
+            kept, table, _os.path.join(tmp, "ckpt"), query_name="stream_curate"
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        table.scan(spark)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(F.col("doc_id") % 1_000_000).cast("long").alias("sel_sum"),
+        )
+    )
+
+
+def _sql_stream_curate() -> str:
+    from vector_spark import textstats as T
+
+    return f"""
+WITH kept AS (
+  SELECT doc_id, source, n_chars FROM documents
+  WHERE {T.sql_quality_score("text")} >= 0.7
+    AND {T.sql_token_count_bpe("text")} >= 20
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(doc_id % 1000000) AS BIGINT) AS sel_sum
+FROM kept GROUP BY source
+"""
+
+
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -3489,6 +3561,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reduce_starts_when": _q_reduce_starts_when,
         "tag_cardinality_limit": _q_tag_cardinality,
         "quality_filter": _q_quality_filter,
+        "stream_curate": _q_stream_curate,
         "aggregate_histogram": _q_aggregate_histogram,
         "log_to_metric": _q_log_to_metric,
         "metric_to_log": _q_metric_to_log,
@@ -3590,6 +3663,7 @@ def oracle_sql() -> dict[str, str]:
         "reduce_starts_when": _SQL_REDUCE_STARTS_WHEN,
         "tag_cardinality_limit": _SQL_TAG_CARDINALITY,
         "quality_filter": _sql_quality_filter(),
+        "stream_curate": _sql_stream_curate(),
         "aggregate_histogram": _SQL_AGGREGATE_HISTOGRAM,
         "log_to_metric": _SQL_LOG_TO_METRIC,
         "metric_to_log": _SQL_METRIC_TO_LOG,
