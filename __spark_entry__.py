@@ -2543,6 +2543,7 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("tokens", ",").alias("tokens_csv"),
         F.col("n_tok").cast("long").alias("n_tok"),
         F.col("n_docs").cast("long").alias("n_docs"),
+        F.array_join("boundaries", ",").alias("boundaries_csv"),
     )
 
 

@@ -37,6 +37,23 @@ def test_pack_doc_spans_three_sequences(spark):
     assert [r["n_docs"] for r in out] == [1, 1, 1]
 
 
+def test_pack_boundaries_are_within_sequence_doc_offsets(spark):
+    df = _rows(spark, [("a", [1, 2, 3]), ("b", [4, 5, 6, 7, 8]), ("c", [9, 10])])
+    out = pack_sequences(df, 4).orderBy("seq_id").collect()
+    # seq 0 = a[0:3] + b[0:1]  -> docs start at 0 and 3
+    # seq 1 = b[1:5]           -> one doc fragment starting at 0
+    # seq 2 = c[0:2]           -> one doc fragment starting at 0
+    assert [r["boundaries"] for r in out] == [[0, 3], [0], [0]]
+    assert all(len(r["boundaries"]) == r["n_docs"] for r in out)
+
+
+def test_pack_boundaries_with_eos(spark):
+    df = _rows(spark, [("a", [1, 2, 3]), ("b", [4, 5])])
+    out = pack_sequences(df, 4, eos=99).orderBy("seq_id").collect()
+    # with eos: a -> [1,2,3,99], b -> [4,5,99]; seq0=[1,2,3,99], seq1=[4,5,99]
+    assert [r["boundaries"] for r in out] == [[0], [0]]
+
+
 def test_pack_empty_docs_dropped(spark):
     df = _rows(spark, [("a", []), ("b", [1, 2]), ("c", [])])
     out = pack_sequences(df, 4).collect()

@@ -124,19 +124,23 @@ def pack_sequences(
         (hi - lo).cast("int"),
     )
     pieces = spans.select("seq_id", lo.alias("_lo"), frag.alias("_frag"))
+    sorted_frags = F.array_sort(F.collect_list(F.struct("_lo", "_frag")))
     return (
         pieces.groupBy("seq_id")
         .agg(
             F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_lo", "_frag"))),
-                    lambda x: x["_frag"],
-                )
+                F.transform(sorted_frags, lambda x: x["_frag"])
             ).alias("tokens"),
             F.count(F.lit(1)).alias("n_docs"),
+            # within-sequence start offset of each doc fragment, in order —
+            # the cross-doc attention-mask boundaries a trainer needs
+            F.transform(
+                sorted_frags,
+                lambda x: (x["_lo"] - F.col("seq_id") * L).cast("long"),
+            ).alias("boundaries"),
         )
         .withColumn("n_tok", F.size("tokens"))
-        .select("seq_id", "tokens", "n_tok", "n_docs")
+        .select("seq_id", "tokens", "n_tok", "n_docs", "boundaries")
     )
 
 
@@ -231,10 +235,19 @@ WITH docs AS (
   FROM exploded
 ), seqs AS (
   SELECT gpos // {seq_len} AS seq_id, tok, gpos, doc_id FROM flat
+), frags AS (
+  SELECT seq_id, doc_id, MIN(gpos) - seq_id * {seq_len} AS off
+  FROM seqs GROUP BY seq_id, doc_id
+), bounds AS (
+  SELECT seq_id,
+         array_to_string(list(CAST(off AS BIGINT) ORDER BY off), ',')
+           AS boundaries_csv
+  FROM frags GROUP BY seq_id
 )
-SELECT seq_id,
+SELECT s.seq_id,
        array_to_string(list(tok ORDER BY gpos), ',') AS tokens_csv,
        COUNT(*) AS n_tok,
-       COUNT(DISTINCT doc_id) AS n_docs
-FROM seqs GROUP BY seq_id
+       COUNT(DISTINCT doc_id) AS n_docs,
+       ANY_VALUE(b.boundaries_csv) AS boundaries_csv
+FROM seqs s JOIN bounds b USING (seq_id) GROUP BY s.seq_id
 """
