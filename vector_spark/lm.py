@@ -146,7 +146,16 @@ def _lm_score_fast(
     sorts ran ~10x slower than single-process (SMT/memory contention;
     measured 50s vs 4.9s per partition) while the Arrow hash encode of
     the same volume stayed ~1s.  Everything stays Arrow/numpy O(n): no
-    sort, no Python objects (doc ids remain Arrow strings end-to-end)."""
+    sort, no Python objects.
+
+    Shuffle-width note: the pair stream never carries the string doc id.
+    A dense int64 doc index (deterministic distributed row_number over
+    the narrow id projection — |docs| rows, broadcast back onto the
+    corpus as a BHJ, no corpus shuffle) rides through the exchange
+    instead, so every shuffled/IPC'd row is two fixed 8-byte ints and
+    the kernel's per-doc grouping hash-encodes int64 instead of
+    variable-width strings; the id strings rejoin only on the |docs|-row
+    aggregate at the end."""
     spark = corpus.sparkSession
     vocab = int(
         corpus.select(F.explode(tokens_col).alias("t"))
@@ -154,11 +163,18 @@ def _lm_score_fast(
         .collect()[0]["v"]
     )
     n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from vector_spark.sharding import global_row_number
+
+    idx = (
+        global_row_number(corpus.select(id_col), [F.col(id_col)])
+        .withColumnRenamed("rank", "_lm_didx")
+    )
+    src = corpus.join(F.broadcast(idx), id_col)
     mask = F.lit(0xFFFFFFFF)
     bg = (
-        _bigrams(corpus, id_col, tokens_col)
+        _bigrams(src, "_lm_didx", tokens_col)
         .select(
-            id_col,
+            "_lm_didx",
             F.shiftleft(F.col("prev").cast("long").bitwiseAND(mask), 32)
             .bitwiseOR(F.col("cur").cast("long").bitwiseAND(mask))
             .alias("key"),
@@ -178,7 +194,7 @@ def _lm_score_fast(
         for batch in batches:  # whole partition: c1/c2 need every row at once
             if batch.num_rows == 0:
                 continue
-            id_chunks.append(batch.column(id_col))
+            id_chunks.append(batch.column("_lm_didx"))
             key_chunks.append(batch.column("key"))
         if not key_chunks:
             return
@@ -200,7 +216,7 @@ def _lm_score_fast(
             pa.chunked_array(id_chunks).combine_chunks()
         )
         dinv = denc.indices.to_numpy().astype(np.int64)
-        uids = denc.dictionary
+        uids = denc.dictionary  # int64 doc indices present in this partition
         nll_sum = np.bincount(dinv, weights=per_pair, minlength=len(uids))
         n_bg = np.bincount(dinv, minlength=len(uids))
         yield pa.RecordBatch.from_arrays(
@@ -210,20 +226,22 @@ def _lm_score_fast(
                 pa.array(nll_sum.astype(np.int64)),
             ],
             schema=pa.schema(
-                [(id_col, pa.string()), ("n_bigrams", pa.int64()),
+                [("_lm_didx", pa.int64()), ("n_bigrams", pa.int64()),
                  ("nll_sum", pa.int64())]
             ),
         )
 
     partials = bg.mapInArrow(
-        _score, schema=f"{id_col} string, n_bigrams long, nll_sum long"
+        _score, schema="_lm_didx long, n_bigrams long, nll_sum long"
     )
-    scored = partials.groupBy(id_col).agg(
+    scored = partials.groupBy("_lm_didx").agg(
         F.sum("n_bigrams").cast("long").alias("n_bigrams"),
         F.sum("nll_sum").cast("long").alias("nll_sum"),
     )
     avg = F.floor(F.col("nll_sum") / F.col("n_bigrams").cast("double")).cast("long")
-    return scored.select(id_col, "n_bigrams", "nll_sum", avg.alias("nll_avg"))
+    return scored.join(F.broadcast(idx), "_lm_didx").select(
+        id_col, "n_bigrams", "nll_sum", avg.alias("nll_avg")
+    )
 
 
 def sql_lm_score(src_sql: str, id_col: str = "doc_id") -> str:
