@@ -177,6 +177,12 @@ def main() -> None:
     for name in bench_names:
         if name == "pipeline_sink_aggregates":
             continue  # covered by the headline
+        # Nudge a full GC between timed queries: back-to-back heavy queries
+        # in one JVM otherwise inherit the previous query's un-collected
+        # shuffle/Arrow buffers (measured: lm_perplexity_fast 88s in a
+        # fresh JVM vs 120-148s late in a shared one).  Caches (the Iceberg
+        # corpus table) are untouched — this is GC pressure, not cache state.
+        spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         try:
             _materialize(qmap[name](spark, SF_DIR))
@@ -187,16 +193,19 @@ def main() -> None:
 
     total = time.time() - t_all
     rows_per_sec = routed_rows / pipeline_sec if pipeline_sec > 0 else 0.0
-    # surface the most recent recorded N->4N scaling efficiency (BENCH.md,
-    # written by bench_scaling.py) so the per-round JSON carries both gates
+    # surface the MEDIAN recorded N->4N scaling efficiency (BENCH.md,
+    # written by bench_scaling.py) so the per-round JSON carries both
+    # gates; the median of all official runs is the estimator the noise
+    # analysis in BENCH.md argues for (single samples swing 0.71-0.90)
     scaling_eff = None
     try:
         import re as _re
+        import statistics as _st
 
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")) as f:
             effs = _re.findall(r"Scaling efficiency N->4N: \*\*([0-9.]+)\*\*", f.read())
         if effs:
-            scaling_eff = max(float(e) for e in effs)
+            scaling_eff = round(_st.median(float(e) for e in effs), 3)
     except OSError:
         pass
     print(json.dumps({
@@ -207,7 +216,7 @@ def main() -> None:
         "sf": sf,
         "routed_rows": routed_rows,
         "rows_per_sec": round(rows_per_sec, 1),
-        "scaling_efficiency_best_recorded": scaling_eff,
+        "scaling_efficiency_median_recorded": scaling_eff,
         "cpus": CPUS,
     }))
     spark.stop()
