@@ -7,7 +7,11 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, In
 
-from vector_spark.datasource import IcebergBatchReader, IcebergDataSource
+from vector_spark.datasource import (
+    IcebergBatchReader,
+    IcebergDataSource,
+    IcebergPushdownBatchReader,
+)
 from vector_spark.iceberg import IcebergTable
 
 
@@ -68,9 +72,9 @@ def test_batch_filters_through_spark(table, spark):
 
 def test_pushdown_prunes_partitions(table, spark):
     t, _ = table
-    r_all = IcebergBatchReader({"path": t.location, "pushdown": "true"})
+    r_all = IcebergPushdownBatchReader({"path": t.location, "pushdown": "true"})
     n_all = len(r_all.partitions())
-    r = IcebergBatchReader({"path": t.location, "pushdown": "true"})
+    r = IcebergPushdownBatchReader({"path": t.location, "pushdown": "true"})
     passthrough = r.pushFilters([EqualTo(("source",), "app"), GreaterThanOrEqual(("seq",), 300)])
     # every filter returns to Spark for post-scan evaluation
     assert len(list(passthrough)) == 2
@@ -86,6 +90,17 @@ def test_pushdown_disabled_by_default(table, spark):
     n_all = len(r.partitions())
     r.pushFilters([EqualTo(("source",), "app")])
     assert len(r.partitions()) == n_all  # no filter-dependent planning
+    # Spark 4 raises DATA_SOURCE_PUSHDOWN_DISABLED for any reader that
+    # OVERRIDES pushFilters when spark.sql.python.filterPushdown.enabled is
+    # false (the default session config, e.g. the driver harness).  The
+    # default reader must therefore inherit, never override.
+    from pyspark.sql.datasource import DataSourceReader
+
+    assert type(r).pushFilters is DataSourceReader.pushFilters
+    assert (
+        type(IcebergDataSource({"path": t.location}).reader(None)).pushFilters
+        is DataSourceReader.pushFilters
+    )
 
 
 def test_pushdown_through_bucket_transform(spark, tmp_path):
@@ -95,9 +110,9 @@ def test_pushdown_through_bucket_transform(spark, tmp_path):
         loc, df.schema, partition_by=["bucket(doc_id, 8)"], commit_ts_ms=1
     )
     t.append_df(df.repartition(8), commit_ts_ms=2)
-    r_all = IcebergBatchReader({"path": loc, "pushdown": "true"})
+    r_all = IcebergPushdownBatchReader({"path": loc, "pushdown": "true"})
     n_all = len(r_all.partitions())
-    r = IcebergBatchReader({"path": loc, "pushdown": "true"})
+    r = IcebergPushdownBatchReader({"path": loc, "pushdown": "true"})
     r.pushFilters([In(("doc_id",), ("d37", "d38"))])
     assert 0 < len(r.partitions()) < n_all
     # end-to-end pruned read: single-use load, opt-in pushdown

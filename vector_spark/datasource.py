@@ -16,7 +16,12 @@ Arrow read.  Spark still re-evaluates every pushed filter after the scan
 (`pushFilters` returns them all), so pruning is a pure I/O win, never a
 correctness dependency.
 
-Filter-pruned planning is opt-in: ``.option("pushdown", "true")``.
+Filter-pruned planning is opt-in: ``.option("pushdown", "true")`` plus
+``spark.sql.python.filterPushdown.enabled=true`` on the session.  The
+default reader does not even *override* ``pushFilters`` — Spark 4 raises
+``DATA_SOURCE_PUSHDOWN_DISABLED`` at planning time for any overriding
+reader when that conf is off (the Spark default), so an unconditional
+override would break plain loads in default-config sessions.
 Measured on this Spark (4.1): when the Python-datasource pushdown rule
 plans a scan it caches the planned (pruned) partition list on the shared
 relation instance, and a LATER query over the same loaded DataFrame that
@@ -250,23 +255,21 @@ def _plan_slices(
 
 
 class IcebergBatchReader(DataSourceReader):
+    """Default batch reader: deliberately does NOT override ``pushFilters``.
+
+    Spark 4 raises ``DATA_SOURCE_PUSHDOWN_DISABLED`` at planning time when a
+    reader overrides ``pushFilters`` but the session has
+    ``spark.sql.python.filterPushdown.enabled=false`` (the Spark default) —
+    it refuses to silently skip an implemented pushdown.  Keeping the
+    default reader override-free makes plain loads work in any session;
+    pruning lives on the opt-in subclass below.
+    """
+
     def __init__(self, options: dict):
         self._table = IcebergTable(options["path"])
         snap = options.get("snapshotId") or options.get("snapshotid")
         self._snapshot_id = int(snap) if snap is not None else None
-        self._prune = str(options.get("pushdown", "false")).lower() == "true"
         self._pushed: list[tuple] = []
-
-    def pushFilters(self, filters):
-        # Every filter returns to Spark for post-scan evaluation; pruning
-        # only ever skips whole files.  Stored pushed state is honored only
-        # under .option("pushdown", "true") — see the module docstring for
-        # the engine-side cross-query scan-cache hazard that makes
-        # filter-dependent planning unsafe for reused DataFrames.
-        pushed, passthrough = _translate_filters(filters)
-        if self._prune:
-            self._pushed = pushed
-        return passthrough
 
     def partitions(self) -> Sequence[InputPartition]:
         pushed, self._pushed = self._pushed, []
@@ -278,6 +281,25 @@ class IcebergBatchReader(DataSourceReader):
     def read(self, partition):
         if isinstance(partition, _FileSlice):
             yield from _read_slice(partition)
+
+
+class IcebergPushdownBatchReader(IcebergBatchReader):
+    """Opt-in pruning reader (``.option("pushdown", "true")``).
+
+    Requires ``spark.sql.python.filterPushdown.enabled=true`` on the session
+    — Spark refuses to plan an overriding reader otherwise.  See the module
+    docstring for the engine-side cross-query scan-cache hazard that makes
+    filter-dependent planning unsafe for reused DataFrames (and hence
+    opt-in, single-use-load only).
+    """
+
+    def pushFilters(self, filters):
+        # Every filter returns to Spark for post-scan evaluation; pruning
+        # only ever skips whole files, so it is a pure I/O win, never a
+        # correctness dependency.
+        pushed, passthrough = _translate_filters(filters)
+        self._pushed = pushed
+        return passthrough
 
 
 class IcebergStreamReader(DataSourceStreamReader):
@@ -339,6 +361,8 @@ class IcebergDataSource(DataSource):
         return _spark_ddl(IcebergTable(self.options["path"]).schema)
 
     def reader(self, schema) -> DataSourceReader:
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return IcebergPushdownBatchReader(self.options)
         return IcebergBatchReader(self.options)
 
     def streamReader(self, schema) -> DataSourceStreamReader:
