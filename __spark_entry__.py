@@ -1836,6 +1836,59 @@ GROUP BY src
 """
 
 
+def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup's production keep/drop decision: minhash-LSH pairs →
+    connected components → per component keep the HIGHEST-QUALITY member
+    (quality_score quantized to micro-units, ties → min id), singletons
+    always kept (dedup.py::dedup_select)."""
+    from vector_spark import textstats as T
+    from vector_spark.dedup import dedup_select, minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs)
+    return dedup_select(docs, pairs, T.quality_score("text"))
+
+
+def _sql_dedup_keep_best() -> str:
+    from vector_spark import textstats as T
+    from vector_spark.dedup import sql_minhash_lsh_pairs
+
+    q = T.sql_quality_score("text")
+    return f"""
+WITH RECURSIVE pairs AS ({sql_minhash_lsh_pairs("documents")}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+),
+comp AS (
+  SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+),
+scored AS (
+  SELECT doc_id, CAST(ROUND(({q}) * 1000000) AS BIGINT) AS q_micro
+  FROM documents
+),
+j AS (
+  SELECT s.doc_id, COALESCE(c.component, s.doc_id) AS component, s.q_micro
+  FROM scored s LEFT JOIN comp c ON s.doc_id = c.doc_id
+),
+win AS (
+  SELECT component, doc_id AS keeper,
+         ROW_NUMBER() OVER (PARTITION BY component
+                            ORDER BY q_micro DESC, doc_id) AS rn
+  FROM j
+)
+SELECT j.doc_id, j.component, j.q_micro, j.doc_id = w.keeper AS is_kept
+FROM j JOIN (SELECT component, keeper FROM win WHERE rn = 1) w
+  ON j.component = w.component
+"""
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.dedup import simhash
 
@@ -3494,6 +3547,27 @@ def _sql_shard_plan() -> str:
     )
 
 
+def _q_shuffle_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle for training export: every doc
+    gets a pseudo-random position (portable 60-bit hash of id#seed via the
+    distributed global row_number — range exchange, no single-reducer
+    sort), shard = pos % N; per-shard audit pins sizes, membership AND the
+    exact permutation (position-weighted checksum)."""
+    from vector_spark.sharding import shuffle_stats
+
+    src = _corpus(spark, sf_dir).select("doc_id", "n_tok")
+    return shuffle_stats(src, n_shards=_SHARDS, seed=42)
+
+
+def _sql_shuffle_export() -> str:
+    from vector_spark.sharding import sql_shuffle_stats
+
+    path = _corpus_sql_path()
+    return sql_shuffle_stats(
+        f"(SELECT doc_id, n_tok FROM read_parquet('{path}'))", n_shards=_SHARDS, seed=42
+    )
+
+
 def _q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-drift monitor: per-source token-unigram KL divergence vs
     the corpus-wide distribution, in integer nano-nats."""
@@ -3550,6 +3624,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_percentile": _q_quality_percentile,
         "source_divergence": _q_source_divergence,
         "shard_plan": _q_shard_plan,
+        "shuffle_export": _q_shuffle_export,
         "lm_perplexity": _q_lm_perplexity,
         "lm_perplexity_fast": _q_lm_perplexity_fast,
         "remap_tokens": _q_remap_tokens,
@@ -3586,6 +3661,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregate_sketch": _q_aggregate_sketch,
         "stream_aggregate": _q_stream_aggregate,
         "dedup_groups": _q_dedup_groups,
+        "dedup_keep_best": _q_dedup_keep_best,
         "pack_sequences": _q_pack_sequences,
         "chunk_windows": _q_chunk_windows,
         "vocab_stats": _q_vocab_stats,
@@ -3652,6 +3728,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_percentile": _sql_quality_percentile(),
         "source_divergence": _sql_source_divergence(),
         "shard_plan": _sql_shard_plan(),
+        "shuffle_export": _sql_shuffle_export(),
         "lm_perplexity": _sql_lm_perplexity(),
         "lm_perplexity_fast": _sql_lm_perplexity(),
         "remap_tokens": _sql_remap_tokens(),
@@ -3688,6 +3765,7 @@ def oracle_sql() -> dict[str, str]:
         "aggregate_sketch": _sql_aggregate_sketch(),
         "stream_aggregate": _SQL_STREAM_AGGREGATE,
         "dedup_groups": _sql_dedup_groups(),
+        "dedup_keep_best": _sql_dedup_keep_best(),
         "pack_sequences": _sql_pack_sequences(),
         "chunk_windows": _sql_chunk_windows(),
         "vocab_stats": _sql_vocab_stats(),

@@ -62,3 +62,36 @@ def test_snake_shard_fold_pattern(spark):
         .collect()
     ]
     assert got == [0, 1, 2, 2, 1, 0, 0, 1, 2, 2, 1, 0]
+
+
+def test_shuffle_assign_is_seeded_permutation(spark):
+    from vector_spark.sharding import shuffle_assign
+
+    rows = [(f"d{i:03d}", (i * 13) % 77 + 1) for i in range(180)]
+    df1 = spark.createDataFrame(rows, "doc_id string, n_tok long").repartition(5)
+    df2 = spark.createDataFrame(rows, "doc_id string, n_tok long").repartition(9)
+    a1 = sorted((r["doc_id"], r["pos"], r["shard"]) for r in shuffle_assign(df1, 4, seed=7).collect())
+    a2 = sorted((r["doc_id"], r["pos"], r["shard"]) for r in shuffle_assign(df2, 4, seed=7).collect())
+    # deterministic + partitioning-invariant
+    assert a1 == a2
+    # pos is a dense 0-based permutation; shard is round-robin over it
+    positions = sorted(p for _, p, _ in a1)
+    assert positions == list(range(180))
+    assert all(s == p % 4 for _, p, s in a1)
+    # a different seed yields a different order (not the identity relabel)
+    b = sorted((r["doc_id"], r["pos"]) for r in shuffle_assign(df1, 4, seed=8).collect())
+    assert [p for _, p in b] != [p for _, p, _ in a1]
+    # ...and the shuffled order is not the sorted-id order
+    id_order = [d for d, _, _ in sorted(a1, key=lambda t: t[1])]
+    assert id_order != sorted(id_order)
+
+
+def test_shuffle_stats_balance(spark):
+    from vector_spark.sharding import shuffle_stats
+
+    rows = [(f"d{i:03d}", 10) for i in range(103)]
+    out = shuffle_stats(
+        spark.createDataFrame(rows, "doc_id string, n_tok long"), n_shards=4, seed=1
+    ).collect()
+    docs = [r["n_docs"] for r in out]
+    assert sum(docs) == 103 and max(docs) - min(docs) <= 1

@@ -194,6 +194,35 @@ def test_dedup_components_label_propagation(spark):
     assert got == {3: 3, 5: 3, 9: 3, 11: 3, 20: 20, 21: 20, 40: 2, 2: 2}
 
 
+def test_dedup_select_keeps_best_quality(spark):
+    """Quality-aware canonical selection: each component keeps its highest-
+    score member (tie -> min id); docs in no pair are singleton keepers."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.dedup import dedup_select
+
+    docs = spark.createDataFrame(
+        [("a", 0.1), ("b", 0.9), ("c", 0.9), ("d", 0.5), ("e", 0.2), ("z", 0.0)],
+        ["doc_id", "q"],
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")], ["id_a", "id_b"]
+    )
+    out = {
+        r["doc_id"]: (r["component"], r["is_kept"])
+        for r in dedup_select(docs, pairs, F.col("q")).collect()
+    }
+    # {a,b,c}: b and c tie at 0.9 -> min id b wins; {d,e}: d wins; z singleton
+    assert out == {
+        "a": ("a", False),
+        "b": ("a", True),
+        "c": ("a", False),
+        "d": ("d", True),
+        "e": ("d", False),
+        "z": ("z", True),
+    }
+
+
 def test_gemm_twins_match_hof_twins(spark):
     """The per-bucket GEMM production twins must agree exactly (after
     round-6) with their interpreted-HOF counterparts on the fixture corpus —

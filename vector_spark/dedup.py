@@ -557,3 +557,54 @@ def dedup_components(
             break
         prev_sig = sig
     return labels.select(F.col("src").alias("doc_id"), F.col("label").alias("component"))
+
+
+def dedup_select(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware canonical selection — the production keep/drop output
+    of near-dedup: pairs resolve into components (:func:`dedup_components`)
+    and each component keeps its highest-quality member.
+
+    Pure min-id canonicalization (``is_canonical`` in dedup_components)
+    throws away a better-written duplicate whenever the worse copy sorts
+    first; real curation pipelines keep the best-scoring member (the CCNet
+    / Gopher-style "keep one, prefer quality" rule).  Winner per component
+    = max ``score``, ties broken by min id so the choice is total.
+
+    ``score`` is evaluated over ``docs`` and quantized to integer
+    micro-units (ROUND(q*1e6)) before comparison so the argmax is
+    bit-identical cross-engine (the repo's established float-gate idiom).
+    Docs in no pair form singleton components and are always kept.
+
+    Scale: components/labels are O(docs-in-pairs) — tiny vs the corpus;
+    the corpus-wide work is one left join on id (AQE/broadcast when labels
+    are small), a map-side-combined ``min_by`` per component, and one join
+    of the |components|-row winner table back on component.
+
+    Returns (id_col, component, q_micro, is_kept).
+    """
+    comps = dedup_components(pairs)
+    if id_col != "doc_id":
+        comps = comps.withColumnRenamed("doc_id", id_col)
+    scored = docs.select(
+        id_col, F.round(score * 1_000_000).cast("long").alias("q_micro")
+    )
+    joined = scored.join(comps, id_col, "left").withColumn(
+        "component", F.coalesce("component", F.col(id_col))
+    )
+    winners = joined.groupBy("component").agg(
+        F.min_by(
+            F.col(id_col),
+            F.struct((-F.col("q_micro")).alias("nq"), F.col(id_col).alias("id")),
+        ).alias("_keeper")
+    )
+    return joined.join(winners, "component").select(
+        id_col,
+        "component",
+        "q_micro",
+        (F.col(id_col) == F.col("_keeper")).alias("is_kept"),
+    )

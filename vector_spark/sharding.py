@@ -29,7 +29,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from vector_spark.hashing import portable_bucket, portable_bucket_sql
+from vector_spark.hashing import (
+    portable_bucket,
+    portable_bucket_sql,
+    portable_hash64,
+    portable_hash64_sql,
+)
 
 # checksum addends are hash % 1e6 (not the raw 60-bit hash): the per-shard
 # SUM must stay inside int64 under ANSI sessions — 2^60-sized addends
@@ -111,6 +116,102 @@ def shard_stats(
         )
         .orderBy("shard")
     )
+
+
+def shuffle_assign(
+    df: DataFrame,
+    n_shards: int,
+    seed: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Seeded deterministic global shuffle of the corpus: ``df`` +
+    (``pos``, ``shard``) where ``pos`` is the doc's 0-based position in a
+    pseudo-random total order and ``shard = pos % n_shards``.
+
+    The last step before a training export is a GLOBAL shuffle — SGD
+    wants the document order decorrelated from crawl/source order, and it
+    must be reproducible (same seed → same order, resumable exports) and
+    engine-checkable.  The sort key is ``portable_hash64(id || '#' seed)``
+    (md5-based, identical in the DuckDB oracle), so the permutation is a
+    pure function of (id, seed): order-independent, partitioning-
+    independent, re-runnable.
+
+    Scale design: the permutation is the same single-range-exchange
+    ``global_row_number`` as the shard planner — one range repartition on
+    the 60-bit key over the NARROW (id, key) projection (~24 bytes/doc at
+    10^12 docs), a per-partition window, and |partitions| driver-side
+    offsets.  Hash keys are uniform by construction, so the range
+    partitioner cannot skew.  Round-robin ``pos % n`` keeps shard sizes
+    balanced to ±1 without a second pass for the total count (contiguous
+    blocks would need |corpus| known first); within a shard, ascending
+    ``pos`` IS the shuffled read order, so a writer that sorts its shard
+    by ``pos`` (one ``repartition(shard).sortWithinPartitions(pos)``)
+    streams docs in randomized order.
+    """
+    key = portable_hash64(F.concat(F.col(id_col), F.lit(f"#{seed}")))
+    ranked = global_row_number(
+        df.withColumn("_skey", key), [F.col("_skey").asc(), F.col(id_col).asc()]
+    )
+    return (
+        ranked.withColumnRenamed("rank", "pos")
+        .withColumn("shard", (F.col("pos") % n_shards).cast("int"))
+        .drop("_skey")
+    )
+
+
+def shuffle_stats(
+    df: DataFrame,
+    n_shards: int,
+    seed: int,
+    id_col: str = "doc_id",
+    n_col: str = "n_tok",
+) -> DataFrame:
+    """Per-shard audit of the shuffle: sizes plus TWO checksums — one over
+    the member ids (pins the partition of docs into shards) and one
+    position-weighted (pins the exact permutation, not just the
+    grouping).  Addends are ``(pos % 1e6) * (hash(id) % 1e6)`` so the
+    per-shard int64 sum is ANSI-safe at bench scales (an audit at 10^12
+    docs would swap in a modular/xor fold)."""
+    a = shuffle_assign(df.select(id_col, n_col), n_shards, seed, id_col)
+    member = portable_bucket(F.col(id_col), _CKSUM_MOD)
+    return (
+        a.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(n_col).cast("long")).cast("long").alias("n_tokens"),
+            F.sum(member).cast("long").alias("sel_sum"),
+            F.sum((F.col("pos") % _CKSUM_MOD) * member).cast("long").alias("perm_sum"),
+        )
+        .orderBy("shard")
+    )
+
+
+def sql_shuffle_stats(
+    src_sql: str,
+    n_shards: int,
+    seed: int,
+    id_col: str = "doc_id",
+    n_col: str = "n_tok",
+) -> str:
+    """DuckDB twin of :func:`shuffle_stats`; ``src_sql`` must yield
+    (id_col, n_col)."""
+    key = portable_hash64_sql(f"{id_col} || '#{seed}'")
+    # extra parens: portable_bucket_sql ends in an un-parenthesized `% rate`,
+    # which would otherwise bind to the product below, not the bucket
+    member = f"({portable_bucket_sql(id_col, _CKSUM_MOD)})"
+    return f"""
+WITH ranked AS (
+  SELECT {id_col}, {n_col},
+         ROW_NUMBER() OVER (ORDER BY ({key}), {id_col}) - 1 AS pos
+  FROM {src_sql}
+)
+SELECT (pos % {n_shards})::INT AS shard,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM({n_col})::BIGINT AS n_tokens,
+       SUM({member})::BIGINT AS sel_sum,
+       SUM((pos % {_CKSUM_MOD}) * {member})::BIGINT AS perm_sum
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
 
 
 def sql_shard_stats(
