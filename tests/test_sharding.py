@@ -95,3 +95,39 @@ def test_shuffle_stats_balance(spark):
     ).collect()
     docs = [r["n_docs"] for r in out]
     assert sum(docs) == 103 and max(docs) - min(docs) <= 1
+
+
+def test_write_shards_order_and_resume(spark, tmp_path):
+    from vector_spark.sharding import shuffle_assign, write_shards
+
+    rows = [(f"d{i:03d}", (i % 9) + 1) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok long").repartition(5)
+    out = str(tmp_path / "export")
+    res = write_shards(spark, df, out, n_shards=4, seed=3, run_id="R1")
+    assert res["skipped"] is False and res["n_docs"] == 120
+
+    back = spark.read.parquet(res["path"])
+    assert back.count() == 120
+    # per-shard file order IS the shuffled order: ascending pos
+    import glob
+
+    for shard_dir in sorted(glob.glob(out + "/shards/shard=*")):
+        files = [f for f in glob.glob(shard_dir + "/*.parquet")]
+        assert len(files) == 1  # one writer task per shard
+        import pyarrow.parquet as pq
+
+        pos = pq.read_table(files[0], columns=["pos"])["pos"].to_pylist()
+        assert pos == sorted(pos) and len(pos) == 30
+    # written assignment matches the pure plan
+    plan = {
+        (r["doc_id"], r["pos"], r["shard"])
+        for r in shuffle_assign(df, 4, seed=3).collect()
+    }
+    got = {(r["doc_id"], r["pos"], r["shard"]) for r in back.collect()}
+    assert got == plan
+    # committed run_id resumes as a no-op
+    res2 = write_shards(spark, df, out, n_shards=4, seed=3, run_id="R1")
+    assert res2["skipped"] is True
+    # a new run_id re-exports
+    res3 = write_shards(spark, df, out, n_shards=4, seed=3, run_id="R2")
+    assert res3["skipped"] is False

@@ -239,3 +239,97 @@ SELECT shard, COUNT(*)::BIGINT AS n_docs, SUM({n_col})::BIGINT AS n_tokens,
        SUM({portable_bucket_sql(id_col, _CKSUM_MOD)})::BIGINT AS sel_sum
 FROM assigned GROUP BY shard ORDER BY shard
 """
+
+
+def _fs_exists(spark, path: str) -> bool:
+    # Hadoop-FS existence (never os.path): correct on object storage too
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(hconf).exists(p)
+
+
+def write_shards(
+    spark,
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    seed: int,
+    run_id: str,
+    id_col: str = "doc_id",
+    n_col: str = "n_tok",
+) -> dict:
+    """Physically export the corpus as N shuffled training shards with a
+    resume manifest — the terminal write of the pipeline.
+
+    One job: :func:`shuffle_assign` plans the permutation, a single
+    hash-exchange on ``shard`` co-locates each shard in one task, rows are
+    sorted by ``pos`` inside it, and ``partitionBy("shard")`` lands one
+    Hive-style directory per shard whose file order IS the shuffled read
+    order (ascending ``pos``, verified by test).
+
+    Manifest (north-rule resumability, same contract as
+    pipeline.run_pipeline): per-shard rows (run_id, shard, docs, tokens,
+    wall_ms, committed) appended AFTER the data write succeeds, so the
+    manifest only ever reflects durable state; re-running a committed
+    run_id skips the export entirely.  Stats are computed from the
+    WRITTEN files, not the plan — the manifest audits what a trainer will
+    actually read.
+
+    Scale: the export is one shuffle of the full corpus — unavoidable, it
+    IS the global shuffle — into n_shards writer tasks.  For 10^12 docs
+    raise n_shards (trainers want thousands of shards anyway) so each
+    writer holds ~|corpus|/n_shards rows; the sort is per-task,
+    spill-backed, never global.
+    """
+    import os
+    import time
+
+    manifest_path = os.path.join(out_dir, "_manifest")
+    data_path = os.path.join(out_dir, "shards")
+    if _fs_exists(spark, manifest_path):
+        try:
+            prior = spark.read.parquet(manifest_path)
+            if (
+                prior.filter((F.col("run_id") == run_id) & F.col("committed")).count()
+                > 0
+            ):
+                return {"run_id": run_id, "skipped": True, "path": data_path}
+        except Exception:
+            pass
+
+    t0 = time.time()
+    planned = shuffle_assign(df, n_shards, seed, id_col)
+    (
+        planned.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(data_path)
+    )
+    wall_ms = int((time.time() - t0) * 1000)
+    written = spark.read.parquet(data_path)
+    stats = (
+        written.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(n_col).cast("long")).cast("long").alias("n_tokens"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    rows = [
+        (run_id, int(r["shard"]), data_path, int(r["n_docs"]), int(r["n_tokens"]), wall_ms, True)
+        for r in stats
+    ]
+    spark.createDataFrame(
+        rows,
+        "run_id string, shard int, path string, n_docs long, n_tokens long, wall_ms long, committed boolean",
+    ).write.mode("append").parquet(manifest_path)
+    return {
+        "run_id": run_id,
+        "skipped": False,
+        "path": data_path,
+        "n_docs": sum(r["n_docs"] for r in stats),
+        "wall_ms": wall_ms,
+    }
