@@ -2243,6 +2243,54 @@ SELECT query_id, vec_id, cos FROM (
 """
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the pruned ANN paths against the exact scan —
+    the recall/scan-cost tradeoff measured as a first-class query instead
+    of asserted: per method, how many of the exact top-k survive the
+    single-probe LSH and nprobe=1 IVF pruning.  Integer hit counts so the
+    gate is engine-exact."""
+    from vector_spark.similarity import topk_cosine, topk_cosine_ivf, topk_cosine_lsh
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = topk_cosine(embs, queries_df, k=5).select("query_id", "vec_id")
+    lsh = topk_cosine_lsh(embs, queries_df, k=5, n_planes=4, dim=64)
+    ivf = topk_cosine_ivf(embs, queries_df, k=5, n_cells=8, dim=64)
+    approx = lsh.select(F.lit("lsh").alias("method"), "query_id", "vec_id").unionByName(
+        ivf.select(F.lit("ivf").alias("method"), "query_id", "vec_id")
+    )
+    return (
+        approx.join(exact, ["query_id", "vec_id"])
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+        .select(
+            "method",
+            "n_hits",
+            F.lit(5).cast("bigint").alias("k"),
+            F.lit(3).cast("bigint").alias("n_queries"),
+        )
+    )
+
+
+def _sql_ann_recall() -> str:
+    exact = _sql_ann_topk()
+    lshv = _sql_ann_topk_lsh()
+    ivfv = _sql_ann_topk_ivf()
+    return f"""
+WITH exact AS ({exact}),
+lshv AS ({lshv}),
+ivfv AS ({ivfv})
+SELECT 'lsh' AS method, COUNT(*)::BIGINT AS n_hits,
+       5::BIGINT AS k, 3::BIGINT AS n_queries
+FROM lshv a JOIN exact e ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+UNION ALL
+SELECT 'ivf', COUNT(*)::BIGINT, 5::BIGINT, 3::BIGINT
+FROM ivfv a JOIN exact e ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+"""
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, oracle-gated since round 3: the deterministic
     media table is persisted as parquet so DuckDB recomputes byte length
@@ -3613,6 +3661,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_numpy": _q_ann_topk_numpy,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
+        "ann_recall": _q_ann_recall,
         "embedding_dup_lsh_gemm": _q_embedding_dup_lsh_gemm,
         "semantic_dedup": _q_semantic_dedup,
         "pq_encode": _q_pq_encode,
@@ -3717,6 +3766,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_numpy": _sql_ann_topk(),
         "ann_topk_lsh": _sql_ann_topk_lsh(),
         "ann_topk_ivf": _sql_ann_topk_ivf(),
+        "ann_recall": _sql_ann_recall(),
         "embedding_dup_lsh_gemm": _sql_embedding_dup_lsh(),
         "semantic_dedup": _sql_semantic_dedup(),
         "pq_encode": _sql_pq_encode(),
