@@ -2659,6 +2659,58 @@ def _sql_pack_sequences() -> str:
     )
 
 
+def _q_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training export (export.py::run_export's lazy plan):
+    seeded global shuffle → pack IN SHUFFLED ORDER (id_col='pos') →
+    round-robin sequence shards; per-shard sizes plus a
+    position-and-content checksum pin the exact packed token stream."""
+    from vector_spark.hashing import portable_bucket
+    from vector_spark.packing import pack_sequences
+    from vector_spark.sharding import shuffle_assign
+
+    src = _corpus(spark, sf_dir).select("doc_id", "tokens")
+    sh = shuffle_assign(src, _SHARDS, seed=42).select("tokens", "pos")
+    packed = pack_sequences(sh, _PACK_SEQ_LEN, id_col="pos", eos=_PACK_EOS)
+    member = portable_bucket(F.array_join("tokens", ","), 1_000_000)
+    return (
+        packed.withColumn("shard", (F.col("seq_id") % _SHARDS).cast("int"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
+            F.sum(F.col("n_tok").cast("long")).cast("bigint").alias("sum_tok"),
+            F.sum(F.col("n_docs").cast("long")).cast("bigint").alias("sum_docs"),
+            F.sum((F.col("seq_id") % 1_000_000) * member)
+            .cast("bigint")
+            .alias("content_sum"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _sql_export_pipeline() -> str:
+    from vector_spark.hashing import portable_bucket_sql, portable_hash64_sql
+    from vector_spark.packing import sql_pack_sequences
+
+    path = _corpus_sql_path()
+    key = portable_hash64_sql("doc_id || '#42'")
+    shuffled = (
+        f"(SELECT pos AS doc_id, tokens FROM "
+        f"(SELECT tokens, ROW_NUMBER() OVER (ORDER BY ({key}), doc_id) - 1 AS pos "
+        f"FROM read_parquet('{path}')))"
+    )
+    packed = sql_pack_sequences(shuffled, _PACK_SEQ_LEN, eos=_PACK_EOS)
+    member = f"({portable_bucket_sql('tokens_csv', 1_000_000)})"
+    return f"""
+WITH packed AS ({packed})
+SELECT (seq_id % {_SHARDS})::INT AS shard,
+       COUNT(*)::BIGINT AS n_seqs,
+       SUM(n_tok)::BIGINT AS sum_tok,
+       SUM(n_docs)::BIGINT AS sum_docs,
+       SUM((seq_id % 1000000) * {member})::BIGINT AS content_sum
+FROM packed GROUP BY 1 ORDER BY 1
+"""
+
+
 _CHUNK_WIN = 256
 _CHUNK_STRIDE = 192  # 25% overlap
 _VOCAB_TOP_N = 200
@@ -3712,6 +3764,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": _q_dedup_groups,
         "dedup_keep_best": _q_dedup_keep_best,
         "pack_sequences": _q_pack_sequences,
+        "export_pipeline": _q_export_pipeline,
         "chunk_windows": _q_chunk_windows,
         "vocab_stats": _q_vocab_stats,
         "token_pair_stats": _q_token_pair_stats,
@@ -3817,6 +3870,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_groups": _sql_dedup_groups(),
         "dedup_keep_best": _sql_dedup_keep_best(),
         "pack_sequences": _sql_pack_sequences(),
+        "export_pipeline": _sql_export_pipeline(),
         "chunk_windows": _sql_chunk_windows(),
         "vocab_stats": _sql_vocab_stats(),
         "token_pair_stats": _sql_token_pair_stats(),

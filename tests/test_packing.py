@@ -104,3 +104,44 @@ def test_chunk_never_crosses_doc_boundary(spark):
     for d, _, c, _ in got:
         per_doc.setdefault(d, []).extend(c)
     assert per_doc == {"a": [1, 2, 3], "b": [4, 5, 6]}
+
+
+def test_run_export_stages_and_resume(spark, tmp_path):
+    """Composed shuffle->pack->shard export: token stream preserved in
+    shuffled order, shards balanced, committed stages resume as no-ops."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.export import run_export
+    from vector_spark.packing import pack_sequences
+    from vector_spark.sharding import shuffle_assign
+
+    rows = [
+        (f"d{i:03d}", list(range(i * 7, i * 7 + (i % 5) + 1)))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = str(tmp_path / "exp")
+    res = run_export(spark, docs, out, run_id="E1", seq_len=16, n_shards=3, seed=9)
+    assert res["skipped"] == []
+
+    # the written sequences equal a one-shot pack over the shuffled order
+    shuffled = shuffle_assign(docs, 3, seed=9).select("doc_id", "tokens", "pos")
+    want = {
+        (r["seq_id"], tuple(r["tokens"]))
+        for r in pack_sequences(shuffled, 16, id_col="pos", eos=0).collect()
+    }
+    got_df = spark.read.parquet(res["path"])
+    got = {(r["seq_id"], tuple(r["tokens"])) for r in got_df.collect()}
+    assert got == want
+    # token conservation: every doc's tokens + one EOS each
+    n_want = sum(len(t) for _, t in rows) + 60
+    assert got_df.select(F.sum(F.size("tokens"))).first()[0] == n_want
+    # shards cover seq_id % 3
+    assert {
+        (r["shard"], r["seq_id"] % 3) for r in got_df.select("shard", "seq_id").collect()
+    } == {(s, s) for s in range(3)}
+
+    # full resume: everything skips
+    res2 = run_export(spark, docs, out, run_id="E1", seq_len=16, n_shards=3, seed=9)
+    assert sorted(res2["skipped"]) == ["pack", "shards", "shuffle"]
+    assert res2["counts"] == res["counts"]
