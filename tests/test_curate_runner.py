@@ -55,3 +55,25 @@ def test_run_curation_resume_skips_committed_stages(spark, tmp_path):
     shutil.rmtree(out_dir + "/exact_dedup", ignore_errors=False)
     r3 = run_curation(spark, _docs(spark), out_dir, run_id="S")
     assert r3["skipped"] == []
+
+
+def test_run_curation_crash_resumes_past_committed_stage(spark, tmp_path, monkeypatch):
+    """Stage rows are appended durably as each stage commits: a crash in
+    line_strip must leave exact_dedup committed so the rerun skips it."""
+    import pytest
+
+    import vector_spark.curate as C
+
+    out_dir = str(tmp_path / "curate_crash")
+    real = C._cleaned_docs
+
+    def _boom(*a, **k):
+        raise RuntimeError("injected crash in line_strip stage")
+
+    monkeypatch.setattr(C, "_cleaned_docs", _boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        C.run_curation(spark, _docs(spark), out_dir, run_id="C")
+    monkeypatch.setattr(C, "_cleaned_docs", real)
+
+    r = C.run_curation(spark, _docs(spark), out_dir, run_id="C")
+    assert r["skipped"] == ["exact_dedup"]

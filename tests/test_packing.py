@@ -145,3 +145,30 @@ def test_run_export_stages_and_resume(spark, tmp_path):
     res2 = run_export(spark, docs, out, run_id="E1", seq_len=16, n_shards=3, seed=9)
     assert sorted(res2["skipped"]) == ["pack", "shards", "shuffle"]
     assert res2["counts"] == res["counts"]
+
+
+def test_run_export_crash_resumes_past_committed_stage(spark, tmp_path, monkeypatch):
+    """A crash in stage k+1 must not lose stage k's manifest row: each
+    stage appends its row durably BEFORE the next stage starts, so a rerun
+    after a mid-run crash skips the already-committed shuffle."""
+    import pytest
+
+    import vector_spark.export as X
+
+    rows = [(f"d{i:02d}", list(range(i, i + 3))) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = str(tmp_path / "exp_crash")
+
+    real_pack = X.pack_sequences
+
+    def _boom(*a, **k):
+        raise RuntimeError("injected crash in pack stage")
+
+    monkeypatch.setattr(X, "pack_sequences", _boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        X.run_export(spark, docs, out, run_id="C1", seq_len=8, n_shards=2, seed=3)
+    monkeypatch.setattr(X, "pack_sequences", real_pack)
+
+    res = X.run_export(spark, docs, out, run_id="C1", seq_len=8, n_shards=2, seed=3)
+    assert res["skipped"] == ["shuffle"]  # shuffle durable; pack+shards re-ran
+    assert res["counts"]["shards"] == res["counts"]["pack"]

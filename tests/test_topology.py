@@ -193,3 +193,33 @@ def test_hot_keys_sampled_agrees_with_exact(spark):
         df, "source", sample_threshold=100, sample_fraction=0.1, seed=7
     )
     assert exact and sampled == exact
+
+
+def test_run_pipeline_per_route_mode_and_crash_resume(spark, tmp_path):
+    """per_route mode: independent sink writes, per-sink manifest rows
+    appended durably as each sink commits — a resumed run skips every
+    already-committed sink even if a later sink's write never happened."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vector_spark.pipeline import run_pipeline
+
+    out = str(tmp_path / "per_route")
+    r1 = run_pipeline(spark, 0.001, out_dir=out, run_id="P", mode="per_route")
+    assert r1["routed_rows"] > 0 and r1["skipped_sinks"] == []
+
+    # the manifest already holds one committed row per sink (appended as
+    # each sink landed, not batched at the end)
+    man = spark.read.parquet(os.path.join(out, "_manifest"))
+    sinks = {r["sink"] for r in man.filter(F.col("committed")).collect()}
+    assert len(sinks) >= 2
+
+    # simulate a crash AFTER the sinks committed but before run end by
+    # simply re-running: every sink must be skipped
+    r2 = run_pipeline(spark, 0.001, out_dir=out, run_id="P", mode="per_route")
+    assert set(r2["skipped_sinks"]) == sinks
+
+    # per_route sinks agree with the partitioned flagship's routed total
+    r3 = run_pipeline(spark, 0.001, out_dir=str(tmp_path / "part"), run_id="Q")
+    assert r1["routed_rows"] == r3["routed_rows"]

@@ -232,7 +232,6 @@ def run_curation(
         except Exception:
             done = set()
 
-    manifest_rows = []
     counts: dict[str, int] = {}
     skipped: list[str] = []
 
@@ -248,8 +247,14 @@ def run_curation(
         out = spark.read.parquet(path)
         n = out.count()
         counts[name] = n
-        manifest_rows.append(
-            (run_id, name, path, n, int((time.time() - t0) * 1000), True)
+        # durably commit THIS stage's manifest row before the next stage
+        # starts, so a crash in stage k+1 still resumes past stage k
+        from vector_spark.sharding import _append_manifest_row
+
+        _append_manifest_row(
+            spark,
+            manifest_path,
+            (run_id, name, path, n, int((time.time() - t0) * 1000), True),
         )
         return out
 
@@ -282,9 +287,4 @@ def run_curation(
         ),
     )
 
-    if manifest_rows:
-        spark.createDataFrame(
-            manifest_rows,
-            "run_id string, stage string, path string, rows long, wall_ms long, committed boolean",
-        ).write.mode("append").parquet(manifest_path)
     return {"counts": counts, "skipped": skipped}

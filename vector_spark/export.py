@@ -12,12 +12,12 @@ The terminal path of the pipeline, composed from the audited pieces:
    (``seq_id % n_shards``, ascending ``seq_id`` within each writer task),
    ready for data-parallel loaders.
 
-Each stage writes a parquet artifact and a manifest row (the
-``run_pipeline`` / ``run_curation`` contract: manifest rows append only
-after the stage's data write succeeds, so the manifest always reflects
-durable state); re-running a ``run_id`` skips committed stages, so a
-killed export resumes at the failed stage without recomputing the
-shuffle or the pack.
+Each stage writes a parquet artifact and then immediately appends its
+manifest row (the ``run_pipeline`` / ``run_curation`` contract: the row
+lands only after the stage's data write succeeds, and BEFORE the next
+stage starts, so the manifest always reflects durable state); re-running
+a ``run_id`` skips committed stages, so a killed export resumes at the
+failed stage without recomputing the shuffle or the pack.
 
 Scale notes: the shuffle and the pack prefix-sum both run on narrow
 projections (O(docs) rows of ~16-24 bytes); token bytes move exactly
@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_spark.packing import pack_sequences
-from vector_spark.sharding import _fs_exists, shuffle_assign
+from vector_spark.sharding import _append_manifest_row, _fs_exists, shuffle_assign
 
 
 def run_export(
@@ -68,7 +68,6 @@ def run_export(
         except Exception:
             done = set()
 
-    manifest_rows = []
     counts: dict[str, int] = {}
     skipped: list[str] = []
 
@@ -87,8 +86,12 @@ def run_export(
         out = spark.read.parquet(path)
         n = out.count()
         counts[name] = n
-        manifest_rows.append(
-            (run_id, name, path, n, int((time.time() - t0) * 1000), True)
+        # append THIS stage's manifest row before the next stage starts, so
+        # a crash in stage k+1 still resumes past stage k
+        _append_manifest_row(
+            spark,
+            manifest_path,
+            (run_id, name, path, n, int((time.time() - t0) * 1000), True),
         )
         return out
 
@@ -118,11 +121,6 @@ def run_export(
         ),
     )
 
-    if manifest_rows:
-        spark.createDataFrame(
-            manifest_rows,
-            "run_id string, stage string, path string, rows long, wall_ms long, committed boolean",
-        ).write.mode("append").parquet(manifest_path)
     return {
         "counts": counts,
         "skipped": skipped,

@@ -205,7 +205,19 @@ def run_pipeline(
     enriched = parsed_enriched(spark, src)
     routed = route_stage(enriched)
 
-    manifest_rows = []
+    _MANIFEST_COLS = [
+        "run_id", "sink", "path", "rows", "n_files", "bytes", "wall_ms", "committed",
+    ]
+
+    def _commit_manifest(rows: list) -> None:
+        # durable append the moment the corresponding data write succeeds —
+        # batching until the end of the run would lose earlier sinks' rows
+        # on a mid-run crash and force the resume to rewrite them
+        if rows:
+            spark.createDataFrame(rows, _MANIFEST_COLS).coalesce(1).write.mode(
+                "append"
+            ).parquet(manifest_path)
+
     t_total = time.time()
     total_rows = 0
     if mode == "partitioned":
@@ -228,18 +240,22 @@ def run_pipeline(
                     "count", "n"
                 ).collect()
             }
+            batch = []
             for name, n in sorted(per_route.items()):
                 n_files, nbytes = _list_partition_files(
                     spark, sinks_path, f"route_key={name}"
                 )
                 total_rows += n
-                manifest_rows.append(
+                batch.append(
                     (run_id, name, sinks_path, n, n_files, nbytes, wall_ms, True)
                 )
-            # commit marker for the single-pass write (resume key)
-            manifest_rows.append(
+            # commit marker for the single-pass write (resume key) — one
+            # append with its per-route lineage, durable before the
+            # aggregate/metric writes run
+            batch.append(
                 (run_id, "sinks", sinks_path, total_rows, 0, 0, wall_ms, True)
             )
+            _commit_manifest(batch)
         iceberg_sinks: dict[str, int] = {}
         if sink_format == "iceberg":
             # per-route Iceberg sink tables over the files already written
@@ -267,18 +283,12 @@ def run_pipeline(
             rdf.write.mode("overwrite").parquet(path)
             n = spark.read.parquet(path).count()
             total_rows += n
-            manifest_rows.append(
-                (run_id, name, path, n, 0, 0, int((time.time() - t0) * 1000), True)
+            _commit_manifest(
+                [(run_id, name, path, n, 0, 0, int((time.time() - t0) * 1000), True)]
             )
         aggs = sink_aggregates(routed)
     aggs.write.mode("overwrite").parquet(os.path.join(out_dir, "sink_metrics"))
     wall = time.time() - t_total
-    if manifest_rows:
-        mdf = spark.createDataFrame(
-            manifest_rows,
-            ["run_id", "sink", "path", "rows", "n_files", "bytes", "wall_ms", "committed"],
-        )
-        mdf.write.mode("append").parquet(manifest_path)
     if mode != "partitioned":
         persisted.unpersist()
     result = {

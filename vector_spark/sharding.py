@@ -249,6 +249,24 @@ def _fs_exists(spark, path: str) -> bool:
     return p.getFileSystem(hconf).exists(p)
 
 
+_STAGE_MANIFEST_SCHEMA = (
+    "run_id string, stage string, path string, rows long,"
+    " wall_ms long, committed boolean"
+)
+
+
+def _append_manifest_row(spark, manifest_path: str, row: tuple) -> None:
+    """Durably append ONE stage's manifest row the moment its data write
+    commits.  Crash-resumability depends on this ordering: if rows were
+    batched until the end of the run, a failure in stage k would lose the
+    manifest rows for stages 1..k-1 and the resume would recompute work
+    that is already durable on disk.  One tiny file per stage is the price;
+    stages are few by construction."""
+    spark.createDataFrame([row], _STAGE_MANIFEST_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(manifest_path)
+
+
 def write_shards(
     spark,
     df: DataFrame,
