@@ -2659,6 +2659,50 @@ def _sql_pack_sequences() -> str:
     )
 
 
+_BINS_BLOCK = 256
+
+
+def _q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split packing (packing.py::pack_bins): docs packed whole into
+    <=seq_len bins — greedy sequential fill scoped to deterministic
+    256-doc blocks so the recurrence distributes; the fine-tuning twin of
+    pack_sequences' concat-and-chunk.  Gated on a deterministic 1/10
+    hash-bucket of the corpus (the decontaminate precedent): the oracle
+    replays the fill as a recursive CTE whose cost is recursion-depth ×
+    docs, so the full corpus would be oracle-bound, not Spark-bound."""
+    from vector_spark.packing import pack_bins
+
+    src = (
+        _corpus(spark, sf_dir)
+        .filter(portable_bucket(F.col("doc_id"), 10) == 0)
+        .select("doc_id", "tokens", "n_tok")
+    )
+    packed = pack_bins(
+        src, _PACK_SEQ_LEN, block=_BINS_BLOCK, eos=_PACK_EOS, n_col="n_tok"
+    )
+    return packed.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.array_join("tokens", ",").alias("tokens_csv"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_pad").cast("long").alias("n_pad"),
+        F.array_join("boundaries", ",").alias("boundaries_csv"),
+    )
+
+
+def _sql_pack_bins() -> str:
+    from vector_spark.packing import sql_pack_bins
+
+    path = _corpus_sql_path()
+    return sql_pack_bins(
+        f"(SELECT doc_id, tokens FROM read_parquet('{path}')"
+        f" WHERE {portable_bucket_sql('doc_id', 10)} = 0)",
+        _PACK_SEQ_LEN,
+        block=_BINS_BLOCK,
+        eos=_PACK_EOS,
+    )
+
+
 def _q_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training export (export.py::run_export's lazy plan):
     seeded global shuffle → pack IN SHUFFLED ORDER (id_col='pos') →
@@ -3764,6 +3808,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": _q_dedup_groups,
         "dedup_keep_best": _q_dedup_keep_best,
         "pack_sequences": _q_pack_sequences,
+        "pack_bins": _q_pack_bins,
         "export_pipeline": _q_export_pipeline,
         "chunk_windows": _q_chunk_windows,
         "vocab_stats": _q_vocab_stats,
@@ -3870,6 +3915,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_groups": _sql_dedup_groups(),
         "dedup_keep_best": _sql_dedup_keep_best(),
         "pack_sequences": _sql_pack_sequences(),
+        "pack_bins": _sql_pack_bins(),
         "export_pipeline": _sql_export_pipeline(),
         "chunk_windows": _sql_chunk_windows(),
         "vocab_stats": _sql_vocab_stats(),

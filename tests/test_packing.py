@@ -172,3 +172,54 @@ def test_run_export_crash_resumes_past_committed_stage(spark, tmp_path, monkeypa
     res = X.run_export(spark, docs, out, run_id="C1", seq_len=8, n_shards=2, seed=3)
     assert res["skipped"] == ["shuffle"]  # shuffle durable; pack+shards re-ran
     assert res["counts"]["shards"] == res["counts"]["pack"]
+
+
+def test_pack_bins_no_split_and_pad(spark):
+    from vector_spark.packing import pack_bins
+
+    df = _rows(spark, [("a", [1, 2, 3]), ("b", [4, 5]), ("c", [6])])
+    out = {r["seq_id"]: r for r in pack_bins(df, 5).collect()}
+    # a(3)+b(2) fill bin 0 exactly; c starts bin 1
+    assert out[0]["tokens"] == [1, 2, 3, 4, 5] and out[0]["n_pad"] == 0
+    assert out[0]["n_docs"] == 2 and out[0]["boundaries"] == [0, 3]
+    assert out[1]["tokens"] == [6] and out[1]["n_pad"] == 4
+
+
+def test_pack_bins_truncates_long_doc_alone(spark):
+    from vector_spark.packing import pack_bins
+
+    df = _rows(spark, [("a", [1, 2]), ("b", list(range(10, 19))), ("c", [3])])
+    out = {r["seq_id"]: r for r in pack_bins(df, 4).collect()}
+    # b (9 tokens) > L: truncated to 4, alone in its bin; no doc is split
+    bins = {tuple(r["tokens"]) for r in out.values()}
+    assert (10, 11, 12, 13) in bins
+    assert all(r["n_tok"] <= 4 for r in out.values())
+    assert sum(r["n_docs"] for r in out.values()) == 3
+
+
+def test_pack_bins_block_boundaries_deterministic(spark):
+    from vector_spark.packing import pack_bins
+
+    df = _rows(spark, [(f"d{i}", [i]) for i in range(4)])
+    # block=2: bins never cross blocks even though all 4 fit in one bin
+    out = sorted(
+        (r["seq_id"], tuple(r["tokens"])) for r in pack_bins(df, 10, block=2).collect()
+    )
+    assert out == [(0, (0, 1)), (2, (2, 3))]
+    # partitioning-invariant: same result from a different input layout
+    out2 = sorted(
+        (r["seq_id"], tuple(r["tokens"]))
+        for r in pack_bins(df.repartition(7), 10, block=2).collect()
+    )
+    assert out2 == out
+
+
+def test_pack_bins_eos_and_empty_doc(spark):
+    from vector_spark.packing import pack_bins
+
+    df = _rows(spark, [("a", [1]), ("b", []), ("c", [2])])
+    out = {r["seq_id"]: r for r in pack_bins(df, 4, eos=0).collect()}
+    # empty doc contributes its EOS; per-doc EOS appended before the fill:
+    # a+eos(2) + b->eos(1) fit bin 0; c+eos(2) would overflow -> bin 1
+    assert out[0]["tokens"] == [1, 0, 0] and out[0]["n_docs"] == 2
+    assert out[1]["tokens"] == [2, 0]

@@ -144,6 +144,182 @@ def pack_sequences(
     )
 
 
+def pack_bins(
+    df: DataFrame,
+    seq_len: int,
+    block: int = 1024,
+    id_col: str = "doc_id",
+    tok_col: str = "tokens",
+    eos: int | None = None,
+    n_col: str | None = None,
+) -> DataFrame:
+    """No-split sequence packing: docs are packed whole into bins of at
+    most ``seq_len`` tokens (greedy sequential fill in ``id_col`` order);
+    a doc NEVER straddles two output sequences, so trainers that cannot
+    mask cross-doc attention (or that fine-tune on whole examples) get
+    intact documents at the cost of ``n_pad`` padding per bin.  Docs
+    longer than ``seq_len`` are truncated to it (they occupy a bin alone).
+    Returns (seq_id, tokens, n_tok, n_docs, n_pad, boundaries).
+
+    The complement of :func:`pack_sequences` (concat-and-chunk, zero pad,
+    docs split) — the two are the standard pretraining/fine-tuning packing
+    pair.
+
+    Scale design: greedy fill is a sequential recurrence, which does not
+    distribute — so bins are scoped to deterministic BLOCKS of ``block``
+    consecutive docs (by the same distributed 0-based rank
+    :func:`vector_spark.sharding.global_row_number` uses; no global
+    window).  Bins never cross a block boundary, making the result a pure
+    function of (corpus, seq_len, block) — partitioning-independent,
+    resumable, and oracle-replicable.  The per-block recurrence runs in an
+    Arrow-batched kernel over a NARROW (rank, n_eff) projection — token
+    bytes never enter Python; the loop advances per BIN (numpy
+    searchsorted over the block's cumsum), not per row.  Per-block padding
+    waste vs a global fill is bounded by one bin per block.  Token bytes
+    move twice (assignment join + bin regroup), as in pack_sequences.
+    """
+    import pandas as pd
+
+    from vector_spark.sharding import global_row_number
+
+    eos_n = 1 if eos is not None else 0
+    if n_col is not None:
+        n_expr: Column = F.col(n_col).cast("long") + F.lit(eos_n)
+    else:
+        n_expr = (F.size(tok_col) + F.lit(eos_n)).cast("long")
+    L = int(seq_len)
+    B = int(block)
+    narrow = df.select(id_col, n_expr.alias("_n")).filter(F.col("_n") > 0)
+    ranked = global_row_number(narrow, [F.col(id_col)]).select(
+        id_col,
+        F.least(F.col("_n"), F.lit(L)).cast("long").alias("_neff"),
+        "rank",
+        (F.col("rank") / F.lit(B)).cast("long").alias("_block"),
+    )
+
+    def _fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("rank")
+        n = pdf["_neff"].to_numpy(dtype="int64")
+        cs = np.cumsum(n)
+        bins = np.empty(len(n), dtype="int64")
+        i, b, base = 0, 0, 0
+        while i < len(n):
+            # first index whose cumulative size exceeds this bin's budget;
+            # n_eff <= L guarantees j > i (every doc fits an empty bin)
+            j = int(np.searchsorted(cs, base + L, side="right"))
+            if j == i:  # defensive: never true given the truncation above
+                j = i + 1
+            bins[i:j] = b
+            b += 1
+            base = int(cs[j - 1])
+            i = j
+        return pd.DataFrame(
+            {
+                "rank": pdf["rank"].to_numpy(),
+                "seq_id": pdf["_block"].to_numpy(dtype="int64") * B + bins,
+            }
+        )
+
+    assigned = (
+        ranked.groupBy("_block")
+        .applyInPandas(_fill, "rank long, seq_id long")
+        .join(ranked.select(id_col, "rank", "_neff"), "rank")
+    )
+
+    toks = F.col(tok_col)
+    if eos is not None:
+        toks = F.concat(toks, F.array(F.lit(eos)))
+    base = df.select(id_col, toks.alias("_toks")).join(assigned, id_col)
+    frag = F.slice(F.col("_toks"), 1, F.col("_neff").cast("int"))
+    pieces = base.select("seq_id", "rank", frag.alias("_frag"))
+
+    members = F.array_sort(F.collect_list(F.struct("rank", "_frag")))
+    lens = F.transform(members, lambda x: F.size(x["_frag"]).cast("long"))
+    # exclusive prefix sums of member lengths = within-bin start offsets
+    boundaries = F.slice(
+        F.aggregate(
+            lens,
+            F.array(F.lit(0).cast("long")),
+            lambda acc, n: F.concat(acc, F.array(F.element_at(acc, -1) + n)),
+        ),
+        1,
+        F.size(lens),
+    )
+    return (
+        pieces.groupBy("seq_id")
+        .agg(
+            F.flatten(F.transform(members, lambda x: x["_frag"])).alias("tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+            boundaries.alias("boundaries"),
+        )
+        .withColumn("n_tok", F.size("tokens").cast("long"))
+        .withColumn("n_pad", (F.lit(L) - F.col("n_tok")).cast("long"))
+        .select("seq_id", "tokens", "n_tok", "n_docs", "n_pad", "boundaries")
+    )
+
+
+def sql_pack_bins(
+    src_sql: str, seq_len: int, block: int = 1024, eos: int | None = None
+) -> str:
+    """DuckDB oracle for :func:`pack_bins`: the identical greedy fill as a
+    per-block recursive CTE (one doc consumed per recursion step, carrying
+    (running, bin) state), then the same truncate/flatten/offset assembly."""
+    L = int(seq_len)
+    B = int(block)
+    toks = "tokens" if eos is None else f"list_concat(tokens, [{eos}])"
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, {toks} AS t FROM {src_sql}
+), nz AS (
+  SELECT doc_id, t, least(len(t), {L}) AS n_eff
+  FROM base WHERE len(t) > 0
+), ordered AS (
+  SELECT doc_id, t, n_eff,
+         ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rank
+  FROM nz
+), blocked AS MATERIALIZED (
+  SELECT doc_id, t, n_eff, rank, rank // {B} AS block_id,
+         ROW_NUMBER() OVER (PARTITION BY rank // {B} ORDER BY rank) AS rn
+  FROM ordered
+), nar AS MATERIALIZED (
+  -- recursion state stays integer-narrow AND materialized: carrying the
+  -- token arrays through every iteration multiplies the CTE cost by doc
+  -- length, and an inlined CTE would re-run the scan+window chain once
+  -- per recursion step
+  SELECT block_id, rn, rank, n_eff FROM blocked
+), fill AS (
+  SELECT block_id, rn, rank, n_eff,
+         n_eff AS running, CAST(0 AS BIGINT) AS bin
+  FROM nar WHERE rn = 1
+  UNION ALL
+  SELECT b.block_id, b.rn, b.rank, b.n_eff,
+         CASE WHEN f.running + b.n_eff > {L} THEN b.n_eff
+              ELSE f.running + b.n_eff END,
+         CASE WHEN f.running + b.n_eff > {L} THEN f.bin + 1 ELSE f.bin END
+  FROM fill f JOIN nar b ON b.block_id = f.block_id AND b.rn = f.rn + 1
+), assigned AS (
+  SELECT f.block_id * {B} + f.bin AS seq_id, f.rank,
+         list_slice(k.t, 1, CAST(f.n_eff AS INTEGER)) AS frag, f.n_eff
+  FROM fill f JOIN blocked k ON k.block_id = f.block_id AND k.rn = f.rn
+), offs AS (
+  SELECT seq_id, rank, frag, n_eff,
+         COALESCE(SUM(n_eff) OVER (PARTITION BY seq_id ORDER BY rank
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM assigned
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       array_to_string(flatten(list(frag ORDER BY rank)), ',') AS tokens_csv,
+       CAST(SUM(n_eff) AS BIGINT) AS n_tok,
+       COUNT(*) AS n_docs,
+       CAST({L} - SUM(n_eff) AS BIGINT) AS n_pad,
+       array_to_string(list(CAST(off AS BIGINT) ORDER BY rank), ',')
+         AS boundaries_csv
+FROM offs GROUP BY seq_id
+"""
+
+
 def chunk_windows(
     df: DataFrame,
     win: int,
