@@ -119,6 +119,7 @@ def minhash_signatures_exploded(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     shingle_k: int = 3,
+    fast: bool = True,
 ) -> DataFrame:
     """Minhash signatures via explode + hash aggregate — the production
     (100 TB) signature plan.
@@ -126,18 +127,30 @@ def minhash_signatures_exploded(
     Spark higher-order-function lambdas are INTERPRETED per element, so
     hashing every shingle inside ``F.transform`` dominates CPU at corpus
     scale.  This plan explodes shingles to rows and computes
-    ``min(xxhash64(shingle, seed_j))`` per doc in ONE hash aggregate: the
-    per-shingle hash runs inside whole-stage codegen, and map-side partial
+    ``min(H_j(shingle))`` per doc in ONE hash aggregate: the per-shingle
+    hash runs inside whole-stage codegen, and map-side partial
     aggregation collapses each doc's shingles before the shuffle, so the
     exchange carries ~|docs| rows (num_hashes longs each), not
-    |docs|x|shingles|.  Output: (id_col, _sig array<bigint>).  Uses
-    xxhash64 (JVM-only) — not oracle-reproducible; the md5 HOF path in
-    :func:`minhash_signature` is the oracle twin.
+    |docs|x|shingles|.  Output: (id_col, _sig array<bigint>).
+
+    ``fast=True`` hashes with xxhash64 (JVM-only, cheapest);
+    ``fast=False`` uses the portable md5 hash so DuckDB reproduces the
+    signature bit-for-bit — same exploded plan, so the oracle twin also
+    stays inside codegen.  (The per-row HOF formulation in
+    :func:`minhash_signature` additionally blows Janino's 64 KB method
+    limit at num_hashes=8 — the whole Project then runs INTERPRETED;
+    this plan keeps each hash a single aggregate expression.)
+
+    Per-doc semantics match :func:`minhash_signature` exactly:
+    :func:`shingles` always yields >=1 gram (empty text => [""]), so no
+    doc is dropped by the explode.
     """
     ex = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("_s"))
-    aggs = [
-        F.min(F.xxhash64(F.col("_s"), F.lit(j))).alias(f"_h{j}") for j in range(num_hashes)
-    ]
+    if fast:
+        h = lambda j: F.xxhash64(F.col("_s"), F.lit(j))  # noqa: E731
+    else:
+        h = lambda j: portable_hash64(F.concat(F.col("_s"), F.lit(f"|{j}")))  # noqa: E731
+    aggs = [F.min(h(j)).alias(f"_h{j}") for j in range(num_hashes)]
     grouped = ex.groupBy(id_col).agg(*aggs)
     return grouped.select(
         id_col, F.array(*[F.col(f"_h{j}") for j in range(num_hashes)]).alias("_sig")
@@ -160,12 +173,11 @@ def band_table(
     new-vs-corpus probe (:func:`incremental_near_dup`) are joins on it."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    if fast:
-        with_sig = minhash_signatures_exploded(df, text_col, id_col, num_hashes, shingle_k)
-    else:
-        sh = shingles(text_col, shingle_k)
-        sig = minhash_signature(sh, num_hashes, fast=False)
-        with_sig = df.select(F.col(id_col), sig.alias("_sig"))
+    # both hash families run the exploded codegen plan; fast only selects
+    # xxhash64 (cheapest, JVM-only) vs the portable md5 the oracle replays
+    with_sig = minhash_signatures_exploded(
+        df, text_col, id_col, num_hashes, shingle_k, fast=fast
+    )
     return with_sig.select(
         id_col,
         F.explode(
