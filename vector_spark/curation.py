@@ -371,16 +371,30 @@ def source_divergence(
     broadcast back onto the per-source counts.
     """
     tok = corpus.select(source_col, F.explode(tokens_col).alias("tok"))
-    st = tok.groupBy(source_col, "tok").agg(F.count(F.lit(1)).alias("c_st"))
-    s = tok.groupBy(source_col).agg(F.count(F.lit(1)).alias("c_s"))
-    t = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c_t"))
-    n_total = tok.count()
+    # ONE corpus scan: every marginal (per-source totals, corpus token
+    # totals, grand total) is a re-aggregation of the vocab-sized
+    # (source, token) census.  The census is eagerly localCheckpoint-ed
+    # (the dedup_groups idiom) because Spark does not reuse the exchange
+    # across the four consuming branches — without it the 10^12-token
+    # explode would be scanned once per branch; with it the corpus is
+    # read exactly once and the branches re-aggregate |sources|x|vocab|
+    # rows.  The grand total rides the plan as a broadcast 1-row frame
+    # instead of a separate driver count() job.
+    st = (
+        tok.groupBy(source_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+        .localCheckpoint(eager=True)
+    )
+    s = st.groupBy(source_col).agg(F.sum("c_st").cast("long").alias("c_s"))
+    t = st.groupBy("tok").agg(F.sum("c_st").cast("long").alias("c_t"))
+    n = st.agg(F.sum("c_st").cast("double").alias("n_total"))
     p_s = F.col("c_st") / F.col("c_s").cast("double")
-    p_c = F.col("c_t") / F.lit(float(n_total))
+    p_c = F.col("c_t") / F.col("n_total")
     term = F.floor(p_s * F.log(p_s / p_c) * F.lit(1e9)).cast("long")
     return (
         st.join(F.broadcast(s), source_col)
         .join(F.broadcast(t), "tok")
+        .crossJoin(F.broadcast(n))
         .select(source_col, F.col("c_s"), term.alias("term"))
         .groupBy(source_col)
         .agg(

@@ -20,7 +20,9 @@ Scale design: all statistics are PER-DOCUMENT, so the production path is
 a single ``mapInArrow`` pass — the Arrow ListArray hands the kernel its
 flat token buffer + offsets ZERO-COPY (no per-row Python conversion; see
 ``decontam.py`` for the measured 340 µs/row cost of the per-row idiom),
-and every n-gram count comes out of one lexsort + run-length pass per n.
+and every n-gram count comes out of one hash-grouping pass per n (Arrow
+``dictionary_encode`` over the row-mixed gram hash — no numpy sort; see
+``_per_row_gram_counts``).
 No explode, no join, no shuffle; output is one row per doc.  Gram
 identity within a doc is the 64-bit polynomial rolling hash of
 ``decontam._rolling_hashes`` (n=1 reduces to the token value itself, so
@@ -42,38 +44,49 @@ from vector_spark.decontam import _rolling_hashes
 _NS = (1, 2, 5)  # unigram / bigram / 5-gram, per the Gopher signal set
 
 
-def _per_row_gram_counts(flat, lens, n, n_rows):
+def _per_row_gram_counts(flat, lens, n, n_rows, need=("distinct", "top", "dup")):
     """(total, distinct, top, dup) int64 arrays of length ``n_rows``:
     per row, the total n-gram occurrences, distinct n-grams, the count of
     the most frequent n-gram, and the summed occurrences of n-grams that
-    occur more than once.  One lexsort + run-length pass, fully
-    vectorized."""
+    occur more than once.
+
+    Grouping by (row, gram) is HASH-based — the row index is mixed into
+    the gram hash and the combined key grouped with Arrow's
+    ``dictionary_encode`` hash kernel — not a ``lexsort``: concurrent
+    numpy sorts over the full gram stream collapse ~10x on SMT hosts
+    (same finding as vocab.py / lm.py, measured in BENCH.md).  A cross-row
+    key collision needs two of the batch's ~10^6 grams to meet in 2^64
+    (odds ~1e-7 per batch, deterministic given the data; the DuckDB
+    oracle recomputes from exact grams, so any collision surfaces as a
+    mismatch).  ``need`` skips the statistics the caller discards."""
     import numpy as np
+    import pyarrow as pa
 
     h, rows_of = _rolling_hashes(flat, lens, n)
     total = np.bincount(rows_of, minlength=n_rows)
+    z = np.zeros(n_rows, np.int64)
     if not len(h):
-        z = np.zeros(n_rows, np.int64)
         return total, z.copy(), z.copy(), z.copy()
-    order = np.lexsort((h, rows_of))
-    hs, rs = h[order], rows_of[order]
-    new = np.empty(len(hs), bool)
-    new[0] = True
-    new[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
-    starts = np.nonzero(new)[0]
-    runlens = np.diff(np.append(starts, len(hs)))
-    runrows = rs[starts]
-    distinct = np.bincount(runrows, minlength=n_rows)
-    dup = np.bincount(
-        runrows, weights=runlens * (runlens > 1), minlength=n_rows
-    ).astype(np.int64)
-    # max run length per row: runs are row-sorted, reduceat at row starts
-    row_new = np.empty(len(runrows), bool)
-    row_new[0] = True
-    row_new[1:] = runrows[1:] != runrows[:-1]
-    row_starts = np.nonzero(row_new)[0]
-    top = np.zeros(n_rows, np.int64)
-    top[runrows[row_starts]] = np.maximum.reduceat(runlens, row_starts)
+    key = h + rows_of.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    enc = pa.array(key).dictionary_encode()
+    codes = enc.indices.to_numpy().astype(np.int64, copy=False)
+    n_grp = len(enc.dictionary)
+    rows_grp = np.zeros(n_grp, np.int64)
+    rows_grp[codes] = rows_of  # every member of a group shares one row
+    distinct = (
+        np.bincount(rows_grp, minlength=n_rows) if "distinct" in need else z
+    )
+    if "top" in need or "dup" in need:
+        counts = np.bincount(codes)
+    top = z
+    if "top" in need:
+        top = np.zeros(n_rows, np.int64)
+        np.maximum.at(top, rows_grp, counts)
+    dup = z
+    if "dup" in need:
+        dup = np.bincount(
+            rows_grp, weights=counts * (counts > 1), minlength=n_rows
+        ).astype(np.int64)
     return total, distinct, top, dup
 
 
@@ -107,9 +120,9 @@ def repetition_signals(
             ).astype(np.int64)
             flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
             r = batch.num_rows
-            t1, d1, _, _ = _per_row_gram_counts(flat, lens, 1, r)
-            t2, _, top2, _ = _per_row_gram_counts(flat, lens, 2, r)
-            t5, _, _, dup5 = _per_row_gram_counts(flat, lens, 5, r)
+            t1, d1, _, _ = _per_row_gram_counts(flat, lens, 1, r, need=("distinct",))
+            t2, _, top2, _ = _per_row_gram_counts(flat, lens, 2, r, need=("top",))
+            t5, _, _, dup5 = _per_row_gram_counts(flat, lens, 5, r, need=("dup",))
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column(id_col),
