@@ -84,3 +84,70 @@ def test_lm_score_fast_rejects_external_model(spark):
     src = _corpus(spark, [("a", [1, 2, 3])])
     with pytest.raises(ValueError):
         lm_score(src, model=bigram_model(src), fast=True)
+
+
+def test_lm_score_fast_fallback_matches_join_path(spark):
+    """Corpora outside the single-int64 bit budget (here: a negative
+    token id) take the two-column fallback plan — still bit-identical."""
+    import random
+
+    from vector_spark.lm import lm_score
+
+    rng = random.Random(11)
+    rows = [
+        (
+            f"d{i}",
+            [rng.randrange(-5, 40) for _ in range(rng.randrange(2, 30))],
+        )
+        for i in range(40)
+    ]
+    src = _corpus(spark, rows)
+    slow = {r["doc_id"]: tuple(r)[1:] for r in lm_score(src).collect()}
+    fast = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in lm_score(src, fast=True, num_partitions=5).collect()
+    }
+    assert slow == fast and len(slow) > 0
+
+
+def test_lm_score_fast_packed_and_fallback_agree(spark):
+    """The packed plan and the forced two-column plan produce identical
+    rows on the same in-budget corpus."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from vector_spark import lm
+
+    rng = random.Random(13)
+    rows = [
+        (f"d{i}", [rng.randrange(0, 64) for _ in range(rng.randrange(2, 25))])
+        for i in range(50)
+    ]
+    src = _corpus(spark, rows)
+    packed = {r["doc_id"]: tuple(r)[1:] for r in lm.lm_score(src, fast=True).collect()}
+
+    from vector_spark.sharding import global_row_number
+
+    idx = global_row_number(src.select("doc_id"), [F.col("doc_id")]).withColumnRenamed(
+        "rank", "_lm_didx"
+    )
+    joined = src.join(F.broadcast(idx), "doc_id")
+    vocab = int(
+        src.select(F.explode("tokens").alias("t"))
+        .agg(F.count_distinct("t"))
+        .collect()[0][0]
+    )
+    partials = lm._twocol_partials(joined, "tokens", vocab=vocab, n_parts=5)
+    scored = partials.groupBy("_lm_didx").agg(
+        F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+        F.sum("nll_sum").cast("long").alias("nll_sum"),
+    )
+    avg = F.floor(F.col("nll_sum") / F.col("n_bigrams").cast("double")).cast("long")
+    twocol = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in scored.join(F.broadcast(idx), "_lm_didx")
+        .select("doc_id", "n_bigrams", "nll_sum", avg.alias("nll_avg"))
+        .collect()
+    }
+    assert packed == twocol and len(packed) > 0
