@@ -262,9 +262,15 @@ def token_pair_stats_approx(
     uniform corpus err_ub is large and says so; on Zipfian text the head
     is certified cheaply.
 
-    Per batch: one hash count (pc.value_counts) merges into the numpy MG
-    state via dictionary-encode group-sum + an O(n) np.partition
-    threshold decrement — no sorts (see lm.py's concurrent-sort note)."""
+    Raw pair keys buffer up to a fixed cap (64MB — memory stays bounded
+    per task) and each flush is ONE dictionary-encode group-sum + an O(n)
+    np.partition threshold decrement — no sorts (see lm.py's
+    concurrent-sort note), and no per-batch pre-count: on near-unique
+    pair streams ``pc.value_counts`` barely collapses, so counting before
+    the merge was a second full hash pass for nothing (merging raw keys
+    with weight-1 rows halves the hash work; the MG merge rule is valid
+    for any flush granularity, and coarser flushes only TIGHTEN err_ub —
+    fewer decrements)."""
 
     def kernel(batches):
         import numpy as np
@@ -281,23 +287,15 @@ def token_pair_stats_approx(
         st_cnts = np.empty(0, dtype=np.int64)
         err = 0
         saw = False
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            flat, rowidx = _flat_tokens(batch, tok_col)
-            if len(flat) < 2:
-                continue
-            same = rowidx[:-1] == rowidx[1:]
-            t1, t2 = flat[:-1][same], flat[1:][same]
-            if not len(t1):
-                continue
-            saw = True
-            key = (t1 << np.int64(32)) | (t2 & np.int64(0xFFFFFFFF))
-            vc = pc.value_counts(pa.array(key))
-            # group-sum the state with the batch counts (hash, no sort)
-            allk = np.concatenate([st_keys, vc.field("values").to_numpy()])
+        buf: list = []
+        buf_n = 0
+        cap = 8 << 20  # 8M buffered pair keys = 64MB per task, fixed
+
+        def merge(st_keys, st_cnts, err):
+            raw = buf[0] if len(buf) == 1 else np.concatenate(buf)
+            allk = np.concatenate([st_keys, raw])
             allc = np.concatenate(
-                [st_cnts, vc.field("counts").to_numpy().astype(np.int64)]
+                [st_cnts, np.ones(len(raw), dtype=np.int64)]
             )
             enc = pc.dictionary_encode(pa.array(allk))
             idx = enc.indices.to_numpy().astype(np.int64)
@@ -313,11 +311,29 @@ def token_pair_stats_approx(
                 ]
                 err += int(thresh)
                 keep = cnts > thresh
-                st_keys, st_cnts = uk[keep], cnts[keep] - thresh
-            else:
-                st_keys, st_cnts = uk, cnts
+                return uk[keep], cnts[keep] - thresh, err
+            return uk, cnts, err
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            flat, rowidx = _flat_tokens(batch, tok_col)
+            if len(flat) < 2:
+                continue
+            same = rowidx[:-1] == rowidx[1:]
+            t1, t2 = flat[:-1][same], flat[1:][same]
+            if not len(t1):
+                continue
+            saw = True
+            buf.append((t1 << np.int64(32)) | (t2 & np.int64(0xFFFFFFFF)))
+            buf_n += len(t1)
+            if buf_n >= cap:
+                st_keys, st_cnts, err = merge(st_keys, st_cnts, err)
+                buf, buf_n = [], 0
         if not saw:
             return
+        if buf:
+            st_keys, st_cnts, err = merge(st_keys, st_cnts, err)
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(np.append(st_keys, 0).astype(np.int64)),
