@@ -177,11 +177,16 @@ def main() -> None:
     for name in bench_names:
         if name == "pipeline_sink_aggregates":
             continue  # covered by the headline
-        # Nudge a full GC between timed queries: back-to-back heavy queries
-        # in one JVM otherwise inherit the previous query's un-collected
-        # shuffle/Arrow buffers (measured: lm_perplexity_fast 88s in a
-        # fresh JVM vs 120-148s late in a shared one).  Caches (the Iceberg
-        # corpus table) are untouched — this is GC pressure, not cache state.
+        # Reset executor state between timed queries: (a) drop leaked
+        # persists — global_row_number / packing._global_starts pin their
+        # range-partitioned frame for determinism and cannot unpersist it
+        # lazily, so every query using them leaves MEMORY_AND_DISK blocks
+        # behind (the Iceberg corpus is a DISK build, not a Spark cache —
+        # clearCache drops nothing a later query needs); (b) nudge a full
+        # GC for the previous query's un-collected shuffle/Arrow buffers
+        # (measured: lm_perplexity_fast 88s in a fresh JVM vs 120-148s
+        # late in a shared one).
+        spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         try:
