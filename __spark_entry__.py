@@ -2951,6 +2951,101 @@ def _sql_mixture_temperature() -> str:
     )
 
 
+# mixture UPSAMPLING: repeat factor > 1 for rare over-weighted sources —
+# mixture_sample can only drop; this is the other half of the recipe.
+# Weights deliberately over-ask the two smallest sources so both the
+# repeat path (rate > 1e6 ppm: floor copies + hash-selected fractional
+# epoch) and the downsample path (rate < 1e6) are exercised in one gate.
+
+_UPS_WEIGHTS = {"app": 0.10, "web": 0.10, "db": 0.10, "cache": 0.25, "edge": 0.45}
+_UPS_BUDGET_SF001 = 15_000_000  # ~= the sf0.01 corpus' full token count
+
+
+def _q_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.mixture import upsample_summary
+
+    sf = datagen.sf_from_dir(sf_dir)
+    budget = int(_UPS_BUDGET_SF001 * sf / 0.01)
+    src = _corpus(spark, sf_dir).select("doc_id", "source", "n_tok")
+    return upsample_summary(src, _UPS_WEIGHTS, budget)
+
+
+def _sql_mixture_upsample() -> str:
+    from vector_spark.mixture import sql_upsample_summary
+
+    path = _corpus_sql_path()
+    return sql_upsample_summary(
+        f"(SELECT doc_id, source, n_tok FROM read_parquet('{path}'))",
+        _UPS_WEIGHTS,
+        _UPS_BUDGET_SF001,
+    )
+
+
+# fill-in-the-middle transform (packing.fim_transform): PSM reordering of
+# a hash-selected half of the token corpus; cut points hash-derived so the
+# oracle replays the exact splits
+
+_FIM_RATE_PPM = 500_000
+
+
+def _q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.packing import fim_transform
+
+    src = _corpus(spark, sf_dir).select("doc_id", "tokens")
+    out = fim_transform(src, rate_ppm=_FIM_RATE_PPM)
+    return out.select(
+        "doc_id",
+        "is_fim",
+        F.array_join("tokens", ",").alias("tokens_csv"),
+        "n_tok",
+    )
+
+
+def _sql_fim_transform() -> str:
+    from vector_spark.packing import sql_fim_transform
+
+    path = _corpus_sql_path()
+    return sql_fim_transform(
+        f"(SELECT doc_id, tokens FROM read_parquet('{path}'))",
+        rate_ppm=_FIM_RATE_PPM,
+    )
+
+
+# byte-level BPE end-to-end over RAW TEXT (bpe.byte_tokenize → apply_merges):
+# completes the tokenizer story from the documents table — text → UTF-8
+# bytes → learned merges → ids.  The merge chain is 3 deep and each merge
+# consumes the previous one's output id ('ta' → 'tab' → 'tabl' over the
+# fixture vocabulary), so chained-merge order is pinned.
+
+_BYTE_BPE_MERGES = [(116, 97, 256), (256, 98, 257), (257, 108, 258)]
+
+
+def _q_byte_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.bpe import apply_merges, byte_tokenize
+
+    src = byte_tokenize(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
+    ).select("doc_id", "tokens")
+    out = apply_merges(src, _BYTE_BPE_MERGES)
+    return out.select(
+        "doc_id",
+        F.array_join("tokens", ",").alias("tokens_csv"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+    )
+
+
+def _sql_byte_bpe_encode() -> str:
+    from vector_spark.bpe import sql_apply_merges, sql_byte_tokenize
+
+    src = (
+        f"(SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+        f"{sql_byte_tokenize('text')} AS tokens FROM documents)"
+    )
+    return sql_apply_merges(src, _BYTE_BPE_MERGES)
+
+
 # deterministic stratified train/val/test split (mixture.stratified_split):
 # shuffle-free hash-threshold assignment; per-(source, split) audit with a
 # selected-set checksum is the contract surface
@@ -3815,6 +3910,9 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pair_stats": _q_token_pair_stats,
         "mixture_sample": _q_mixture,
         "mixture_temperature": _q_mixture_temperature,
+        "mixture_upsample": _q_mixture_upsample,
+        "fim_transform": _q_fim_transform,
+        "byte_bpe_encode": _q_byte_bpe_encode,
         "decontaminate": _q_decontam,
         "repetition_signals": _q_repetition,
         "pii_scrub": _q_pii_scrub,
@@ -3922,6 +4020,9 @@ def oracle_sql() -> dict[str, str]:
         "token_pair_stats": _sql_token_pair_stats(),
         "mixture_sample": _sql_mixture(),
         "mixture_temperature": _sql_mixture_temperature(),
+        "mixture_upsample": _sql_mixture_upsample(),
+        "fim_transform": _sql_fim_transform(),
+        "byte_bpe_encode": _sql_byte_bpe_encode(),
         "decontaminate": _sql_decontam(),
         "repetition_signals": _sql_repetition(),
         "pii_scrub": _sql_pii_scrub(),

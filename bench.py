@@ -72,6 +72,9 @@ def main() -> None:
             # lm_perplexity's join path is the oracle twin; the join-free
             # partition-local plan (lm_perplexity_fast, 4.4x) is benched
             "lm_perplexity",
+            # fim_transform's contract path renders tokens as CSV for the
+            # hash gate; the raw array operator is benched below
+            "fim_transform",
         )
     ]
 
@@ -173,6 +176,19 @@ def main() -> None:
     except Exception as e:
         timings["chunk_windows_fast"] = -1.0
         print(f"# bench query chunk_windows_fast failed: {e}", file=sys.stderr)
+
+    # production-path FIM (raw token arrays; the contract twin's CSV render
+    # is the oracle gate, not the operator)
+    t0 = time.time()
+    try:
+        from vector_spark.packing import fim_transform
+
+        corpus = P.load_corpus(spark, sf).select("doc_id", "tokens")
+        _materialize(fim_transform(corpus))
+        timings["fim_transform_fast"] = round(time.time() - t0, 3)
+    except Exception as e:
+        timings["fim_transform_fast"] = -1.0
+        print(f"# bench query fim_transform_fast failed: {e}", file=sys.stderr)
 
     for name in bench_names:
         if name == "pipeline_sink_aggregates":

@@ -80,3 +80,34 @@ def test_train_learns_planted_pair_and_is_deterministic(spark):
 def test_train_min_count_stops_early(spark):
     df = _rows(spark, [("a", [1, 2])])
     assert train_bpe(df, 5, new_id_start=10, min_count=2) == []
+
+
+# ---------------------------------------------------------------------------
+# byte-level tokenize (raw text -> UTF-8 byte ids)
+
+
+def test_byte_tokenize_matches_python_utf8(spark):
+    from vector_spark.bpe import byte_tokenize
+
+    texts = ["hello world", "", "héllo — ünïcode ✓", "tab\tnew\nline", None]
+    df = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], "doc_id string, text string"
+    )
+    got = {r["doc_id"]: list(r["tokens"]) for r in byte_tokenize(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[str(i)] == list((t or "").encode("utf-8"))
+
+
+def test_byte_tokenize_feeds_apply_merges(spark):
+    from vector_spark.bpe import apply_merges, byte_tokenize
+
+    df = spark.createDataFrame(
+        [("a", "tab table tabl")], "doc_id string, text string"
+    )
+    toks = byte_tokenize(df).select("doc_id", "tokens")
+    merges = [(116, 97, 256), (256, 98, 257), (257, 108, 258)]
+    got = list(apply_merges(toks, merges).collect()[0]["tokens"])
+    want = _ref_apply(list("tab table tabl".encode()), merges)
+    assert got == want
+    # 'tab' collapsed to one id, 'tabl' to one id
+    assert 257 in got and 258 in got

@@ -134,3 +134,58 @@ def test_split_summary_matches_duckdb(spark, tmp_path):
     sql = sql_split_summary(f"(SELECT * FROM read_parquet('{p}/*.parquet'))", fr)
     got = {(r[0], r[1]): (r[2], r[3], r[4]) for r in duckdb.sql(sql).fetchall()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# upsampling (repeat factor > 1)
+
+
+def test_upsample_repeat_counts_and_epochs(spark):
+    from vector_spark.mixture import mixture_repeat_rates, mixture_upsample
+
+    rows = [(f"a{i}", "big", 100) for i in range(100)] + [
+        (f"r{i}", "rare", 10) for i in range(10)
+    ]
+    df = _docs(spark, rows)
+    # rare: 50% of 4000 tokens = 2000 wanted / 100 available -> rate 20x
+    rates = mixture_repeat_rates(df, {"big": 0.5, "rare": 0.5}, 4000)
+    assert rates["rare"] == 20_000_000
+    assert rates["big"] == 200_000
+    rep = mixture_upsample(df, {"big": 0.5, "rare": 0.5}, 4000).collect()
+    by_doc: dict[str, list[int]] = {}
+    for r in rep:
+        by_doc.setdefault(r["doc_id"], []).append(int(r["epoch"]))
+    # integer rate: EVERY rare doc appears exactly 20 times, epochs dense
+    for i in range(10):
+        eps = sorted(by_doc[f"r{i}"])
+        assert eps == list(range(20))
+    # fractional rate < 1: big docs appear 0 or 1 times, ~20% of them
+    n_big = sum(1 for d in by_doc if d.startswith("a"))
+    assert all(by_doc[d] == [0] for d in by_doc if d.startswith("a"))
+    assert 5 <= n_big <= 40  # 100 docs at 20% keep (hash-deterministic)
+
+
+def test_upsample_fractional_epoch_is_hash_subset(spark):
+    from vector_spark.hashing import portable_bucket_py
+    from vector_spark.mixture import mixture_upsample
+
+    rows = [(f"d{i}", "s", 10) for i in range(50)]
+    df = _docs(spark, rows)
+    # one source, budget 1.5x available -> rate 1.5: every doc once,
+    # hash-selected half twice
+    rep = mixture_upsample(df, {"s": 1.0}, 750).collect()
+    copies = {}
+    for r in rep:
+        copies[r["doc_id"]] = copies.get(r["doc_id"], 0) + 1
+    for i in range(50):
+        d = f"d{i}"
+        want = 2 if portable_bucket_py(d, 1_000_000) < 500_000 else 1
+        assert copies[d] == want
+
+
+def test_upsample_zero_weight_source_dropped(spark):
+    from vector_spark.mixture import mixture_upsample
+
+    df = _docs(spark, [("x", "keep", 10), ("y", "drop", 10)])
+    got = mixture_upsample(df, {"keep": 1.0}, 1000).collect()
+    assert {r["doc_id"] for r in got} == {"x"}

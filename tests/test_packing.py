@@ -223,3 +223,55 @@ def test_pack_bins_eos_and_empty_doc(spark):
     # a+eos(2) + b->eos(1) fit bin 0; c+eos(2) would overflow -> bin 1
     assert out[0]["tokens"] == [1, 0, 0] and out[0]["n_docs"] == 2
     assert out[1]["tokens"] == [2, 0]
+
+
+# ---------------------------------------------------------------------------
+# fill-in-the-middle transform
+
+
+def test_fim_reconstructs_original(spark):
+    """Every transformed doc must be losslessly decodable back to the
+    original: tokens = prefix + middle + suffix read out of the PSM
+    layout [PRE] prefix [SUF] suffix [MID] middle."""
+    from vector_spark.packing import fim_transform
+
+    rows = [
+        (f"d{i}", list(range(1000 + i * 10, 1000 + i * 10 + 1 + (i % 7))))
+        for i in range(60)
+    ]
+    df = _rows(spark, rows)
+    out = fim_transform(df, rate_ppm=1_000_000, pre=90, suf=91, mid=92).collect()
+    orig = dict(rows)
+    assert all(r["is_fim"] for r in out)
+    for r in out:
+        t = list(r["tokens"])
+        assert r["n_tok"] == len(t) == len(orig[r["doc_id"]]) + 3
+        assert t[0] == 90
+        i_suf, i_mid = t.index(91), t.index(92)
+        prefix, suffix, middle = t[1:i_suf], t[i_suf + 1 : i_mid], t[i_mid + 1 :]
+        assert prefix + middle + suffix == orig[r["doc_id"]]
+
+
+def test_fim_selection_rate_and_passthrough(spark):
+    from vector_spark.packing import fim_transform
+
+    rows = [(f"d{i}", [1, 2, 3, 4, 5]) for i in range(200)]
+    df = _rows(spark, rows)
+    out = fim_transform(df, rate_ppm=500_000).collect()
+    n_fim = sum(1 for r in out if r["is_fim"])
+    assert 60 <= n_fim <= 140  # ~50% hash-selected
+    for r in out:
+        if not r["is_fim"]:
+            assert list(r["tokens"]) == [1, 2, 3, 4, 5] and r["n_tok"] == 5
+
+
+def test_fim_deterministic_and_seed_sensitive(spark):
+    from vector_spark.packing import fim_transform
+
+    rows = [(f"d{i}", list(range(20))) for i in range(50)]
+    df = _rows(spark, rows)
+    a = {r["doc_id"]: list(r["tokens"]) for r in fim_transform(df, seed=1).collect()}
+    b = {r["doc_id"]: list(r["tokens"]) for r in fim_transform(df, seed=1).collect()}
+    c = {r["doc_id"]: list(r["tokens"]) for r in fim_transform(df, seed=2).collect()}
+    assert a == b
+    assert a != c  # different seed -> different cut points/selection

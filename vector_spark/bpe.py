@@ -205,6 +205,36 @@ def _pair_counts_after(
     )
 
 
+def byte_tokenize(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Raw text → UTF-8 byte ids (0..255): the GPT-2-style byte-level
+    entry point that feeds :func:`apply_merges` / :func:`train_bpe`, so
+    the tokenizer story runs end-to-end from a raw ``documents`` table —
+    text → bytes → learned merges → ids — with no Python in the plan.
+
+    Implementation is pure codegen: ``encode(text,'UTF-8') → hex →
+    regexp_extract_all('..') → conv(·,16,10)``.  Every byte becomes one
+    int; empty/NULL text becomes an empty array.  DuckDB twin:
+    :func:`sql_byte_tokenize` (bit-identical on any UTF-8 input — both
+    engines hex the same byte stream)."""
+    hexs = F.hex(F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8"))
+    pairs = F.regexp_extract_all(hexs, F.lit("(..)"), 1)
+    toks = F.transform(pairs, lambda x: F.conv(x, 16, 10).cast("int"))
+    return df.withColumn(out_col, toks)
+
+
+def sql_byte_tokenize(text_expr: str) -> str:
+    """DuckDB rendering of :func:`byte_tokenize` for oracle SQL (an
+    expression yielding ``array<int>`` of UTF-8 bytes)."""
+    return (
+        f"list_transform(regexp_extract_all(hex(encode(COALESCE({text_expr}, ''))), "
+        f"'..'), x -> ('0x' || x)::INT)"
+    )
+
+
 def sql_apply_merges(
     src_sql: str, merges: list[tuple[int, int, int]]
 ) -> str:

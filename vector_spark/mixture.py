@@ -189,6 +189,153 @@ FROM sel GROUP BY {source_col}, rate_ppm
 
 
 # ---------------------------------------------------------------------------
+# mixture UPSAMPLING (repeat factor > 1)
+#
+# mixture_sample caps every rate at 1 — it can only sample DOWN the
+# over-represented sources.  Real pre-training mixtures also sample UP:
+# a rare high-quality source with weight w_s but availability A_s < w_s·B
+# is repeated r_s = (w_s·B)/A_s > 1 times ("epochs" over the source —
+# the LLaMA/PaLM data-mixture recipe; public knowledge).  Deterministic
+# rule: every doc is emitted floor(r_s) times, plus one extra copy iff
+# ``portable_hash64(doc_id) % 1e6 < frac(r_s)·1e6`` — so the fractional
+# epoch is a reproducible hash-selected subset, not a random one.
+#
+# Scale design: same one narrow |sources|-row aggregate as mixture_rates;
+# replication is a shuffle-free ``explode(sequence(...))`` — each copy is
+# tagged with its ``epoch`` index so downstream shuffling/packing can
+# spread repeats apart.  Nothing materializes on the driver at O(docs).
+
+
+def mixture_repeat_rates(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    n_col: str = "n_tok",
+) -> dict[str, int]:
+    """Per-source UNCAPPED rate in ppm: floor(((w_s·B)/A_s)·1e6).  Values
+    above 1e6 mean the source is repeated (upsampled)."""
+    wn = normalized_weights(weights)
+    avail = {
+        r[source_col]: int(r["_a"])
+        for r in df.groupBy(source_col).agg(F.sum(n_col).alias("_a")).collect()
+    }
+    rates = {}
+    for s, a in avail.items():
+        w = wn.get(s, 0.0)
+        r = (w * token_budget) / a if a > 0 else 0.0
+        rates[s] = int(math.floor(r * _PPM))
+    return rates
+
+
+def mixture_upsample(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n_col: str = "n_tok",
+) -> DataFrame:
+    """Rows of ``df`` replicated to the target mixture: each doc appears
+    ``n_copies = floor(rate) + (hash-bucket < frac(rate))`` times with an
+    ``epoch`` column in [0, n_copies).  rate<1 degenerates to
+    mixture_sample's keep/drop; rate>1 upsamples.  Shuffle-free."""
+    rates = mixture_repeat_rates(df, weights, token_budget, source_col, n_col)
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in sorted(rates.items()) for x in kv]
+    )
+    bucket = portable_hash64(F.col(id_col)) % _PPM
+    rate = F.coalesce(rate_map[F.col(source_col)], F.lit(0))
+    n_full = (rate / _PPM).cast("long")
+    extra = (bucket < rate % _PPM).cast("long")
+    n_copies = n_full + extra
+    out = df.withColumn("rate_ppm", rate).withColumn(
+        "epoch",
+        F.explode(
+            F.when(
+                n_copies > 0, F.sequence(F.lit(0).cast("long"), n_copies - 1)
+            ).otherwise(F.array().cast("array<long>"))
+        ),
+    )
+    return out
+
+
+def upsample_summary(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n_col: str = "n_tok",
+) -> DataFrame:
+    """Per-source audit of the replicated stream: emitted rows / tokens /
+    distinct docs, the applied rate, and a checksum over (doc, epoch)
+    pairs — ``sum(bucket · (epoch+1))`` pins exactly WHICH copies exist,
+    not just how many."""
+    rep = mixture_upsample(df, weights, token_budget, id_col, source_col, n_col)
+    bucket = portable_hash64(F.col(id_col)) % _PPM
+    return (
+        rep.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(id_col).alias("n_docs"),
+            F.sum(n_col).cast("long").alias("n_tokens"),
+            F.first("rate_ppm").alias("rate_ppm"),
+            F.sum(bucket * (F.col("epoch") + 1)).cast("long").alias("rep_sum"),
+        )
+        .select(
+            source_col, "n_rows", "n_docs", "n_tokens", "rate_ppm", "rep_sum"
+        )
+    )
+
+
+def sql_upsample_summary(
+    src_sql: str,
+    weights: dict[str, float],
+    token_budget: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n_col: str = "n_tok",
+) -> str:
+    """DuckDB oracle for :func:`upsample_summary` — availability, uncapped
+    rates, per-doc copy counts, and the epoch expansion all re-derived in
+    SQL (``unnest(range(n_copies))``)."""
+    wn = normalized_weights(weights)
+    wrows = ", ".join(
+        f"('{s}', CAST({w!r} AS DOUBLE))" for s, w in sorted(wn.items())
+    )
+    bucket = f"({portable_hash64_sql(id_col)} % {_PPM})"
+    return f"""
+WITH src AS (
+  SELECT * FROM {src_sql}
+), w(src_key, wt) AS (
+  VALUES {wrows}
+), avail AS (
+  SELECT {source_col} AS src_key, CAST(SUM({n_col}) AS BIGINT) AS a
+  FROM src GROUP BY {source_col}
+), rates AS (
+  SELECT a.src_key,
+         CAST(FLOOR(((COALESCE(w.wt, 0.0) * {token_budget}) / CAST(a.a AS DOUBLE)) * {_PPM}) AS BIGINT) AS rate_ppm
+  FROM avail a LEFT JOIN w ON a.src_key = w.src_key
+), copies AS (
+  SELECT s.*, r.rate_ppm, {bucket} AS b,
+         (r.rate_ppm // {_PPM})
+           + CASE WHEN {bucket} < (r.rate_ppm % {_PPM}) THEN 1 ELSE 0 END AS n_copies
+  FROM src s JOIN rates r ON s.{source_col} = r.src_key
+), rep AS (
+  SELECT *, unnest(range(n_copies)) AS epoch FROM copies
+)
+SELECT {source_col},
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT {id_col}) AS BIGINT) AS n_docs,
+       CAST(SUM({n_col}) AS BIGINT) AS n_tokens,
+       rate_ppm,
+       CAST(SUM(b * (epoch + 1)) AS BIGINT) AS rep_sum
+FROM rep GROUP BY {source_col}, rate_ppm
+"""
+
+
+# ---------------------------------------------------------------------------
 # deterministic train/val/test splitting
 
 

@@ -394,6 +394,115 @@ FROM kept
 """
 
 
+def fim_transform(
+    df: DataFrame,
+    rate_ppm: int = 500_000,
+    pre: int = 50281,
+    suf: int = 50282,
+    mid: int = 50283,
+    id_col: str = "doc_id",
+    tok_col: str = "tokens",
+    seed: int = 42,
+) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022, public): a
+    deterministic hash-selected ``rate_ppm``/1e6 fraction of docs is
+    rewritten in PSM order — two cut points 0<=a<=b<=n split the tokens
+    into prefix/middle/suffix and the doc becomes
+    ``[PRE] prefix [SUF] suffix [MID] middle`` (the model learns to
+    generate the middle after seeing both context sides); the rest pass
+    through unchanged.  Selection AND cut points derive from the pinned
+    portable hash of (doc_id, seed), so the exact transformed set and the
+    exact splits are reproducible in any engine — no RNG state to carry.
+
+    Returns (id_col, is_fim, tokens, n_tok).  Scale design: pure per-row
+    codegen (hash → pmod → slice/concat), zero shuffle, zero Python —
+    embarrassingly parallel at any corpus size.
+    """
+    from vector_spark.hashing import portable_bucket, portable_hash64
+
+    toks = F.col(tok_col)
+    n = F.size(toks)
+    sel_key = F.concat(F.col(id_col).cast("string"), F.lit(f"#fim#{seed}"))
+    is_fim = portable_bucket(sel_key, _FIM_PPM) < F.lit(int(rate_ppm))
+    cut_a = F.pmod(
+        portable_hash64(
+            F.concat(F.col(id_col).cast("string"), F.lit(f"#fima#{seed}"))
+        ),
+        n + 1,
+    )
+    cut_b = F.pmod(
+        portable_hash64(
+            F.concat(F.col(id_col).cast("string"), F.lit(f"#fimb#{seed}"))
+        ),
+        n + 1,
+    )
+    a = F.least(cut_a, cut_b).cast("int")
+    b = F.greatest(cut_a, cut_b).cast("int")
+    lit_arr = lambda v: F.array(F.lit(int(v)).cast("int"))  # noqa: E731
+    psm = F.concat(
+        lit_arr(pre),
+        F.slice(toks, 1, a),
+        lit_arr(suf),
+        F.slice(toks, b + 1, n - b),
+        lit_arr(mid),
+        F.slice(toks, a + 1, b - a),
+    )
+    out_toks = F.when(is_fim, psm).otherwise(toks)
+    return df.select(
+        id_col,
+        is_fim.alias("is_fim"),
+        out_toks.alias(tok_col),
+        F.size(out_toks).cast("long").alias("n_tok"),
+    )
+
+
+_FIM_PPM = 1_000_000
+
+
+def sql_fim_transform(
+    src_sql: str,
+    rate_ppm: int = 500_000,
+    pre: int = 50281,
+    suf: int = 50282,
+    mid: int = 50283,
+    seed: int = 42,
+) -> str:
+    """DuckDB oracle for :func:`fim_transform` — same hash-derived
+    selection and cut points, list_slice/|| assembly, tokens as CSV."""
+    from vector_spark.hashing import portable_bucket_sql, portable_hash64_sql
+
+    sel = portable_bucket_sql(f"doc_id || '#fim#{seed}'", _FIM_PPM)
+    ha = portable_hash64_sql(f"doc_id || '#fima#{seed}'")
+    hb = portable_hash64_sql(f"doc_id || '#fimb#{seed}'")
+    return f"""
+WITH src AS (
+  SELECT doc_id, tokens AS t, len(tokens) AS n FROM {src_sql}
+), cuts AS (
+  SELECT doc_id, t, n,
+         ({sel}) < {int(rate_ppm)} AS is_fim,
+         (({ha}) % (n + 1)) AS h1,
+         (({hb}) % (n + 1)) AS h2
+  FROM src
+), ab AS (
+  SELECT doc_id, t, n, is_fim,
+         LEAST(h1, h2) AS a, GREATEST(h1, h2) AS b
+  FROM cuts
+), built AS (
+  SELECT doc_id, is_fim,
+         CASE WHEN is_fim THEN
+           [{int(pre)}] || list_slice(t, 1, a)
+           || [{int(suf)}] || list_slice(t, b + 1, n)
+           || [{int(mid)}] || list_slice(t, a + 1, b)
+         ELSE t END AS o
+  FROM ab
+)
+SELECT doc_id, is_fim,
+       array_to_string(o, ',') AS tokens_csv,
+       CAST(len(o) AS BIGINT) AS n_tok
+FROM built
+"""
+
+
 def sql_pack_sequences(src_sql: str, seq_len: int, eos: int | None = None) -> str:
     """DuckDB oracle: same packing via token-level unnest + window row
     numbering (fixture-scale reference semantics; the Spark path above is
