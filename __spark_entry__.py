@@ -3046,6 +3046,44 @@ def _sql_byte_bpe_encode() -> str:
     return sql_apply_merges(src, _BYTE_BPE_MERGES)
 
 
+# byte-level detokenize roundtrip: text → bytes → merges → ids →
+# (expand merge ids) → bytes → text must reproduce the original byte-for-
+# byte; the oracle independently replays the merge chain for n_merged and
+# pins text_rt to the source text, so any tokenize/merge/expand defect
+# surfaces as a text or count mismatch.
+
+
+def _q_byte_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.bpe import apply_merges, byte_detokenize, byte_tokenize
+
+    src = byte_tokenize(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
+    ).select("doc_id", "tokens")
+    merged = apply_merges(src, _BYTE_BPE_MERGES)
+    out = byte_detokenize(merged, merges=_BYTE_BPE_MERGES, out_col="text_rt")
+    return out.select(
+        "doc_id", "text_rt", F.col("n_tok").cast("long").alias("n_merged")
+    )
+
+
+def _sql_byte_roundtrip() -> str:
+    from vector_spark.bpe import sql_apply_merges, sql_byte_tokenize
+
+    src = (
+        f"(SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+        f"{sql_byte_tokenize('text')} AS tokens FROM documents)"
+    )
+    merged = sql_apply_merges(src, _BYTE_BPE_MERGES)
+    return f"""
+WITH m AS ({merged})
+SELECT m.doc_id, d.text AS text_rt, m.n_tok AS n_merged
+FROM m JOIN (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents) d
+  USING (doc_id)
+"""
+
+
 # deterministic stratified train/val/test split (mixture.stratified_split):
 # shuffle-free hash-threshold assignment; per-(source, split) audit with a
 # selected-set checksum is the contract surface
@@ -3913,6 +3951,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_upsample": _q_mixture_upsample,
         "fim_transform": _q_fim_transform,
         "byte_bpe_encode": _q_byte_bpe_encode,
+        "byte_roundtrip": _q_byte_roundtrip,
         "decontaminate": _q_decontam,
         "repetition_signals": _q_repetition,
         "pii_scrub": _q_pii_scrub,
@@ -4023,6 +4062,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_upsample": _sql_mixture_upsample(),
         "fim_transform": _sql_fim_transform(),
         "byte_bpe_encode": _sql_byte_bpe_encode(),
+        "byte_roundtrip": _sql_byte_roundtrip(),
         "decontaminate": _sql_decontam(),
         "repetition_signals": _sql_repetition(),
         "pii_scrub": _sql_pii_scrub(),

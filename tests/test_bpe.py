@@ -111,3 +111,32 @@ def test_byte_tokenize_feeds_apply_merges(spark):
     assert got == want
     # 'tab' collapsed to one id, 'tabl' to one id
     assert 257 in got and 258 in got
+
+
+def test_byte_detokenize_roundtrip_unicode(spark):
+    from vector_spark.bpe import byte_detokenize, byte_tokenize
+
+    texts = ["hello", "héllo — ünïcode ✓", "", "tab\tnew\nline"]
+    df = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], "doc_id string, text string"
+    )
+    out = byte_detokenize(
+        byte_tokenize(df).select("doc_id", "tokens"), out_col="rt"
+    ).collect()
+    got = {r["doc_id"]: r["rt"] for r in out}
+    for i, t in enumerate(texts):
+        assert got[str(i)] == t
+
+
+def test_byte_detokenize_expands_merges(spark):
+    from vector_spark.bpe import apply_merges, byte_detokenize, byte_tokenize, expand_merges
+
+    merges = [(116, 97, 256), (256, 98, 257), (257, 108, 258)]
+    assert expand_merges(merges)[258] == [116, 97, 98, 108]
+    df = spark.createDataFrame(
+        [("a", "tabl tab ta t")], "doc_id string, text string"
+    )
+    toks = apply_merges(byte_tokenize(df).select("doc_id", "tokens"), merges)
+    assert 258 in list(toks.collect()[0]["tokens"])  # merge actually fired
+    rt = byte_detokenize(toks, merges=merges, out_col="rt").collect()[0]["rt"]
+    assert rt == "tabl tab ta t"

@@ -235,6 +235,54 @@ def sql_byte_tokenize(text_expr: str) -> str:
     )
 
 
+def expand_merges(merges: list[tuple[int, int, int]]) -> dict[int, list[int]]:
+    """Driver-side expansion of a priority-ordered merge list into
+    id → byte-sequence (merges may reference earlier merge outputs; the
+    priority order guarantees the referenced id is already defined)."""
+    exp: dict[int, list[int]] = {}
+
+    def bytes_of(t: int) -> list[int]:
+        if t < 256:
+            return [t]
+        if t in exp:
+            return exp[t]
+        raise ValueError(f"merge references undefined id {t}")
+
+    for a, b, c in merges:
+        exp[int(c)] = bytes_of(int(a)) + bytes_of(int(b))
+    return exp
+
+
+def byte_detokenize(
+    df: DataFrame,
+    merges: list[tuple[int, int, int]] | None = None,
+    tok_col: str = "tokens",
+    out_col: str = "text",
+) -> DataFrame:
+    """ids → text: the exact inverse of :func:`byte_tokenize` composed
+    with :func:`apply_merges`.  Merge ids expand to their byte sequences
+    through a driver-built literal map (the merge vocabulary is tiny);
+    bytes reassemble via ``id → 2-hex-chars → array_join → unhex →
+    decode('UTF-8')`` — all codegen, zero shuffle, zero Python.  The op
+    every training-data pipeline needs to render packed token streams
+    back to inspectable text."""
+    base = lambda x: F.lpad(F.conv(x.cast("string"), 10, 16), 2, "0")  # noqa: E731
+    if merges:
+        exp = expand_merges(merges)
+        hex_map = F.create_map(
+            *[
+                F.lit(v)
+                for t, bs in sorted(exp.items())
+                for v in (t, "".join(f"{b:02x}" for b in bs))
+            ]
+        )
+        to_hex = lambda x: F.coalesce(hex_map[x], base(x))  # noqa: E731
+    else:
+        to_hex = base
+    hexs = F.array_join(F.transform(F.col(tok_col), to_hex), "")
+    return df.withColumn(out_col, F.decode(F.unhex(hexs), "UTF-8"))
+
+
 def sql_apply_merges(
     src_sql: str, merges: list[tuple[int, int, int]]
 ) -> str:
