@@ -293,16 +293,24 @@ def token_pair_stats_approx(
 
         def merge(st_keys, st_cnts, err):
             raw = buf[0] if len(buf) == 1 else np.concatenate(buf)
-            allk = np.concatenate([st_keys, raw])
-            allc = np.concatenate(
-                [st_cnts, np.ones(len(raw), dtype=np.int64)]
-            )
-            enc = pc.dictionary_encode(pa.array(allk))
-            idx = enc.indices.to_numpy().astype(np.int64)
-            uk = enc.dictionary.to_numpy(zero_copy_only=False)
-            cnts = np.bincount(idx, weights=allc, minlength=len(uk)).astype(
-                np.int64
-            )
+            # ONE fused hash pass over the raw keys (pc.value_counts beats
+            # dictionary_encode + bincount ~20% here, and the old weighted
+            # bincount was a ~25x slower float64 scalar loop at 15M bins);
+            # the <=k state counters then merge via binary search against
+            # the grouped keys — O(n log k), no second hash pass
+            vc = pc.value_counts(pa.array(raw))
+            uk = vc.field("values").to_numpy(zero_copy_only=False)
+            cnts = vc.field("counts").to_numpy(zero_copy_only=False).copy()
+            if len(st_keys):
+                order = np.argsort(st_keys, kind="stable")  # <=k: tiny sort
+                sk, sc = st_keys[order], st_cnts[order]
+                pos = np.clip(np.searchsorted(sk, uk), 0, len(sk) - 1)
+                hit = sk[pos] == uk
+                cnts[hit] += sc[pos[hit]]
+                carried = np.zeros(len(sk), dtype=bool)
+                carried[pos[hit]] = True
+                uk = np.concatenate([uk, sk[~carried]])
+                cnts = np.concatenate([cnts, sc[~carried]])
             if len(uk) > k_sketch:
                 # subtract the (k+1)-th largest from everyone, keep > 0:
                 # at most k counters survive; O(n) selection, no sort
