@@ -3802,6 +3802,25 @@ def _sql_lm_perplexity() -> str:
     return sql_lm_score(f"(SELECT doc_id, tokens FROM read_parquet('{path}'))")
 
 
+def _q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail: per-source equal-population perplexity
+    buckets over the fast (join-free) LM scorer; all-integer rank
+    arithmetic so the exact per-doc bucket replays in DuckDB."""
+    from vector_spark.lm import perplexity_buckets
+
+    src = _corpus(spark, sf_dir).select("doc_id", "tokens", "source")
+    return perplexity_buckets(src, fast=True)
+
+
+def _sql_ppl_buckets() -> str:
+    from vector_spark.lm import sql_perplexity_buckets
+
+    path = _corpus_sql_path()
+    return sql_perplexity_buckets(
+        f"(SELECT doc_id, tokens, source FROM read_parquet('{path}'))"
+    )
+
+
 _SHARDS = 8
 
 
@@ -3952,6 +3971,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_transform": _q_fim_transform,
         "byte_bpe_encode": _q_byte_bpe_encode,
         "byte_roundtrip": _q_byte_roundtrip,
+        "ppl_buckets": _q_ppl_buckets,
         "decontaminate": _q_decontam,
         "repetition_signals": _q_repetition,
         "pii_scrub": _q_pii_scrub,
@@ -4063,6 +4083,7 @@ def oracle_sql() -> dict[str, str]:
         "fim_transform": _sql_fim_transform(),
         "byte_bpe_encode": _sql_byte_bpe_encode(),
         "byte_roundtrip": _sql_byte_roundtrip(),
+        "ppl_buckets": _sql_ppl_buckets(),
         "decontaminate": _sql_decontam(),
         "repetition_signals": _sql_repetition(),
         "pii_scrub": _sql_pii_scrub(),

@@ -151,3 +151,38 @@ def test_lm_score_fast_packed_and_fallback_agree(spark):
         .collect()
     }
     assert packed == twocol and len(packed) > 0
+
+
+def test_perplexity_buckets_balanced_and_ordered(spark):
+    from vector_spark.lm import perplexity_buckets
+
+    # two sources; within 'a', docs repeating one bigram score as more
+    # fluent (lower nll) than docs of unique bigrams
+    rows = (
+        [(f"a{i}", [1, 2] * 6, "a") for i in range(6)]
+        + [(f"u{i}", list(range(10 + i * 12, 22 + i * 12)), "a") for i in range(6)]
+        + [(f"b{i}", [5, 6] * 4, "b") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, source string")
+    out = perplexity_buckets(df, n_buckets=3).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # equal-population buckets per source (12 docs -> 4/4/4; 4 -> 2/1/1)
+    a_counts = [0, 0, 0]
+    for r in by_src["a"]:
+        a_counts[int(r["bucket"])] += 1
+    assert a_counts == [4, 4, 4]
+    # the repeated-bigram (fluent) docs all rank ahead of the unique ones
+    for r in by_src["a"]:
+        if r["doc_id"].startswith("a"):
+            assert r["bucket"] == 0 or (
+                r["bucket"] == 1 and a_counts[0] == 4
+            )
+    fluent_buckets = {r["bucket"] for r in by_src["a"] if r["doc_id"].startswith("a")}
+    unique_buckets = {r["bucket"] for r in by_src["a"] if r["doc_id"].startswith("u")}
+    assert max(fluent_buckets) <= min(unique_buckets)
+    # fast path produces identical buckets
+    fast = {(r["doc_id"], r["bucket"]) for r in perplexity_buckets(df, n_buckets=3, fast=True).collect()}
+    slow = {(r["doc_id"], r["bucket"]) for r in out}
+    assert fast == slow

@@ -374,3 +374,66 @@ SELECT {id_col}, n_bigrams, nll_sum,
        FLOOR(nll_sum / CAST(n_bigrams AS DOUBLE))::BIGINT AS nll_avg
 FROM scored
 """
+
+
+def perplexity_buckets(
+    corpus: DataFrame,
+    n_buckets: int = 3,
+    model: DataFrame | None = None,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    source_col: str = "source",
+    fast: bool = False,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, public):
+    rank each source's docs by LM fluency (``nll_avg`` asc — most
+    corpus-typical first) and assign equal-population buckets — the
+    classic head/middle/tail split at ``n_buckets=3`` used to stage
+    pre-training corpora by quality.  Bucket assignment is all-integer
+    (``(rank-1)·n_buckets // count``, doc_id tiebreak), so the exact
+    per-doc bucket replays in any engine.
+
+    Scale: one exchange on ``source_col`` for the rank window (the
+    quality_percentile idiom); CCNet itself derives cutoffs from a
+    sample — at 10^12 docs compute the two nll_avg cut points on a
+    hash-sample and broadcast them as literal thresholds instead of
+    ranking every doc.  Docs with < 2 tokens carry no fluency evidence
+    and are omitted (lm_score contract)."""
+    from pyspark.sql.window import Window
+
+    scores = lm_score(
+        corpus.select(id_col, tokens_col), model=model, fast=fast
+    )
+    j = scores.join(corpus.select(id_col, source_col), id_col)
+    w = Window.partitionBy(source_col).orderBy(F.asc("nll_avg"), F.asc(id_col))
+    rn = F.row_number().over(w)
+    cnt = F.count(F.lit(1)).over(Window.partitionBy(source_col))
+    # (rank-1)*n / cnt: products stay < 2^53, float floor is exact
+    bucket = F.floor(((rn - 1) * int(n_buckets)) / cnt).cast("long")
+    return j.select(
+        id_col, source_col, "nll_avg", bucket.alias("bucket")
+    )
+
+
+def sql_perplexity_buckets(
+    src_sql: str, n_buckets: int = 3, id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of self-trained :func:`perplexity_buckets`;
+    ``src_sql`` must yield (id_col, tokens, source)."""
+    lm = sql_lm_score(f"(SELECT {id_col}, tokens FROM {src_sql})", id_col)
+    return f"""
+WITH lmscore AS ({lm}),
+joined AS (
+  SELECT l.{id_col}, s.source, l.nll_avg
+  FROM lmscore l JOIN (SELECT {id_col}, source FROM {src_sql}) s USING ({id_col})
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY nll_avg, {id_col}) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS cnt
+  FROM joined
+)
+SELECT {id_col}, source, nll_avg,
+       FLOOR(((rn - 1) * {int(n_buckets)}) / CAST(cnt AS DOUBLE))::BIGINT AS bucket
+FROM ranked
+"""
