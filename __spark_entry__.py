@@ -1721,6 +1721,66 @@ def _sql_lang_id_script() -> str:
     )
 
 
+# The synthetic documents text is the same English-ish word salad for
+# every `lang` label, so a trained model would collapse to the majority
+# class.  Give each doc a real per-language phrase suffix (same CASE on
+# both engines) so the char-trigram model has signal to learn — and the
+# argmax genuinely splits across classes.
+_LID_PHRASES = [
+    ("en", "the quick brown fox jumps over the lazy dog with their friends"),
+    ("de", "der schnelle braune fuchs springt über den faulen hund im wald"),
+    ("fr", "le renard brun rapide saute par dessus le chien paresseux"),
+    ("es", "el rápido zorro marrón salta sobre el perro perezoso del campo"),
+    ("zh", "敏捷的棕色狐狸跳过了那只懒惰的狗在公园里"),
+]
+
+
+def _q_lang_id_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based multiclass language ID (vector_spark/classifier.py):
+    train the fastText-shaped char-trigram one-vs-rest log-odds model on a
+    labeled half of the corpus (doc_id%2==0, `lang` column as the label),
+    then score EVERY doc with the broadcast-join argmax scorer.  Both the
+    training counts and the integer-micro-nat scores are hash-gated — the
+    oracle replays train -> score -> argmax end-to-end.  Returned
+    `lang` column is the true label so the gate also pins accuracy."""
+    from vector_spark import classifier as C
+
+    phrase = F.lit(None).cast("string")
+    for lg, p in _LID_PHRASES:
+        phrase = F.when(F.col("lang") == lg, F.lit(p)).otherwise(phrase)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(" ", F.col("text"), phrase).alias("text"),
+        "lang",
+    )
+    labeled = docs.filter(F.col("doc_id") % 2 == 0)
+    model = C.train_lid_model(labeled, label_col="lang")
+    return C.lang_id_model(docs.select("doc_id", "text"), model).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+
+
+def _sql_lang_id_model() -> str:
+    from vector_spark import classifier as C
+
+    branches = " ".join(
+        f"WHEN lang = '{lg}' THEN '{p}'" for lg, p in _LID_PHRASES
+    )
+    docs = (
+        f"(SELECT doc_id, text || ' ' || CASE {branches} END AS text, lang "
+        "FROM documents)"
+    )
+    labeled = f"SELECT doc_id, text, lang FROM {docs} AS l WHERE doc_id % 2 = 0"
+    model = C.sql_train_lid_model(labeled, label_col="lang")
+    scored = C.sql_lang_id_model(
+        f"SELECT doc_id, text FROM {docs} AS c", model
+    )
+    return (
+        f"SELECT s.doc_id, s.lang_pred, s.score_micro, s.n_hits, d.lang "
+        f"FROM ({scored}) s JOIN {docs} d ON s.doc_id = d.doc_id"
+    )
+
+
 def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-time near-dedup: docs with doc_id%5==0 play the NEW batch,
     the rest the EXISTING corpus; emit each new doc that LSH-collides with
@@ -3977,6 +4037,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "dup_spans": _q_dup_spans,
         "lang_id_script": _q_lang_id_script,
+        "lang_id_model": _q_lang_id_model,
         "quality_classifier": _q_quality_classifier,
         "incremental_dedup": _q_incremental_dedup,
         "strip_dup_spans": _q_strip_dup_spans,
@@ -4089,6 +4150,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _sql_pii_scrub(),
         "dup_spans": _sql_dup_spans(),
         "lang_id_script": _sql_lang_id_script(),
+        "lang_id_model": _sql_lang_id_model(),
         "quality_classifier": _sql_quality_classifier(),
         "incremental_dedup": _sql_incremental_dedup(),
         "strip_dup_spans": _sql_strip_dup_spans(),

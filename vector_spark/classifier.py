@@ -171,3 +171,248 @@ SELECT c.{id_col},
 FROM (SELECT {id_col} FROM corpus) c
 LEFT JOIN per_doc p USING ({id_col})
 """
+
+
+# ---------------------------------------------------------------------------
+# Multiclass model-based language ID (fastText LID shape)
+#
+# Closes the "model-based LID" fidelity gap: VRL's parse_user_agent got a
+# real pattern-table rebuild in round 3, but language identification was
+# still the stopword/script heuristic (textstats.lang_id / lang_id_script).
+# fastText's lid.176 model (Joulin et al. 2016, public) is a LINEAR model
+# over hashed character n-grams with a per-class argmax — exactly the
+# binary classifier above generalized to K classes, so it reuses the same
+# scale design: the model is a broadcast (feature_hash, lang, weight)
+# table, scoring is explode -> broadcast hash join -> per-(doc,class)
+# integer sum -> argmax.  No UDF anywhere; the exchange carries
+# O(docs x classes) rows, never O(chars).
+#
+# Determinism: weights are one-vs-rest document-frequency log-odds
+# quantized to integer micro-nats (floor(ln(.)*1e6), the lm.py precedent),
+# so per-doc class scores are integer sums — order-independent and
+# bit-identical between Spark and the DuckDB oracle; the argmax tiebreak
+# is explicit (score DESC, lang ASC).
+
+
+def char_ngram_stream(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, _g) — one row per character n-gram OCCURRENCE of the lowercased
+    text (fastText's feature stream).  Pure codegen: explode a position
+    sequence and substr — no HOF lambda, no UDF.  Docs shorter than ``n``
+    contribute no rows (filtered before the sequence so `sequence(1, 0)`
+    never produces its descending [1, 0] surprise)."""
+    t = F.lower(F.col(text_col))
+    return (
+        df.filter(F.length(t) >= n)
+        .select(
+            id_col,
+            t.alias("_t"),
+            F.explode(F.sequence(F.lit(1), F.length(t) - (n - 1))).alias("_i"),
+        )
+        .select(id_col, F.col("_t").substr(F.col("_i"), F.lit(n)).alias("_g"))
+    )
+
+
+def train_lid_model(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """(feature_hash, lang, w_micro) — per-class one-vs-rest multinomial
+    naive-Bayes RATE log-odds of each char n-gram's occurrence count,
+    integer-quantized:
+
+        p_c    = (occ_fc + 1) / (tot_c + V)          # rate of f inside c
+        p_rest = (occ_f - occ_fc + 1) / (tot - tot_c + V)
+        w_micro = floor( ln(p_c / p_rest) * 1e6 )
+
+    where occ_fc = occurrences of gram f in class-c docs, tot_c = total
+    gram occurrences in class c, V = distinct grams (the add-one
+    smoothing denominator).  RATES, not raw document counts, so a gram
+    shared proportionally by every class weighs ~0 regardless of class
+    imbalance — the majority class gets no free win on common grams, and
+    the discriminative grams carry the argmax (the textbook multinomial
+    NB construction fastText's linear LID approximates).  Grams with
+    fewer than ``min_df`` total occurrences are dropped (fastText
+    minCount).  The model is small by construction (hashed n-gram
+    vocabulary x K classes) and ships as data, like a fastText export."""
+    grams = char_ngram_stream(labeled, text_col, id_col, n).join(
+        labeled.select(id_col, F.col(label_col).alias("_y")), id_col
+    )
+    per_class = grams.groupBy("_g", "_y").agg(
+        F.count(F.lit(1)).cast("long").alias("_occ")
+    )
+    per_gram = per_class.groupBy("_g").agg(
+        F.sum("_occ").cast("long").alias("_occf")
+    )
+    per_cls_tot = per_class.groupBy("_y").agg(
+        F.sum("_occ").cast("long").alias("_totc")
+    )
+    glob = per_class.agg(
+        F.sum("_occ").cast("long").alias("_tot"),
+        F.count_distinct("_g").cast("long").alias("_v"),
+    )
+    p_c = (F.col("_occ") + 1).cast("double") / (
+        F.col("_totc") + F.col("_v")
+    ).cast("double")
+    p_rest = (F.col("_occf") - F.col("_occ") + 1).cast("double") / (
+        F.col("_tot") - F.col("_totc") + F.col("_v")
+    ).cast("double")
+    w = F.floor(F.log(p_c / p_rest) * F.lit(1e6)).cast("long")
+    return (
+        per_class.join(per_gram, "_g")
+        .join(F.broadcast(per_cls_tot), "_y")
+        .crossJoin(F.broadcast(glob))
+        .filter(F.col("_occf") >= min_df)
+        .select(
+            portable_hash64(F.col("_g")).alias("feature_hash"),
+            F.col("_y").alias("lang"),
+            w.alias("w_micro"),
+        )
+    )
+
+
+def lang_id_model(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """One row per doc: (id, lang_pred, score_micro, n_hits).
+
+    score(doc, c) = sum of w_micro over every n-gram OCCURRENCE matched in
+    class c's weight rows (absent features contribute 0, the binary
+    scorer's convention); every model class is scored for every doc (a
+    broadcast doc x classes frame, so a class with no matched feature
+    competes at 0 rather than silently dropping out).  lang_pred is the
+    argmax with the explicit (score DESC, lang ASC) tiebreak; docs with no
+    matched feature in ANY class predict 'und'."""
+    feats = char_ngram_stream(df, text_col, id_col, n).select(
+        id_col, portable_hash64(F.col("_g")).alias("feature_hash")
+    )
+    hits = feats.join(F.broadcast(model), "feature_hash").groupBy(id_col, "lang").agg(
+        F.sum("w_micro").cast("long").alias("_s"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    langs = model.select("lang").distinct()
+    scored = (
+        df.select(id_col)
+        .crossJoin(F.broadcast(langs))
+        .join(hits, [id_col, "lang"], "left")
+        .select(
+            id_col,
+            "lang",
+            F.coalesce(F.col("_s"), F.lit(0)).cast("long").alias("score_micro"),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(id_col).orderBy(
+        F.col("score_micro").desc(), F.col("lang").asc()
+    )
+    tot = Window.partitionBy(id_col)
+    return (
+        scored.withColumn("_rn", F.row_number().over(win))
+        .withColumn("_tot", F.sum("n_hits").over(tot))
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col,
+            F.when(F.col("_tot") > 0, F.col("lang"))
+            .otherwise(F.lit("und"))
+            .alias("lang_pred"),
+            "score_micro",
+            "n_hits",
+        )
+    )
+
+
+def sql_char_ngram_stream(
+    source_sql: str, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> str:
+    """DuckDB twin of :func:`char_ngram_stream` (occurrence stream)."""
+    t = f"lower({text_col})"
+    return f"""
+SELECT {id_col}, substr(_t, _i, {n}) AS _g
+FROM (
+  SELECT {id_col}, {t} AS _t,
+         unnest(range(1, length({t}) - {n - 1} + 1)) AS _i
+  FROM ({source_sql}) WHERE length({t}) >= {n}
+)
+"""
+
+
+def sql_train_lid_model(
+    labeled_sql: str,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_df: int = 2,
+) -> str:
+    h = portable_hash64_sql("_g")
+    grams = sql_char_ngram_stream(
+        f"SELECT {id_col}, {text_col} FROM ({labeled_sql})", text_col, id_col, n
+    )
+    return f"""
+SELECT {h} AS feature_hash, _y AS lang,
+       CAST(FLOOR(LN(
+         (CAST(_occ + 1 AS DOUBLE) / CAST(_totc + _v AS DOUBLE))
+         / (CAST(_occf - _occ + 1 AS DOUBLE) / CAST(_tot - _totc + _v AS DOUBLE))
+       ) * 1e6) AS BIGINT) AS w_micro
+FROM (
+  SELECT _g, _y, COUNT(*)::BIGINT AS _occ,
+         SUM(COUNT(*)) OVER (PARTITION BY _g)::BIGINT AS _occf,
+         SUM(COUNT(*)) OVER (PARTITION BY _y)::BIGINT AS _totc,
+         SUM(COUNT(*)) OVER ()::BIGINT AS _tot,
+         COUNT(DISTINCT _g) OVER ()::BIGINT AS _v
+  FROM (
+    SELECT g.{id_col}, l.{label_col} AS _y, g._g
+    FROM ({grams}) g JOIN ({labeled_sql}) l USING ({id_col})
+  ) GROUP BY _g, _y
+) WHERE _occf >= {min_df}
+"""
+
+
+def sql_lang_id_model(
+    corpus_sql: str,
+    model_sql: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> str:
+    h = portable_hash64_sql("_g")
+    grams = sql_char_ngram_stream("SELECT * FROM corpus", text_col, id_col, n)
+    return f"""
+WITH corpus AS ({corpus_sql}),
+model AS ({model_sql}),
+feats AS (SELECT {id_col}, {h} AS feature_hash FROM ({grams})),
+hits AS (
+  SELECT f.{id_col}, m.lang,
+         SUM(m.w_micro)::BIGINT AS _s, COUNT(*)::BIGINT AS _n
+  FROM feats f JOIN model m USING (feature_hash)
+  GROUP BY f.{id_col}, m.lang
+),
+scored AS (
+  SELECT c.{id_col}, l.lang,
+         COALESCE(h._s, 0)::BIGINT AS score_micro,
+         COALESCE(h._n, 0)::BIGINT AS n_hits
+  FROM (SELECT {id_col} FROM corpus) c
+  CROSS JOIN (SELECT DISTINCT lang FROM model) l
+  LEFT JOIN hits h ON h.{id_col} = c.{id_col} AND h.lang = l.lang
+)
+SELECT {id_col},
+       CASE WHEN _tot > 0 THEN lang ELSE 'und' END AS lang_pred,
+       score_micro, n_hits
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY {id_col} ORDER BY score_micro DESC, lang ASC) AS _rn,
+         SUM(n_hits) OVER (PARTITION BY {id_col}) AS _tot
+  FROM scored
+) WHERE _rn = 1
+"""
