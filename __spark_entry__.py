@@ -1781,6 +1781,51 @@ def _sql_lang_id_model() -> str:
     )
 
 
+# gopher_rules: the documents word salad is clean lowercase prose, so
+# deterministic doc subsets get adversarial text REPLACING theirs (same
+# CASE on both engines) to trip each rule: a bulleted list (r_bullet),
+# ellipsis-terminated lines (r_ellipsis), hash-symbol spam (r_symbol),
+# two-letter words (r_wlen), digit words (r_alpha), a short doc (r_words).
+_GOPHER_SAMPLES = [
+    # stopword-rich clean prose: passes every rule -> keep=True somewhere
+    (37, "the shape of the table and the index that we have built with "
+         "care will be kept here for the next audit of the whole corpus"),
+    (41, "- alpha item one\n- beta item two\n- gamma item three\n- delta four"),
+    (43, "the first line trails off...\nthe second one also does...\nend..."),
+    (47, "the ### tag ## board # post # list # feed # page # item # row #"),
+    (53, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp qq rr ss tt uu"),
+    (59, "the 100 200 300 400 500 600 700 800 900 1000 1100 1200 1300 1400"),
+    (61, "too short to keep"),
+]
+
+
+def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher quality-rule battery (textstats.gopher_rules): every
+    rule from Rae et al. 2021 Table A1 as its own boolean + the combined
+    keep, over the corpus with adversarial rows injected so each rule
+    fires somewhere.  min_words lowered to 10 so the word-count rule
+    splits on the fixture's length distribution rather than failing
+    everything."""
+    from vector_spark import textstats as T
+
+    text = F.col("text")
+    for mod, sample in reversed(_GOPHER_SAMPLES):
+        text = F.when(F.col("doc_id") % mod == 0, F.lit(sample)).otherwise(text)
+    inj = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    return T.gopher_rules(inj, min_words=10)
+
+
+def _sql_gopher_rules() -> str:
+    from vector_spark import textstats as T
+
+    branches = " ".join(
+        f"WHEN doc_id % {mod} = 0 THEN '{s}'".replace("\n", "' || chr(10) || '")
+        for mod, s in _GOPHER_SAMPLES
+    )
+    inj = f"SELECT doc_id, CASE {branches} ELSE text END AS text FROM documents"
+    return T.sql_gopher_rules(inj, min_words=10)
+
+
 def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-time near-dedup: docs with doc_id%5==0 play the NEW batch,
     the rest the EXISTING corpus; emit each new doc that LSH-collides with
@@ -4038,6 +4083,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "lang_id_script": _q_lang_id_script,
         "lang_id_model": _q_lang_id_model,
+        "gopher_rules": _q_gopher_rules,
         "quality_classifier": _q_quality_classifier,
         "incremental_dedup": _q_incremental_dedup,
         "strip_dup_spans": _q_strip_dup_spans,
@@ -4151,6 +4197,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _sql_dup_spans(),
         "lang_id_script": _sql_lang_id_script(),
         "lang_id_model": _sql_lang_id_model(),
+        "gopher_rules": _sql_gopher_rules(),
         "quality_classifier": _sql_quality_classifier(),
         "incremental_dedup": _sql_incremental_dedup(),
         "strip_dup_spans": _sql_strip_dup_spans(),

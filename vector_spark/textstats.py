@@ -236,3 +236,159 @@ def sql_quality_score(expr: str) -> str:
 def sql_fingerprint(expr: str) -> str:
     norm = f"lower(regexp_replace(trim({expr}), '\\s+', ' ', 'g'))"
     return portable_hash64_sql(norm)
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality-rule battery (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Table A1 — public).
+#
+# quality_score() above is a C4-ish composite; this is the full named rule
+# set modern curation stacks apply verbatim (Gopher rules, reused by
+# RefinedWeb/Dolma/FineWeb), each rule a separate boolean so downstream
+# audits can attribute drops.  The repetition-fraction rules from the same
+# table live in repetition.py (they need the token stream); these are the
+# document-shape rules over raw text.  Everything is per-row codegen
+# (regexp_count / array ops) — no shuffle, no UDF; the one HOF filter
+# (alpha-word fraction) has no RE2-safe regex alternative (DuckDB has no
+# lookbehind) and is the lang_id-precedent cheap pass.
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+_BULLET_RE = r"(?m)^\s*[-*•]"
+_ELLIPSIS_RE = r"(?m)(\.\.\.|…)$"
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wlen: float = 3.0,
+    max_mean_wlen: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """One row per doc: (id, n_words, r_words, r_wlen, r_symbol, r_bullet,
+    r_ellipsis, r_alpha, r_stop, keep) — each Gopher rule as its own
+    boolean, keep = AND of all.
+
+    Rules (defaults = the paper's):
+    - r_words    : word count in [min_words, max_words]
+    - r_wlen     : mean word length in [min_mean_wlen, max_mean_wlen]
+    - r_symbol   : (count('#') + count('...') + count('…')) / words <= 0.1
+    - r_bullet   : fraction of lines starting with a bullet <= 0.9
+    - r_ellipsis : fraction of lines ending with an ellipsis <= 0.3
+    - r_alpha    : fraction of words containing an alphabetic char >= 0.8
+    - r_stop     : at least 2 of {the, be, to, of, and, that, have, with}
+    """
+    t = F.col(text_col)
+    w = words(t)
+    n_words = F.size(w).cast("long")
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_wlen = F.length(F.array_join(w, "")).cast("double") / nw
+    symbols = (
+        F.regexp_count(t, F.lit(r"#"))
+        + F.regexp_count(t, F.lit(r"\.\.\."))
+        + F.regexp_count(t, F.lit("…"))
+    ).cast("double")
+    n_lines = (F.regexp_count(t, F.lit(r"\n")) + 1).cast("double")
+    bullet_frac = F.regexp_count(t, F.lit(_BULLET_RE)).cast("double") / n_lines
+    ell_frac = F.regexp_count(t, F.lit(_ELLIPSIS_RE)).cast("double") / n_lines
+    wl = words(F.lower(t))
+    alpha_frac = (
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).cast("double") / nw
+    )
+    stop_hits = sum(
+        F.array_contains(wl, s).cast("int") for s in GOPHER_STOPWORDS
+    )
+    return df.select(
+        id_col,
+        n_words.alias("n_words"),
+        ((n_words >= min_words) & (n_words <= max_words)).alias("r_words"),
+        ((mean_wlen >= min_mean_wlen) & (mean_wlen <= max_mean_wlen)).alias(
+            "r_wlen"
+        ),
+        (symbols / nw <= max_symbol_ratio).alias("r_symbol"),
+        (bullet_frac <= max_bullet_ratio).alias("r_bullet"),
+        (ell_frac <= max_ellipsis_ratio).alias("r_ellipsis"),
+        (alpha_frac >= min_alpha_frac).alias("r_alpha"),
+        (stop_hits >= min_stop_hits).alias("r_stop"),
+    ).withColumn(
+        "keep",
+        F.col("r_words")
+        & F.col("r_wlen")
+        & F.col("r_symbol")
+        & F.col("r_bullet")
+        & F.col("r_ellipsis")
+        & F.col("r_alpha")
+        & F.col("r_stop"),
+    )
+
+
+def sql_gopher_rules(
+    source_sql: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wlen: float = 3.0,
+    max_mean_wlen: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> str:
+    """DuckDB twin of :func:`gopher_rules` (same expressions, RE2 regexes
+    written in the Java∩RE2 subset so both engines run the LITERAL same
+    patterns — the pii.py convention)."""
+    t = text_col
+    w = sql_words(t)
+    rc = lambda pat: f"len(regexp_extract_all({t}, '{pat}'))"  # noqa: E731
+    # RE2 pattern literals: DuckDB single-quoted strings are RAW (no
+    # backslash escapes), so the SQL text carries each regex verbatim with
+    # SINGLE backslashes (bound here because f-string expressions may not
+    # contain backslashes)
+    p_dots = "\\.\\.\\."
+    p_nl = "\\n"
+    p_bullet = _BULLET_RE
+    p_ell = _ELLIPSIS_RE
+    stop = " + ".join(
+        f"CASE WHEN list_contains({sql_words(f'lower({t})')}, '{s}') THEN 1 ELSE 0 END"
+        for s in GOPHER_STOPWORDS
+    )
+    return f"""
+SELECT {id_col}, n_words,
+       (n_words >= {min_words} AND n_words <= {max_words}) AS r_words,
+       (mean_wlen >= {min_mean_wlen} AND mean_wlen <= {max_mean_wlen}) AS r_wlen,
+       (symbols / nw <= {max_symbol_ratio}) AS r_symbol,
+       (bullets / n_lines <= {max_bullet_ratio}) AS r_bullet,
+       (ells / n_lines <= {max_ellipsis_ratio}) AS r_ellipsis,
+       (alpha / nw >= {min_alpha_frac}) AS r_alpha,
+       (stop_hits >= {min_stop_hits}) AS r_stop,
+       ((n_words >= {min_words} AND n_words <= {max_words})
+        AND (mean_wlen >= {min_mean_wlen} AND mean_wlen <= {max_mean_wlen})
+        AND (symbols / nw <= {max_symbol_ratio})
+        AND (bullets / n_lines <= {max_bullet_ratio})
+        AND (ells / n_lines <= {max_ellipsis_ratio})
+        AND (alpha / nw >= {min_alpha_frac})
+        AND (stop_hits >= {min_stop_hits})) AS keep
+FROM (
+  SELECT {id_col},
+         CAST(len({w}) AS BIGINT) AS n_words,
+         CAST(GREATEST(len({w}), 1) AS DOUBLE) AS nw,
+         CAST(length(array_to_string({w}, '')) AS DOUBLE)
+           / CAST(GREATEST(len({w}), 1) AS DOUBLE) AS mean_wlen,
+         CAST({rc('#')} + {rc(p_dots)} + {rc('…')} AS DOUBLE) AS symbols,
+         CAST({rc(p_nl)} + 1 AS DOUBLE) AS n_lines,
+         CAST({rc(p_bullet)} AS DOUBLE) AS bullets,
+         CAST({rc(p_ell)} AS DOUBLE) AS ells,
+         CAST(len(list_filter({w}, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) AS alpha,
+         ({stop}) AS stop_hits
+  FROM ({source_sql})
+)
+"""
