@@ -1826,6 +1826,26 @@ def _sql_gopher_rules() -> str:
     return T.sql_gopher_rules(inj, min_words=10)
 
 
+def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility/compression report over the real
+    byte-BPE encode (bpe.tokenizer_fertility) — integer sums + 6dp ratios,
+    one aggregate exchange of |sources| rows."""
+    from vector_spark.bpe import tokenizer_fertility
+
+    return tokenizer_fertility(
+        _docs(spark, sf_dir).select("doc_id", "text", "source"),
+        _BYTE_BPE_MERGES,
+    )
+
+
+def _sql_tokenizer_fertility() -> str:
+    from vector_spark.bpe import sql_tokenizer_fertility
+
+    return sql_tokenizer_fertility(
+        "SELECT doc_id, text, source FROM documents", _BYTE_BPE_MERGES
+    )
+
+
 def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-time near-dedup: docs with doc_id%5==0 play the NEW batch,
     the rest the EXISTING corpus; emit each new doc that LSH-collides with
@@ -4084,6 +4104,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_script": _q_lang_id_script,
         "lang_id_model": _q_lang_id_model,
         "gopher_rules": _q_gopher_rules,
+        "tokenizer_fertility": _q_tokenizer_fertility,
         "quality_classifier": _q_quality_classifier,
         "incremental_dedup": _q_incremental_dedup,
         "strip_dup_spans": _q_strip_dup_spans,
@@ -4198,6 +4219,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_script": _sql_lang_id_script(),
         "lang_id_model": _sql_lang_id_model(),
         "gopher_rules": _sql_gopher_rules(),
+        "tokenizer_fertility": _sql_tokenizer_fertility(),
         "quality_classifier": _sql_quality_classifier(),
         "incremental_dedup": _sql_incremental_dedup(),
         "strip_dup_spans": _sql_strip_dup_spans(),

@@ -330,3 +330,92 @@ SELECT b.doc_id,
        CAST(COALESCE(len(f.t), 0) AS BIGINT) AS n_tok
 FROM s0 b LEFT JOIN s{k} f USING (doc_id)
 """
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    merges: list[tuple[int, int, int]],
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source tokenizer-efficiency report — the standard evaluation a
+    tokenizer change ships with (fertility and compression; cf. the
+    SentencePiece/BLOOM tokenizer analyses): one row per source with
+
+    - n_docs, n_bytes, n_chars, n_words, n_tok (exact integer sums)
+    - bytes_per_tok, chars_per_tok (compression), tok_per_word (fertility)
+      rounded to 6dp
+
+    Runs the real byte-level tokenizer (byte_tokenize → apply_merges) over
+    the corpus; everything else is codegen column math + ONE map-side-
+    combined aggregate on source — the only exchange carries |sources|
+    partials.  At 10^12 docs this is a single narrow corpus pass."""
+    from vector_spark.textstats import words
+
+    base = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.col(text_col).alias("text"),
+    )
+    enc = apply_merges(byte_tokenize(base).select("doc_id", "tokens"), merges)
+    per_doc = base.join(enc.select("doc_id", "n_tok"), "doc_id").select(
+        "source",
+        F.octet_length("text").cast("long").alias("_b"),
+        F.length("text").cast("long").alias("_c"),
+        F.size(words(F.col("text"))).cast("long").alias("_w"),
+        F.col("n_tok").cast("long").alias("_t"),
+    )
+    g = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_b").cast("long").alias("n_bytes"),
+        F.sum("_c").cast("long").alias("n_chars"),
+        F.sum("_w").cast("long").alias("n_words"),
+        F.sum("_t").cast("long").alias("n_tok"),
+    )
+    one = F.greatest(F.col("n_tok"), F.lit(1)).cast("double")
+    return g.select(
+        "source", "n_docs", "n_bytes", "n_chars", "n_words", "n_tok",
+        F.round(F.col("n_bytes") / one, 6).alias("bytes_per_tok"),
+        F.round(F.col("n_chars") / one, 6).alias("chars_per_tok"),
+        F.round(
+            F.col("n_tok")
+            / F.greatest(F.col("n_words"), F.lit(1)).cast("double"),
+            6,
+        ).alias("tok_per_word"),
+    )
+
+
+def sql_tokenizer_fertility(
+    docs_sql: str, merges: list[tuple[int, int, int]]
+) -> str:
+    """DuckDB twin of :func:`tokenizer_fertility`; ``docs_sql`` must yield
+    (doc_id, text, source)."""
+    from vector_spark.textstats import sql_words
+
+    tok_src = (
+        f"(SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+        f"{sql_byte_tokenize('text')} AS tokens FROM ({docs_sql}))"
+    )
+    enc = sql_apply_merges(tok_src, merges)
+    return f"""
+WITH enc AS ({enc}),
+per_doc AS (
+  SELECT d.source,
+         strlen(d.text)::BIGINT AS _b,
+         length(d.text)::BIGINT AS _c,
+         len({sql_words("d.text")})::BIGINT AS _w,
+         e.n_tok::BIGINT AS _t
+  FROM ({docs_sql}) d JOIN enc e ON CAST(d.doc_id AS VARCHAR) = e.doc_id
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(_b)::BIGINT AS n_bytes,
+       SUM(_c)::BIGINT AS n_chars,
+       SUM(_w)::BIGINT AS n_words,
+       SUM(_t)::BIGINT AS n_tok,
+       ROUND(SUM(_b) / CAST(GREATEST(SUM(_t), 1) AS DOUBLE), 6) AS bytes_per_tok,
+       ROUND(SUM(_c) / CAST(GREATEST(SUM(_t), 1) AS DOUBLE), 6) AS chars_per_tok,
+       ROUND(SUM(_t) / CAST(GREATEST(SUM(_w), 1) AS DOUBLE), 6) AS tok_per_word
+FROM per_doc GROUP BY source
+"""
