@@ -1846,6 +1846,52 @@ def _sql_tokenizer_fertility() -> str:
     )
 
 
+# WordPiece vocab for the fixture corpus: whole-word pieces, real subword
+# splits (cust+##omer, col+##umn, wind+##ow, str+##eam), greedy-longest
+# checks (scan vs sc vs s), char-level fallback for some words, and
+# deliberate letter gaps (no 'q'/' ##n' etc.) so a deterministic subset of
+# words UNKs — every WordPiece code path fires somewhere in the corpus.
+_WP_VOCAB = [
+    # whole words
+    ("join", 1), ("hash", 2), ("the", 3), ("data", 4), ("scan", 5),
+    ("table", 6), ("merge", 7), ("row", 8), ("key", 9), ("a", 10),
+    # subword splits
+    ("cust", 11), ("##omer", 12), ("col", 13), ("##umn", 14),
+    ("wind", 15), ("##ow", 16), ("str", 17), ("##eam", 18),
+    ("sor", 19), ("##t", 20), ("sc", 21), ("fil", 22), ("##ter", 23),
+    ("gr", 24), ("##oup", 25), ("val", 26), ("##ue", 27),
+    # first-position single chars (note: no e i l n q u)
+    ("b", 30), ("c", 31), ("d", 32), ("f", 33), ("g", 34), ("h", 35),
+    ("k", 36), ("m", 37), ("o", 38), ("p", 39), ("r", 40), ("s", 41),
+    ("t", 42), ("v", 43), ("w", 44),
+    # continuation single chars (note: no c d f h i k n q v)
+    ("##a", 50), ("##b", 51), ("##e", 52), ("##g", 53), ("##l", 54),
+    ("##m", 55), ("##o", 56), ("##p", 57), ("##r", 58), ("##s", 59),
+    ("##u", 60), ("##w", 61), ("##y", 62),
+]
+
+
+def _q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy longest-match encode (vector_spark/wordpiece.py)
+    of every document against a fixed vocab; ids CSV-rendered so the
+    recursive-CTE oracle replay is hash-comparable."""
+    from vector_spark.wordpiece import wordpiece_encode
+
+    out = wordpiece_encode(_docs(spark, sf_dir).select("doc_id", "text"), _WP_VOCAB)
+    return out.select(
+        "doc_id",
+        F.array_join(F.col("ids").cast("array<string>"), ",").alias("ids_csv"),
+        "n_tok",
+        "n_unk",
+    )
+
+
+def _sql_wordpiece_encode() -> str:
+    from vector_spark.wordpiece import sql_wordpiece_encode
+
+    return sql_wordpiece_encode("SELECT doc_id, text FROM documents", _WP_VOCAB)
+
+
 def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-time near-dedup: docs with doc_id%5==0 play the NEW batch,
     the rest the EXISTING corpus; emit each new doc that LSH-collides with
@@ -4105,6 +4151,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_model": _q_lang_id_model,
         "gopher_rules": _q_gopher_rules,
         "tokenizer_fertility": _q_tokenizer_fertility,
+        "wordpiece_encode": _q_wordpiece_encode,
         "quality_classifier": _q_quality_classifier,
         "incremental_dedup": _q_incremental_dedup,
         "strip_dup_spans": _q_strip_dup_spans,
@@ -4220,6 +4267,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_model": _sql_lang_id_model(),
         "gopher_rules": _sql_gopher_rules(),
         "tokenizer_fertility": _sql_tokenizer_fertility(),
+        "wordpiece_encode": _sql_wordpiece_encode(),
         "quality_classifier": _sql_quality_classifier(),
         "incremental_dedup": _sql_incremental_dedup(),
         "strip_dup_spans": _sql_strip_dup_spans(),
