@@ -1892,6 +1892,45 @@ def _sql_wordpiece_encode() -> str:
     return sql_wordpiece_encode("SELECT doc_id, text FROM documents", _WP_VOCAB)
 
 
+# Unigram-LM piece table for the fixture corpus: multi-char pieces whose
+# logps make the Viterbi choice non-trivial ("scan" beats "sc"+"an";
+# "da"+"ta" beats "data" at these logps), char fallback for everything
+# else, and no 'q' piece so 'query' deterministically UNKs.  logps in
+# integer micro-nats (negative), ids from 1 ([UNK]=0 reserved).
+_UNI_PIECES = [
+    ("data", 1, -2_600_000), ("da", 2, -1_200_000), ("ta", 3, -1_300_000),
+    ("scan", 4, -1_800_000), ("sc", 5, -1_500_000), ("an", 6, -1_400_000),
+    ("the", 7, -1_000_000), ("join", 8, -1_600_000), ("in", 9, -1_100_000),
+    ("row", 10, -1_500_000), ("ow", 11, -1_200_000), ("er", 12, -1_250_000),
+    ("st", 13, -1_350_000), ("re", 14, -1_300_000), ("le", 15, -1_450_000),
+] + [
+    (ch, 20 + i, -3_000_000 - 17_000 * i)
+    for i, ch in enumerate("abcdefghijklmnoprstuvwxyz")  # no 'q'
+]
+
+
+def _q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM Viterbi encode
+    (vector_spark/unigram.py) of every document against a fixed piece
+    table; ids CSV-rendered, per-doc optimal score in integer micro-nats."""
+    from vector_spark.unigram import unigram_encode
+
+    out = unigram_encode(_docs(spark, sf_dir).select("doc_id", "text"), _UNI_PIECES)
+    return out.select(
+        "doc_id",
+        F.array_join(F.col("ids").cast("array<string>"), ",").alias("ids_csv"),
+        "n_tok",
+        "n_unk",
+        "score_micro",
+    )
+
+
+def _sql_unigram_encode() -> str:
+    from vector_spark.unigram import sql_unigram_encode
+
+    return sql_unigram_encode("SELECT doc_id, text FROM documents", _UNI_PIECES)
+
+
 def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-time near-dedup: docs with doc_id%5==0 play the NEW batch,
     the rest the EXISTING corpus; emit each new doc that LSH-collides with
@@ -4152,6 +4191,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _q_gopher_rules,
         "tokenizer_fertility": _q_tokenizer_fertility,
         "wordpiece_encode": _q_wordpiece_encode,
+        "unigram_encode": _q_unigram_encode,
         "quality_classifier": _q_quality_classifier,
         "incremental_dedup": _q_incremental_dedup,
         "strip_dup_spans": _q_strip_dup_spans,
@@ -4268,6 +4308,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": _sql_gopher_rules(),
         "tokenizer_fertility": _sql_tokenizer_fertility(),
         "wordpiece_encode": _sql_wordpiece_encode(),
+        "unigram_encode": _sql_unigram_encode(),
         "quality_classifier": _sql_quality_classifier(),
         "incremental_dedup": _sql_incremental_dedup(),
         "strip_dup_spans": _sql_strip_dup_spans(),
