@@ -292,3 +292,230 @@ SELECT d.doc_id,
 FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM docs) d
 LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM training (Kudo 2018 §3.2, simplified deterministic EM) — the
+# trainer that produces the (piece, id, logp_micro) table unigram_encode
+# consumes, so the SentencePiece story runs train AND apply end-to-end.
+#
+# Shape: everything corpus-scale is a DataFrame aggregate; the EM inner
+# loop runs over the DISTINCT-WORD census (Zipf: |distinct words| <<
+# |word occurrences|), weighted by corpus frequency.  Per EM round:
+#   E-step  mapInArrow over census partitions: per word, lattice
+#           forward-backward under the current (broadcast) piece logps,
+#           expected piece counts quantized to integer micro-units PER
+#           WORD (same inputs -> same floats -> same integers, so the
+#           cross-partition integer SUM is partitioning-invariant);
+#           each partition emits its local (piece_id, count) partials.
+#   M-step  one hash aggregate over those partials (rows <= |vocab| x
+#           |partitions|), then logp_micro = floor(ln(c/total)*1e6) on
+#           the driver over the vocab-sized table.
+#   prune   keep the top ``vocab_size`` pieces by expected count
+#           (count DESC, piece ASC — explicit tiebreak), single chars
+#           always kept (the no-UNK floor, Kudo's "character coverage").
+#
+# Like train_bpe / kmeans_refine, the trainer is iterative and therefore
+# pytest-gated (planted-structure recovery + partitioning invariance +
+# feeds-the-encoder); the CONSUMER unigram_encode is the oracle-gated
+# surface.
+
+
+def word_census(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(word, cnt) — corpus frequency of each distinct whitespace word
+    (map-side-combined hash aggregate; the Zipf-collapsed table every
+    tokenizer trainer iterates over)."""
+    from vector_spark.textstats import words
+
+    return (
+        df.select(F.explode(words(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def seed_pieces(
+    census: DataFrame, max_len: int = 4, min_count: int = 2, seed_size: int = 1000
+) -> list[str]:
+    """Candidate pieces: every substring of length 2..max_len whose
+    corpus occurrence count clears ``min_count``, top ``seed_size`` by
+    (count DESC, piece ASC), plus EVERY single char (coverage floor).
+    Census explode is codegen (sequence x substr), the count a map-side-
+    combined aggregate; the result is vocabulary-sized by construction."""
+    w = F.col("word")
+    subs = []
+    for l in range(2, max_len + 1):
+        subs.append(
+            census.filter(F.length(w) >= l)
+            .select(
+                F.explode(F.sequence(F.lit(1), F.length(w) - (l - 1))).alias("_i"),
+                w.alias("_w"),
+                F.col("cnt"),
+            )
+            .select(
+                F.col("_w").substr(F.col("_i"), F.lit(l)).alias("piece"),
+                F.col("cnt"),
+            )
+        )
+    multi = subs[0]
+    for s in subs[1:]:
+        multi = multi.unionAll(s)
+    top = (
+        multi.groupBy("piece")
+        .agg(F.sum("cnt").cast("long").alias("c"))
+        .filter(F.col("c") >= min_count)
+        .orderBy(F.col("c").desc(), F.col("piece").asc())
+        .limit(seed_size)
+    )
+    chars = (
+        census.select(
+            F.explode(F.sequence(F.lit(1), F.length(w))).alias("_i"),
+            w.alias("_w"),
+        )
+        .select(F.col("_w").substr(F.col("_i"), F.lit(1)).alias("piece"))
+        .distinct()
+    )
+    pieces = sorted(
+        {r.piece for r in top.collect()} | {r.piece for r in chars.collect()}
+    )
+    return pieces
+
+
+def _expected_counts_word(word, wfreq, table, max_l):
+    """E-step for one word: expected piece counts under the lattice
+    forward-backward, scaled by the word's corpus frequency.  Pure
+    function of (word, logps) — partitioning cannot change it."""
+    import math
+
+    n = len(word)
+    NEG = float("-inf")
+    alpha = [NEG] * (n + 1)
+    alpha[0] = 0.0
+    for k in range(1, n + 1):
+        acc = NEG
+        for l in range(1, min(max_l, k) + 1):
+            lp = table.get(word[k - l : k])
+            if lp is None or alpha[k - l] == NEG:
+                continue
+            v = alpha[k - l] + lp
+            acc = v if acc == NEG else (max(acc, v) + math.log1p(math.exp(-abs(acc - v))))
+        alpha[k] = acc
+    if alpha[n] == NEG:
+        return {}
+    beta = [NEG] * (n + 1)
+    beta[n] = 0.0
+    for k in range(n - 1, -1, -1):
+        acc = NEG
+        for l in range(1, min(max_l, n - k) + 1):
+            lp = table.get(word[k : k + l])
+            if lp is None or beta[k + l] == NEG:
+                continue
+            v = beta[k + l] + lp
+            acc = v if acc == NEG else (max(acc, v) + math.log1p(math.exp(-abs(acc - v))))
+        beta[k] = acc
+    out: dict[str, int] = {}
+    z = alpha[n]
+    for k in range(n):
+        if alpha[k] == NEG:
+            continue
+        for l in range(1, min(max_l, n - k) + 1):
+            p = word[k : k + l]
+            lp = table.get(p)
+            if lp is None or beta[k + l] == NEG:
+                continue
+            c = math.exp(alpha[k] + lp + beta[k + l] - z) * wfreq
+            # integer micro-units per (word, piece): deterministic, so the
+            # cross-partition SUM is exact integer arithmetic
+            ci = int(math.floor(c * 1e6))
+            if ci > 0:
+                out[p] = out.get(p, 0) + ci
+    return out
+
+
+def train_unigram(
+    df: DataFrame,
+    vocab_size: int = 64,
+    max_len: int = 4,
+    n_iter: int = 3,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[tuple[str, int, int]]:
+    """EM-train a unigram piece table on the corpus; returns (piece, id,
+    logp_micro) rows ready for :func:`unigram_encode` (ids assigned by
+    final logp DESC, piece ASC; single chars always survive pruning)."""
+    import math
+
+    spark = df.sparkSession
+    census = word_census(df, text_col, id_col).persist()
+    try:
+        pieces = seed_pieces(census, max_len, min_count)
+        # init: logp from raw substring frequency (uniform-ish is fine too;
+        # EM sharpens it) — computed driver-side over the vocab-sized list
+        logp = {p: math.log(1.0 / len(pieces)) for p in pieces}
+
+        from pyspark.sql.types import (
+            LongType as _L,
+            StringType as _S,
+            StructField as _F,
+            StructType as _T,
+        )
+
+        part_schema = _T([_F("piece", _S()), _F("c_micro", _L())])
+
+        for _ in range(n_iter):
+            table = dict(logp)
+            max_l = max(len(p) for p in table)
+
+            def estep(batches, _table=table, _max_l=max_l):
+                acc: dict[str, int] = {}
+                for batch in batches:
+                    ws_ = batch.column(0).to_pylist()
+                    cs_ = batch.column(1).to_pylist()
+                    for w_, c_ in zip(ws_, cs_):
+                        for p, ci in _expected_counts_word(
+                            w_, c_, _table, _max_l
+                        ).items():
+                            acc[p] = acc.get(p, 0) + ci
+                if acc:
+                    ks = sorted(acc)
+                    yield pa.record_batch(
+                        [
+                            pa.array(ks, pa.string()),
+                            pa.array([acc[k] for k in ks], pa.int64()),
+                        ],
+                        names=["piece", "c_micro"],
+                    )
+
+            partials = census.mapInArrow(estep, part_schema)
+            counts = {
+                r.piece: r.c_micro
+                for r in partials.groupBy("piece")
+                .agg(F.sum("c_micro").cast("long").alias("c_micro"))
+                .collect()
+            }
+            # prune: top vocab_size by expected count, chars always kept
+            chars = {p for p in logp if len(p) == 1}
+            ranked = sorted(
+                ((c, p) for p, c in counts.items() if len(p) > 1),
+                key=lambda x: (-x[0], x[1]),
+            )
+            keep = chars | {p for _, p in ranked[: max(0, vocab_size - len(chars))]}
+            total = sum(counts.get(p, 0) for p in keep)
+            if total <= 0:
+                break
+            # add-one on the micro-scale so pruned-to-zero chars stay finite
+            logp = {
+                p: math.log((counts.get(p, 0) + 1) / (total + len(keep)))
+                for p in sorted(keep)
+            }
+    finally:
+        census.unpersist()
+
+    final = sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [
+        (p, i + 1, min(-1, int(math.floor(lp * 1e6))))
+        for i, (p, lp) in enumerate(final)
+    ]
