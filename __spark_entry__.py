@@ -3969,6 +3969,28 @@ def _sql_dsir_topk() -> str:
     return sql_dsir_topk("lang = 'en'", k=_DSIR_K, n_buckets=_DSIR_BUCKETS)
 
 
+_WSAMPLE_K = 200
+
+
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded weighted sampling without replacement over the token corpus:
+    the k docs winning a deterministic bottom-k priority race with odds
+    proportional to n_tok (integer-only race, oracle-exact; the fast=True
+    xxhash64/exponential twin is the production path at 10^12 docs)."""
+    from vector_spark.curation import weighted_sample
+
+    return weighted_sample(_corpus(spark, sf_dir), _WSAMPLE_K)
+
+
+def _sql_weighted_sample() -> str:
+    from vector_spark.curation import sql_weighted_sample
+
+    path = _corpus_sql_path()
+    return sql_weighted_sample(
+        f"(SELECT doc_id, n_tok FROM read_parquet('{path}'))", _WSAMPLE_K
+    )
+
+
 def _q_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source relative quality selection: top 30% of each source by
     quality score (deterministic tiebreak), per-source audit row with a
@@ -4128,6 +4150,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk_ivf_mp": _q_pq_topk_ivf_mp,
         "line_dedup": _q_line_dedup,
         "dsir_topk": _q_dsir_topk,
+        "weighted_sample": _q_weighted_sample,
         "quality_percentile": _q_quality_percentile,
         "source_divergence": _q_source_divergence,
         "shard_plan": _q_shard_plan,
@@ -4245,6 +4268,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk_ivf_mp": _sql_pq_topk_ivf_mp(),
         "line_dedup": _sql_line_dedup(),
         "dsir_topk": _sql_dsir_topk(),
+        "weighted_sample": _sql_weighted_sample(),
         "quality_percentile": _sql_quality_percentile(),
         "source_divergence": _sql_source_divergence(),
         "shard_plan": _sql_shard_plan(),

@@ -114,3 +114,45 @@ def test_source_divergence_flags_skewed_source(spark):
     out = {r["source"]: r for r in source_divergence(corpus).collect()}
     assert out["skew"]["kl_nano"] > out["bal"]["kl_nano"]
     assert out["skew"]["kl_nano"] > 0
+
+
+def test_weighted_sample_exact_race_replayable_in_python(spark):
+    """The integer bottom-k race must be a pure function of (id, seed):
+    recompute every doc's min-of-replicas key in plain Python and check the
+    selection (and its keys) match bit-for-bit."""
+    from vector_spark.curation import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(f"d{i:02d}", 1 + 37 * i) for i in range(40)],
+        "doc_id string, n_tok int",
+    )
+    got = [tuple(r) for r in weighted_sample(docs, 10, seed=5).collect()]
+
+    def key(doc_id, n_tok, coarse=64, cap=32, seed=5):
+        w_eff = min(cap, max(1, (n_tok + coarse - 1) // coarse))
+        return w_eff, min(_h(f"{doc_id}#{seed}#{j}") for j in range(w_eff))
+
+    manual = sorted(
+        ((d, *key(d, w)) for d, w in ((f"d{i:02d}", 1 + 37 * i) for i in range(40))),
+        key=lambda t: (t[2], t[0]),
+    )[:10]
+    assert got == [(d, w, k) for d, w, k in manual]
+
+
+def test_weighted_sample_heavier_docs_win_more(spark):
+    """Across many seeds, a doc with 10x the weight should win the k=1 race
+    roughly 10x as often (coarse=1 so w_eff is the true weight)."""
+    from vector_spark.curation import weighted_sample
+
+    docs = spark.createDataFrame(
+        [("heavy", 20), ("light", 2)] + [(f"bg{i}", 2) for i in range(8)],
+        "doc_id string, n_tok int",
+    )
+    wins = {"heavy": 0, "light": 0}
+    for seed in range(60):
+        top = weighted_sample(docs, 1, seed=seed, coarse=1, cap=64).collect()[0]
+        wins[top["doc_id"]] = wins.get(top["doc_id"], 0) + 1
+    # heavy holds 20/36 of the total weight -> expect ~33 wins of 60; a
+    # light doc holds 2/36 -> ~3.3.  Wide tolerances keep this seed-stable.
+    assert wins["heavy"] >= 20
+    assert wins["heavy"] > 4 * wins["light"]

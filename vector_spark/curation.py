@@ -428,3 +428,108 @@ SELECT source, MIN(c_s)::BIGINT AS n_tokens, COUNT(*)::BIGINT AS vocab_size,
        SUM(term)::BIGINT AS kl_nano
 FROM terms GROUP BY source ORDER BY source
 """
+
+
+def weighted_sample(
+    corpus: DataFrame,
+    k: int,
+    weight_col: str = "n_tok",
+    seed: int = 7,
+    id_col: str = "doc_id",
+    coarse: int = 64,
+    cap: int = 32,
+    fast: bool = False,
+) -> DataFrame:
+    """Seeded weighted sampling WITHOUT replacement: the ``k`` docs that
+    win a deterministic priority race whose odds are proportional to
+    ``weight_col`` (tokens, by default — "sample 10B tokens' worth of docs,
+    longer docs proportionally more likely").  Bottom-k order sampling
+    (Rosen 1997 successive sampling; Cohen & Kaplan 2007 bottom-k
+    sketches; Efraimidis & Spirakis 2006 weighted reservoirs are the same
+    race): each doc draws a priority key, the k smallest keys win.
+    Because the key is a pure function of (id, seed), the sample is
+    reproducible, partitioning-invariant, and resumable — re-running
+    selects the same docs, and a doc's fate never depends on scan order.
+
+    ``fast=False`` (oracle-exact twin): integer-only race, replayable
+    bit-for-bit in DuckDB.  The weight is coarsened to
+    ``w_eff = min(cap, ceil(w / coarse))`` replica draws and the key is
+    the MIN of ``w_eff`` portable 60-bit hashes of (id, seed, j) — all
+    BIGINT arithmetic, no transcendental functions, so both engines agree
+    exactly (the repo's standing md5-oracle idiom).  Selection odds are
+    proportional to w_eff (the coarsened weight).
+
+    ``fast=True`` (production): one xxhash64 draw per doc mapped to a
+    uniform u in (0,1), key = -ln(u) / w — the exact exponential race on
+    the FULL weight (A-ES), one codegen'd expression per row, no replicas.
+    Float keys and xxhash64 are not oracle-replayable; this twin is
+    benched, the integer twin is gated (same pattern as minhash fast=).
+
+    Scale design: the key is computed per-row in the scan (narrow, no
+    shuffle); the global bottom-k is ``orderBy(key).limit(k)`` =
+    TakeOrderedAndProject — a per-partition k-heap merged on the driver,
+    k rows exchanged, NO global sort.  At 10^12 docs the exact twin's
+    cap x md5 per doc is the only non-codegen cost, which is why fast=True
+    is the production path."""
+    w = F.col(weight_col).cast("long")
+    if fast:
+        u = (F.xxhash64(F.col(id_col), F.lit(seed)).cast("double")
+             + F.lit(2.0 ** 63 + 1.0)) / F.lit(2.0 ** 64)
+        key = -F.log(u) / w.cast("double")
+        return (
+            corpus.select(F.col(id_col), w.alias("w"), key.alias("rank_key"))
+            .orderBy("rank_key", id_col)
+            .limit(k)
+        )
+    from vector_spark.hashing import portable_hash64
+
+    w_eff = F.least(
+        F.lit(cap),
+        F.greatest(F.lit(1), F.expr(f"(CAST({weight_col} AS BIGINT) + {coarse - 1}) div {coarse}")),
+    ).cast("int")
+    replicas = F.transform(
+        F.sequence(F.lit(0), w_eff - 1),
+        lambda j: portable_hash64(
+            F.concat_ws("#", F.col(id_col), F.lit(str(seed)), j)
+        ),
+    )
+    return (
+        corpus.select(
+            F.col(id_col),
+            w_eff.alias("w_eff"),
+            F.array_min(replicas).alias("rank_key"),
+        )
+        .orderBy("rank_key", id_col)
+        .limit(k)
+    )
+
+
+def sql_weighted_sample(
+    src_sql: str,
+    k: int,
+    weight_expr: str = "n_tok",
+    seed: int = 7,
+    coarse: int = 64,
+    cap: int = 32,
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` (exact integer path)."""
+    from vector_spark.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql(
+        f"doc_id || '#' || '{seed}' || '#' || CAST(j AS VARCHAR)"
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         LEAST({cap}, GREATEST(1, (CAST({weight_expr} AS BIGINT) + {coarse - 1}) // {coarse}))::INT AS w_eff
+  FROM {src_sql}
+), reps AS (
+  -- constant range({cap}) cross join + filter: this DuckDB build's range()
+  -- rejects lateral column arguments
+  SELECT doc_id, w_eff, {h} AS h
+  FROM w, range({cap}) AS t(j) WHERE t.j < w.w_eff
+)
+SELECT doc_id, MIN(w_eff)::INT AS w_eff, MIN(h)::BIGINT AS rank_key
+FROM reps GROUP BY doc_id
+ORDER BY rank_key ASC, doc_id ASC LIMIT {k}
+"""
