@@ -225,13 +225,60 @@ def token_pair_stats(
                 schema=schema,
             )
 
+    def final_kernel(batches):
+        # Per-partition final aggregate + local top-N.  After the hash
+        # exchange on k every key is COMPLETE within one partition, so a
+        # partition-local top-N under the global total order (count desc,
+        # t1 asc, t2 asc) provably contains every global top-N member —
+        # the driver-side merge sees <= top_n x partitions rows instead of
+        # the JVM hash-aggregating O(distinct pairs) rows (near-uniform
+        # corpora: ~|pairs| keys, where the hash map exceeds memory and
+        # Spark falls back to sort-based aggregation — the measured
+        # bottleneck at sf0.1, ~150M distinct keys).
+        import numpy as np
+        import pyarrow as pa
+
+        from vector_spark.arena import warm_numpy_arena
+
+        warm_numpy_arena()
+        out_schema = pa.schema([("k", pa.int64()), ("n_occ", pa.int64())])
+        chunks = [b for b in batches if b.num_rows]
+        if not chunks:
+            return
+        tbl = pa.Table.from_batches(chunks)
+        agg = tbl.group_by("k", use_threads=False).aggregate([("_occ", "sum")])
+        k = agg.column("k").to_numpy(zero_copy_only=False)
+        cnt = agg.column("_occ_sum").to_numpy(zero_copy_only=False)
+        n = len(k)
+        if n > top_n:
+            # O(n) selection, no sort (see lm.py's concurrent-sort note):
+            # keep cnt > thresh outright, then fill the remainder from the
+            # cnt == thresh ties by smallest (t1, t2) — the packed key
+            # XOR'd at both halves' sign bits compares unsigned in exactly
+            # signed-lexicographic (t1, t2) order
+            thresh = np.partition(cnt, n - top_n)[n - top_n]
+            above = np.flatnonzero(cnt > thresh)
+            ties = np.flatnonzero(cnt == thresh)
+            need = top_n - len(above)
+            if 0 < need < len(ties):
+                kx = k[ties].astype(np.uint64) ^ np.uint64(0x8000000080000000)
+                ties = ties[np.argpartition(kx, need - 1)[:need]]
+            elif need <= 0:
+                ties = ties[:0]
+            sel = np.concatenate([above, ties])
+            k, cnt = k[sel], cnt[sel]
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(k), pa.array(cnt.astype(np.int64))], schema=out_schema
+        )
+
     partials = df.select(tok_col).mapInArrow(kernel, schema="k long, _occ long")
+    merged = partials.repartition(F.col("k")).mapInArrow(
+        final_kernel, schema="k long, n_occ long"
+    )
     t1 = F.shiftright("k", 32)
     t2 = F.shiftright(F.shiftleft("k", 32), 32)  # sign-extend the low half
     return (
-        partials.groupBy("k")
-        .agg(F.sum("_occ").cast("long").alias("n_occ"))
-        .orderBy(F.desc("n_occ"), F.asc(t1), F.asc(t2))
+        merged.orderBy(F.desc("n_occ"), F.asc(t1), F.asc(t2))
         .limit(top_n)
         .select(t1.alias("t1"), t2.alias("t2"), "n_occ")
     )
