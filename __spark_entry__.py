@@ -2059,6 +2059,51 @@ def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_select(docs, pairs, T.quality_score("text"))
 
 
+def _q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: keep every doc, down-weight duplicate-cluster members so
+    each cluster carries one doc's worth of sampling mass — minhash-LSH
+    pairs → components → weight_micro = 1e6 div |component| (integer
+    division, engine-exact; dedup.py::dedup_soft_weights)."""
+    from vector_spark.dedup import dedup_soft_weights, minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    return dedup_soft_weights(docs, minhash_lsh_pairs(docs))
+
+
+def _sql_dedup_soft_weights() -> str:
+    from vector_spark.dedup import sql_minhash_lsh_pairs
+
+    return f"""
+WITH RECURSIVE pairs AS ({sql_minhash_lsh_pairs("documents")}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+),
+comp AS (
+  SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+),
+sizes AS (
+  SELECT component, COUNT(*)::BIGINT AS comp_size FROM comp GROUP BY component
+),
+j AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+         COALESCE(s.comp_size, 1)::BIGINT AS comp_size
+  FROM documents d
+  LEFT JOIN comp c ON d.doc_id = c.doc_id
+  LEFT JOIN sizes s ON c.component = s.component
+)
+SELECT doc_id, component, comp_size,
+       (1000000 // comp_size)::BIGINT AS weight_micro
+FROM j
+"""
+
+
 def _sql_dedup_keep_best() -> str:
     from vector_spark import textstats as T
     from vector_spark.dedup import sql_minhash_lsh_pairs
@@ -4192,6 +4237,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_aggregate": _q_stream_aggregate,
         "dedup_groups": _q_dedup_groups,
         "dedup_keep_best": _q_dedup_keep_best,
+        "dedup_soft_weights": _q_dedup_soft_weights,
         "pack_sequences": _q_pack_sequences,
         "pack_bins": _q_pack_bins,
         "export_pipeline": _q_export_pipeline,
@@ -4310,6 +4356,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_aggregate": _SQL_STREAM_AGGREGATE,
         "dedup_groups": _sql_dedup_groups(),
         "dedup_keep_best": _sql_dedup_keep_best(),
+        "dedup_soft_weights": _sql_dedup_soft_weights(),
         "pack_sequences": _sql_pack_sequences(),
         "pack_bins": _sql_pack_bins(),
         "export_pipeline": _sql_export_pipeline(),

@@ -223,6 +223,31 @@ def test_dedup_select_keeps_best_quality(spark):
     }
 
 
+def test_dedup_soft_weights_downweights_clusters(spark):
+    """Soft dedup keeps every doc; cluster members carry 1e6 div |cluster|
+    micro-weight, singletons carry full weight."""
+    from vector_spark.dedup import dedup_soft_weights
+
+    docs = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("e",), ("z",)], ["doc_id"]
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")], ["id_a", "id_b"]
+    )
+    out = {
+        r["doc_id"]: (r["component"], r["comp_size"], r["weight_micro"])
+        for r in dedup_soft_weights(docs, pairs).collect()
+    }
+    assert out == {
+        "a": ("a", 3, 333333),
+        "b": ("a", 3, 333333),
+        "c": ("a", 3, 333333),
+        "d": ("d", 2, 500000),
+        "e": ("d", 2, 500000),
+        "z": ("z", 1, 1000000),
+    }
+
+
 def test_gemm_twins_match_hof_twins(spark):
     """The per-bucket GEMM production twins must agree exactly (after
     round-6) with their interpreted-HOF counterparts on the fixture corpus —

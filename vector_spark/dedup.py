@@ -620,3 +620,47 @@ def dedup_select(
         "q_micro",
         (F.col(id_col) == F.col("_keeper")).alias("is_kept"),
     )
+
+
+def dedup_soft_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates, keep every
+    doc and down-weight duplicate-cluster members so each cluster
+    contributes one doc's worth of sampling mass (soft dedup reweighting,
+    He et al., ACL 2024 — public; the weight feeds
+    :func:`vector_spark.curation.weighted_sample` or a loss-weighting
+    column in the training exporter).
+
+    weight_micro = 1_000_000 div |component| — integer division, so the
+    per-doc weight replays bit-for-bit in the DuckDB oracle.  Docs in no
+    pair are singletons (weight 1.0).
+
+    Scale: same topology as :func:`dedup_select` — components are
+    O(docs-in-pairs), sizes are a |components|-row aggregate, and the
+    corpus-wide work is one left join on id (broadcast while the label
+    table is small) — the corpus itself is never shuffled.
+
+    Returns (id_col, component, comp_size, weight_micro).
+    """
+    comps = dedup_components(pairs)
+    if id_col != "doc_id":
+        comps = comps.withColumnRenamed("doc_id", id_col)
+    sizes = comps.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("comp_size")
+    )
+    labeled = docs.select(id_col).join(comps, id_col, "left").withColumn(
+        "component", F.coalesce("component", F.col(id_col))
+    )
+    return (
+        labeled.join(sizes, "component", "left")
+        .withColumn("comp_size", F.coalesce("comp_size", F.lit(1)))
+        .select(
+            id_col,
+            "component",
+            "comp_size",
+            F.expr("1000000 div comp_size").cast("long").alias("weight_micro"),
+        )
+    )
