@@ -3071,6 +3071,30 @@ def _sql_token_pair_stats() -> str:
     )
 
 
+_PMI_MIN_COUNT = 4
+
+
+def _q_pair_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation scan: top adjacent token pairs by pointwise mutual
+    information (integer micro-nats, min-count floor) — the phrase-mining
+    twin of token_pair_stats (vocab.py::pair_pmi)."""
+    from vector_spark.vocab import pair_pmi
+
+    src = _corpus(spark, sf_dir).select("tokens")
+    return pair_pmi(src, _VOCAB_TOP_N, min_count=_PMI_MIN_COUNT)
+
+
+def _sql_pair_pmi() -> str:
+    from vector_spark.vocab import sql_pair_pmi
+
+    path = _corpus_sql_path()
+    return sql_pair_pmi(
+        f"(SELECT tokens FROM read_parquet('{path}'))",
+        _VOCAB_TOP_N,
+        min_count=_PMI_MIN_COUNT,
+    )
+
+
 _REMAP_KEEP = 4096  # ~8% of the 50257 vocab: both kept and OOV paths exercised
 
 
@@ -4244,6 +4268,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_windows": _q_chunk_windows,
         "vocab_stats": _q_vocab_stats,
         "token_pair_stats": _q_token_pair_stats,
+        "pair_pmi": _q_pair_pmi,
         "mixture_sample": _q_mixture,
         "mixture_temperature": _q_mixture_temperature,
         "mixture_upsample": _q_mixture_upsample,
@@ -4363,6 +4388,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_windows": _sql_chunk_windows(),
         "vocab_stats": _sql_vocab_stats(),
         "token_pair_stats": _sql_token_pair_stats(),
+        "pair_pmi": _sql_pair_pmi(),
         "mixture_sample": _sql_mixture(),
         "mixture_temperature": _sql_mixture_temperature(),
         "mixture_upsample": _sql_mixture_upsample(),

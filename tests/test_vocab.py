@@ -157,3 +157,31 @@ def test_fast_and_hof_twins_agree(spark):
         fast = sorted(map(tuple, fn(df, 100, fast=True).collect()))
         slow = sorted(map(tuple, fn(df, 100, fast=False).collect()))
         assert fast == slow, fn.__name__
+
+
+def test_pair_pmi_ranks_exclusive_collocations_first(spark):
+    """A pair whose members only ever occur together maximizes PMI; the
+    min_count floor drops rare pairs entirely."""
+    import math
+
+    from vector_spark.vocab import pair_pmi
+
+    # (10,11) occur ONLY as a pair, 3 times; (1,2) also 3 times but 1 and 2
+    # are common elsewhere; (5,6) occurs once -> under the floor
+    df = _rows(
+        spark,
+        [
+            ("a", [10, 11, 1, 2, 1, 1]),
+            ("b", [10, 11, 1, 2, 2, 2]),
+            ("c", [10, 11, 1, 2, 5, 6]),
+        ],
+    )
+    got = [tuple(r) for r in pair_pmi(df, 10, min_count=3).collect()]
+    pairs = [(t1, t2) for t1, t2, _, _ in got]
+    assert (10, 11) in pairs and (1, 2) in pairs
+    assert (5, 6) not in pairs  # min_count floor
+    assert pairs[0] == (10, 11)  # exclusive pair wins
+    # replay the quantized PMI for the winner: c_ab=3, c_a=c_b=3,
+    # n_tok=18, n_pairs=15
+    want = math.floor(math.log((3 / 15) / ((3 / 18) * (3 / 18))) * 1e6)
+    assert got[0][2] == 3 and got[0][3] == want

@@ -157,6 +157,44 @@ ORDER BY n_occ DESC, token ASC LIMIT {top_n}
 """
 
 
+def _pair_partials(df: DataFrame, tok_col: str) -> DataFrame:
+    """Per-batch partial counts of adjacent token pairs as a PACKED
+    (t1 << 32 | t2, _occ) stream — the map-side-combine stage shared by
+    :func:`token_pair_stats` and :func:`pair_pmi`.  Pairs never cross doc
+    boundaries; the pack is a bijection for int32 tokens; counting uses
+    the hash-based Arrow kernel, not np.unique (concurrent numpy sorts
+    collapse ~10x on SMT hosts, see lm.py), and the exchange carries the
+    packed key — half the bytes, unpacked only after the final reduce."""
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from vector_spark.arena import warm_numpy_arena
+
+        warm_numpy_arena()
+        schema = pa.schema([("k", pa.int64()), ("_occ", pa.int64())])
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            flat, rowidx = _flat_tokens(batch, tok_col)
+            if len(flat) < 2:
+                continue
+            same = rowidx[:-1] == rowidx[1:]
+            t1, t2 = flat[:-1][same], flat[1:][same]
+            if not len(t1):
+                continue
+            key = (t1 << np.int64(32)) | (t2 & np.int64(0xFFFFFFFF))
+            vc = pc.value_counts(pa.array(key))
+            yield pa.RecordBatch.from_arrays(
+                [vc.field("values"), vc.field("counts").cast(pa.int64())],
+                schema=schema,
+            )
+
+    return df.select(tok_col).mapInArrow(kernel, schema="k long, _occ long")
+
+
 def token_pair_stats(
     df: DataFrame,
     top_n: int = 100,
@@ -194,36 +232,6 @@ def token_pair_stats(
             .orderBy(F.desc("n_occ"), F.asc("t1"), F.asc("t2"))
             .limit(top_n)
         )
-
-    def kernel(batches):
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        from vector_spark.arena import warm_numpy_arena
-
-        warm_numpy_arena()
-        schema = pa.schema([("k", pa.int64()), ("_occ", pa.int64())])
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            flat, rowidx = _flat_tokens(batch, tok_col)
-            if len(flat) < 2:
-                continue
-            same = rowidx[:-1] == rowidx[1:]
-            t1, t2 = flat[:-1][same], flat[1:][same]
-            if not len(t1):
-                continue
-            # (t1 << 32 | t2) is a bijection for int32 tokens; counted with
-            # the hash-based Arrow kernel, not np.unique (concurrent numpy
-            # sorts collapse ~10x on SMT hosts, see lm.py) and exchanged
-            # PACKED — half the bytes, unpacked only after the top-N
-            key = (t1 << np.int64(32)) | (t2 & np.int64(0xFFFFFFFF))
-            vc = pc.value_counts(pa.array(key))
-            yield pa.RecordBatch.from_arrays(
-                [vc.field("values"), vc.field("counts").cast(pa.int64())],
-                schema=schema,
-            )
 
     def final_kernel(batches):
         # Per-partition final aggregate + local top-N.  After the hash
@@ -271,8 +279,7 @@ def token_pair_stats(
             [pa.array(k), pa.array(cnt.astype(np.int64))], schema=out_schema
         )
 
-    partials = df.select(tok_col).mapInArrow(kernel, schema="k long, _occ long")
-    merged = partials.repartition(F.col("k")).mapInArrow(
+    merged = _pair_partials(df, tok_col).repartition(F.col("k")).mapInArrow(
         final_kernel, schema="k long, n_occ long"
     )
     t1 = F.shiftright("k", 32)
@@ -610,4 +617,116 @@ SELECT CAST(t[i] AS BIGINT) AS t1,
        CAST(COUNT(*) AS BIGINT) AS n_occ
 FROM pos GROUP BY t1, t2
 ORDER BY n_occ DESC, t1 ASC, t2 ASC LIMIT {top_n}
+"""
+
+
+def pair_pmi(
+    df: DataFrame,
+    top_n: int = 100,
+    min_count: int = 5,
+    tok_col: str = "tokens",
+) -> DataFrame:
+    """Top-``top_n`` adjacent token pairs by pointwise mutual information —
+    the collocation / phrase-mining scan (Church & Hanks 1990, public):
+    PMI(a,b) = ln( (c_ab / N_pairs) / ((c_a / N_tok) * (c_b / N_tok)) ),
+    reported as integer micro-nats (floor-quantized before ranking, the
+    repo's standing float-gate idiom) with a ``min_count`` occurrence
+    floor (raw PMI promotes hapax pairs; the floor is the standard fix).
+
+    Scale design: the pair census reuses :func:`_pair_partials`
+    (map-side-combined packed keys) and — like :func:`token_pair_stats` —
+    finishes in a partition-local Arrow group-sum after one hash exchange
+    on the packed key, where the ``min_count`` filter ALSO applies
+    per-partition (exact: every key is complete in its partition), so only
+    survivors (few, by construction) reach the JVM side.  The unigram
+    census is vocab-sized and broadcasts onto the survivors twice; corpus
+    totals ride along as a broadcast 1-row frame.  Returns
+    (t1, t2, c_ab, pmi_micro)."""
+
+    def finalize(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from vector_spark.arena import warm_numpy_arena
+
+        warm_numpy_arena()
+        out_schema = pa.schema([("k", pa.int64()), ("c_ab", pa.int64())])
+        chunks = [b for b in batches if b.num_rows]
+        if not chunks:
+            return
+        tbl = pa.Table.from_batches(chunks)
+        agg = tbl.group_by("k", use_threads=False).aggregate([("_occ", "sum")])
+        keep = pc.greater_equal(agg.column("_occ_sum"), min_count)
+        agg = agg.filter(keep)
+        yield pa.RecordBatch.from_arrays(
+            [
+                agg.column("k").combine_chunks(),
+                agg.column("_occ_sum").cast(pa.int64()).combine_chunks(),
+            ],
+            schema=out_schema,
+        )
+
+    survivors = _pair_partials(df, tok_col).repartition(F.col("k")).mapInArrow(
+        finalize, schema="k long, c_ab long"
+    )
+    census = (
+        df.select(F.explode(tok_col).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(F.col("tok").cast("long").alias("tok"), "c")
+    )
+    totals = df.select(
+        F.sum(F.size(tok_col)).cast("double").alias("n_tok"),
+        F.sum(F.greatest(F.size(tok_col) - 1, F.lit(0))).cast("double").alias("n_pairs"),
+    )
+    t1 = F.shiftright("k", 32)
+    t2 = F.shiftright(F.shiftleft("k", 32), 32)  # sign-extend the low half
+    unpacked = survivors.select(t1.alias("t1"), t2.alias("t2"), "c_ab")
+    ca = census.select(F.col("tok").alias("t1"), F.col("c").alias("c_a"))
+    cb = census.select(F.col("tok").alias("t2"), F.col("c").alias("c_b"))
+    pmi = F.floor(
+        F.log(
+            (F.col("c_ab") / F.col("n_pairs"))
+            / ((F.col("c_a") / F.col("n_tok")) * (F.col("c_b") / F.col("n_tok")))
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    return (
+        unpacked.join(F.broadcast(ca), "t1")
+        .join(F.broadcast(cb), "t2")
+        .crossJoin(F.broadcast(totals))
+        .select("t1", "t2", "c_ab", pmi.alias("pmi_micro"))
+        .orderBy(F.desc("pmi_micro"), F.asc("t1"), F.asc("t2"))
+        .limit(top_n)
+    )
+
+
+def sql_pair_pmi(src_sql: str, top_n: int = 100, min_count: int = 5) -> str:
+    """DuckDB oracle for :func:`pair_pmi`."""
+    return f"""
+WITH docs AS (
+  SELECT tokens AS t FROM {src_sql} WHERE len(tokens) >= 2
+), pos AS (
+  SELECT t, unnest(range(1, len(t))) AS i FROM docs
+), pairs AS (
+  SELECT CAST(t[i] AS BIGINT) AS t1, CAST(t[i + 1] AS BIGINT) AS t2,
+         CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM pos GROUP BY t1, t2 HAVING COUNT(*) >= {min_count}
+), census AS (
+  SELECT CAST(tok AS BIGINT) AS tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(tokens) AS tok FROM {src_sql}) GROUP BY tok
+), tot AS (
+  SELECT CAST(SUM(len(tokens)) AS DOUBLE) AS n_tok,
+         CAST(SUM(GREATEST(len(tokens) - 1, 0)) AS DOUBLE) AS n_pairs
+  FROM {src_sql}
+)
+SELECT p.t1, p.t2, p.c_ab,
+       FLOOR(
+         ln((p.c_ab / tot.n_pairs) / ((ca.c / tot.n_tok) * (cb.c / tot.n_tok)))
+         * 1e6
+       )::BIGINT AS pmi_micro
+FROM pairs p
+JOIN census ca ON ca.tok = p.t1
+JOIN census cb ON cb.tok = p.t2, tot
+ORDER BY pmi_micro DESC, p.t1 ASC, p.t2 ASC LIMIT {top_n}
 """
