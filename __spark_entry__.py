@@ -3071,6 +3071,24 @@ def _sql_token_pair_stats() -> str:
     )
 
 
+def _q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sequence-length bucket histogram (docs + tokens per
+    power-of-two bucket) — the packing-waste / context-length-curriculum
+    audit (packing.py::length_histogram)."""
+    from vector_spark.packing import length_histogram
+
+    return length_histogram(_corpus(spark, sf_dir))
+
+
+def _sql_length_histogram() -> str:
+    from vector_spark.packing import sql_length_histogram
+
+    path = _corpus_sql_path()
+    return sql_length_histogram(
+        f"(SELECT source, n_tok FROM read_parquet('{path}'))"
+    )
+
+
 _PMI_MIN_COUNT = 4
 
 
@@ -4269,6 +4287,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": _q_vocab_stats,
         "token_pair_stats": _q_token_pair_stats,
         "pair_pmi": _q_pair_pmi,
+        "length_histogram": _q_length_histogram,
         "mixture_sample": _q_mixture,
         "mixture_temperature": _q_mixture_temperature,
         "mixture_upsample": _q_mixture_upsample,
@@ -4389,6 +4408,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_stats": _sql_vocab_stats(),
         "token_pair_stats": _sql_token_pair_stats(),
         "pair_pmi": _sql_pair_pmi(),
+        "length_histogram": _sql_length_histogram(),
         "mixture_sample": _sql_mixture(),
         "mixture_temperature": _sql_mixture_temperature(),
         "mixture_upsample": _sql_mixture_upsample(),

@@ -275,3 +275,18 @@ def test_fim_deterministic_and_seed_sensitive(spark):
     c = {r["doc_id"]: list(r["tokens"]) for r in fim_transform(df, seed=2).collect()}
     assert a == b
     assert a != c  # different seed -> different cut points/selection
+
+
+def test_length_histogram_buckets_and_totals(spark):
+    from vector_spark.packing import length_histogram
+
+    df = spark.createDataFrame(
+        [("a", "s1", 10), ("b", "s1", 64), ("c", "s1", 127), ("d", "s2", 5000)],
+        "doc_id string, source string, n_tok int",
+    )
+    got = [tuple(r) for r in length_histogram(df).collect()]
+    assert got == [
+        ("s1", 0, 1, 10),     # 10 < 64
+        ("s1", 64, 2, 191),   # 64 and 127 both land in [64, 128)
+        ("s2", 4096, 1, 5000),
+    ]

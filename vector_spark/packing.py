@@ -536,3 +536,60 @@ SELECT s.seq_id,
        ANY_VALUE(b.boundaries_csv) AS boundaries_csv
 FROM seqs s JOIN bounds b USING (seq_id) GROUP BY s.seq_id
 """
+
+
+_LEN_BOUNDS = (64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def length_histogram(
+    df: DataFrame,
+    bounds: tuple[int, ...] = _LEN_BOUNDS,
+    source_col: str = "source",
+    n_col: str = "n_tok",
+) -> DataFrame:
+    """Per-source sequence-length distribution: docs and tokens per length
+    bucket, where ``bucket_lo`` is the largest bound <= n_tok (0 below the
+    first bound).  The audit every packing/curriculum decision starts
+    from: bucket shares determine pack_sequences' padding waste at a given
+    seq_len, and short→long ordering over ``bucket_lo`` is the standard
+    context-length curriculum.
+
+    The bucket is a fixed integer CASE chain generated from ``bounds`` —
+    identical text in the Spark plan and the DuckDB oracle, so the gate is
+    engine-exact with no float log2 anywhere.  Scale: one map-side-combined
+    hash aggregate over the narrow (source, n) projection — parquet never
+    reads a token byte — emitting |sources| x |buckets| rows."""
+    n = F.col("n")
+    bucket = F.lit(0)
+    for b in bounds:  # ascending: the last satisfied bound wins
+        bucket = F.when(n >= b, F.lit(b)).otherwise(bucket)
+    return (
+        df.select(
+            F.col(source_col).alias("source"), F.col(n_col).cast("long").alias("n")
+        )
+        .withColumn("bucket_lo", bucket.cast("long"))
+        .groupBy("source", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tokens"),
+        )
+        .orderBy("source", "bucket_lo")
+    )
+
+
+def sql_length_histogram(
+    src_sql: str,
+    bounds: tuple[int, ...] = _LEN_BOUNDS,
+) -> str:
+    """DuckDB oracle for :func:`length_histogram`."""
+    case = "CASE " + " ".join(
+        f"WHEN n_tok >= {b} THEN {b}" for b in reversed(bounds)
+    ) + " ELSE 0 END"
+    return f"""
+SELECT source, CAST({case} AS BIGINT) AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM {src_sql}
+GROUP BY source, bucket_lo
+ORDER BY source, bucket_lo
+"""
