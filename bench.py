@@ -45,6 +45,15 @@ def main() -> None:
     import __spark_entry__ as entry
 
     sf = datagen.sf_from_dir(SF_DIR)
+    # NOTE: idle-worker reaping (spark.python.worker.idleTimeoutSeconds +
+    # killOnIdleTimeout) was tried here to curb cross-query worker RSS
+    # buildup and REJECTED by measurement: this build's idle clock runs
+    # while the JVM reader waits for worker OUTPUT, so any Arrow kernel
+    # computing > timeout (the Misra-Gries scan, the dense-bincount LM
+    # scorer, ...) gets its worker killed MID-TASK
+    # (PythonWorkerException: terminated due to idle timeout) — 5 of the
+    # heaviest queries crashed.  Cross-query memory is handled by the
+    # per-query GC + clearCache below instead.
     spark = get_spark("vector_spark_bench", master=f"local[{CPUS}]",
                       shuffle_partitions=max(CPUS, 32))
     spark.sparkContext.setLogLevel("ERROR")
