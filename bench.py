@@ -72,9 +72,7 @@ def main() -> None:
             # dedup_groups' contract path runs over the md5-oracle pairs;
             # the production path (fast xxhash64 pairs) is benched below
             "dedup_groups",
-            # decontaminate's contract path hashes grams with the portable
-            # md5 (oracle twin); the xxhash64 production twin is benched
-            "decontaminate",
+            "dedup_groups_star",
             # chunk_windows' contract path renders tokens as CSV for the
             # hash gate; the raw array operator is benched below
             "chunk_windows",
@@ -138,26 +136,17 @@ def main() -> None:
         timings["dedup_groups_fast"] = -1.0
         print(f"# bench query dedup_groups_fast failed: {e}", file=sys.stderr)
 
-    # production-path decontamination (codegen xxhash64 gram hashing)
+    # production-path dedup groups via large-star/small-star (Kiveris et
+    # al.) over the same fast-hash pairs — the O(log n)-rounds twin
     t0 = time.time()
     try:
-        from pyspark.sql import functions as F
+        from vector_spark.dedup import dedup_components_star
 
-        from vector_spark.decontam import decontaminate
-        from vector_spark.hashing import portable_hash64
-
-        corpus = P.load_corpus(spark, sf).select("doc_id", "tokens")
-        bench_docs = corpus.filter(portable_hash64(F.col("doc_id")) % 200 == 0).select(
-            "doc_id", F.slice("tokens", 17, 40).alias("tokens")
-        )
-        # the corpus parquet exposes 8 splits; the Arrow scorer is
-        # CPU-bound, so spread it over every core (same fix as dup_spans)
-        corpus = corpus.repartition(spark.sparkContext.defaultParallelism)
-        _materialize(decontaminate(corpus, bench_docs, fast=True))
-        timings["decontaminate_fast"] = round(time.time() - t0, 3)
+        _materialize(dedup_components_star(minhash_lsh_pairs(docs, fast=True)))
+        timings["dedup_groups_star_fast"] = round(time.time() - t0, 3)
     except Exception as e:
-        timings["decontaminate_fast"] = -1.0
-        print(f"# bench query decontaminate_fast failed: {e}", file=sys.stderr)
+        timings["dedup_groups_star_fast"] = -1.0
+        print(f"# bench query dedup_groups_star_fast failed: {e}", file=sys.stderr)
 
     # bounded-memory heavy-hitter pair scan (Misra-Gries): same corpus as
     # token_pair_stats but the exchange is k x partitions rows, not
@@ -238,7 +227,12 @@ def main() -> None:
             scaling_eff = round(_st.median(float(e) for e in effs), 3)
     except OSError:
         pass
-    print(json.dumps({
+    # Per-query map (100+ entries) goes to a sidecar file AND an early
+    # stdout line; the FINAL stdout line stays compact so the driver's
+    # tail capture can never truncate it mid-JSON (BENCH_r03.json lost its
+    # headline to exactly that — VERDICT r3 Next #2).  The compact line
+    # keeps a "queries" key (contract shape) with just the headline entry.
+    full = {
         "metric": "routed rows/sec (parse+enrich+route+aggregate)",
         "value": round(total, 3),
         "unit": "sec",
@@ -248,8 +242,36 @@ def main() -> None:
         "rows_per_sec": round(rows_per_sec, 1),
         "scaling_efficiency_median_recorded": scaling_eff,
         "cpus": CPUS,
-    }))
+    }
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
+    )
+    try:
+        with open(sidecar, "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError as e:
+        print(f"# could not write {sidecar}: {e}", file=sys.stderr)
+    print(json.dumps(full))  # full record, EARLY line (safe to truncate)
     spark.stop()
+    n_fail = sum(1 for v in timings.values() if v == -1.0)
+    print(json.dumps({
+        "metric": "routed rows/sec (parse+enrich+route+aggregate)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {
+            "pipeline_parse_enrich_route_aggregate": timings.get(
+                "pipeline_parse_enrich_route_aggregate"
+            ),
+        },
+        "n_queries": len(timings),
+        "n_failed": n_fail,
+        "sf": sf,
+        "routed_rows": routed_rows,
+        "rows_per_sec": round(rows_per_sec, 1),
+        "scaling_efficiency_median_recorded": scaling_eff,
+        "cpus": CPUS,
+        "per_query_file": "BENCH_full.json",
+    }))
 
 
 if __name__ == "__main__":

@@ -140,3 +140,111 @@ def test_byte_detokenize_expands_merges(spark):
     assert 258 in list(toks.collect()[0]["tokens"])  # merge actually fired
     rt = byte_detokenize(toks, merges=merges, out_col="rt").collect()[0]["rt"]
     assert rt == "tabl tab ta t"
+
+
+# --- GPT-2 pre-tokenization (public OpenAI gpt-2 encoder.py pattern) ---
+
+# Hand-checked against the canonical pattern's behavior (contractions,
+# space-glued words/digits/punct runs, the trailing-whitespace lookahead).
+_GPT2_GOLDENS = {
+    "Hello world": ["Hello", " world"],
+    "I've  got 123 apples!": ["I", "'ve", " ", " got", " 123", " apples", "!"],
+    "it's   done...": ["it", "'s", "  ", " done", "..."],
+    "  leading and trailing  ": [" ", " leading", " and", " trailing", "  "],
+    "tab\tsep\nnewline": ["tab", "\t", "sep", "\n", "newline"],
+    "CamelCase99mix": ["CamelCase", "99", "mix"],
+    "naïve café €5": ["naïve", " café", " €", "5"],
+    "don't DON'T": ["don", "'t", " DON", "'", "T"],
+    "a,b;c": ["a", ",", "b", ";", "c"],
+    "": [],
+}
+
+
+def test_gpt2_pretokenize_goldens(spark):
+    from vector_spark.bpe import gpt2_pretokenize
+
+    cases = list(_GPT2_GOLDENS)
+    df = spark.createDataFrame(
+        [(str(i), c) for i, c in enumerate(cases)], "doc_id string, text string"
+    )
+    got = {r["doc_id"]: list(r["pieces"]) for r in gpt2_pretokenize(df).collect()}
+    for i, c in enumerate(cases):
+        assert got[str(i)] == _GPT2_GOLDENS[c], (c, got[str(i)])
+
+
+def test_gpt2_pieces_tile_the_text(spark):
+    """The pattern must tile: concat(pieces) == text for arbitrary input."""
+    from vector_spark.bpe import gpt2_pretokenize
+
+    texts = list(_GPT2_GOLDENS) + ["x" * 300, " \t\n mixed 12a!?§ü end "]
+    df = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], "doc_id string, text string"
+    )
+    got = {r["doc_id"]: "".join(r["pieces"]) for r in gpt2_pretokenize(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[str(i)] == t
+
+
+def test_gpt2_boundary_sentinel_blocks_cross_piece_merges(spark):
+    """'ta' merge must fire inside a piece but never across the ' t'|'a'
+    boundary of two adjacent pieces."""
+    from vector_spark.bpe import (
+        apply_merges,
+        byte_tokenize_gpt2,
+        strip_piece_boundaries,
+    )
+
+    # pieces: ["boat", " azure"] — 't'(116) ends piece 1, 'a'(97) starts
+    # the byte run of piece 2 (after its space) -> no (116,97) adjacency;
+    # "tap" has an in-piece (116,97).
+    df = spark.createDataFrame(
+        [("x", "boat azure"), ("y", "tap")], "doc_id string, text string"
+    )
+    merges = [(116, 97, 256)]
+    out = apply_merges(
+        byte_tokenize_gpt2(df).select("doc_id", "tokens"), merges
+    )
+    toks = {
+        r["doc_id"]: list(r["tokens"]) for r in
+        out.select("doc_id", strip_piece_boundaries("tokens").alias("tokens")).collect()
+    }
+    assert 256 not in toks["x"]          # boundary blocked the merge
+    assert toks["y"][0] == 256           # in-piece merge fired
+
+
+def test_gpt2_roundtrip_with_merges(spark):
+    from vector_spark.bpe import (
+        apply_merges,
+        byte_detokenize,
+        byte_tokenize_gpt2,
+        strip_piece_boundaries,
+    )
+
+    texts = ["tab table tabl", "I've  got 123 tabs!", "naïve café €5", ""]
+    df = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], "doc_id string, text string"
+    )
+    merges = [(116, 97, 256), (256, 98, 257), (257, 108, 258)]
+    merged = apply_merges(byte_tokenize_gpt2(df).select("doc_id", "tokens"), merges)
+    stripped = merged.select("doc_id", strip_piece_boundaries("tokens").alias("tokens"))
+    got = {
+        r["doc_id"]: r["rt"]
+        for r in byte_detokenize(stripped, merges=merges, out_col="rt").collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[str(i)] == t
+
+
+def test_train_bpe_never_learns_boundary_pair(spark):
+    """Training over a pre-split sentinel stream must skip pairs touching
+    the -1 boundary even when they are the most frequent."""
+    from vector_spark.bpe import byte_tokenize_gpt2, train_bpe
+
+    # every piece ends with sentinel -> (last_byte, -1) pairs dominate
+    df = spark.createDataFrame(
+        [(str(i), "go go go go") for i in range(3)], "doc_id string, text string"
+    )
+    toks = byte_tokenize_gpt2(df).select("doc_id", "tokens")
+    merges = train_bpe(toks, n_merges=2, new_id_start=256)
+    for a, b, _c in merges:
+        assert a >= 0 and b >= 0, merges

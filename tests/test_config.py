@@ -1,0 +1,98 @@
+"""TOML config front door (vector_spark/config.py): env-var interpolation
+semantics (reference src/config/vars.rs:19-71), type→kind mapping, and the
+flagship pipeline driven end-to-end from configs/flagship.toml."""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import pytest
+
+from vector_spark.config import (
+    build_topology_from_toml,
+    interpolate_env,
+    load_config_text,
+)
+from vector_spark.topology import TopologyError
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_interpolation_forms():
+    env = {"A": "alpha", "EMPTY": "", "B.dot_name": "bee"}
+    assert interpolate_env("x${A}y", env)[0] == "xalphay"
+    assert interpolate_env("x$A y", env)[0] == "xalpha y"
+    assert interpolate_env("${B.dot_name}", env)[0] == "bee"
+    # :- default on unset OR empty; - default only on unset
+    assert interpolate_env("${EMPTY:-dflt}", env)[0] == "dflt"
+    assert interpolate_env("${EMPTY-dflt}", env)[0] == ""
+    assert interpolate_env("${MISSING:-dflt}", env)[0] == "dflt"
+    assert interpolate_env("${MISSING-dflt}", env)[0] == "dflt"
+    # $$ escapes
+    assert interpolate_env("cost: $$5", env)[0] == "cost: $5"
+    # unset without default -> "" plus a warning
+    out, warns = interpolate_env("<${MISSING}>", env)
+    assert out == "<>" and len(warns) == 1
+
+
+def test_interpolation_required_raises():
+    with pytest.raises(TopologyError):
+        interpolate_env("${MISSING:?need it}", {})
+    with pytest.raises(TopologyError):
+        interpolate_env("${EMPTY:?need it}", {"EMPTY": ""})
+    # '?' (without ':') accepts empty
+    assert interpolate_env("${EMPTY?err}", {"EMPTY": ""})[0] == ""
+
+
+def test_type_maps_to_kind():
+    cfg = load_config_text(
+        """
+[sources.in]
+type = "parquet"
+path = "/tmp/x"
+
+[sinks.out]
+type = "memory"
+inputs = ["in"]
+""",
+        env={},
+    )
+    assert cfg["sources"]["in"]["kind"] == "parquet"
+    assert "type" not in cfg["sources"]["in"]
+    assert cfg["sinks"]["out"]["kind"] == "memory"
+
+
+def test_flagship_toml_matches_python_flagship(spark):
+    """configs/flagship.toml through the TOML front door == the directly
+    built parse->enrich->route->aggregate flagship, row for row."""
+    from vector_spark import datagen
+    from vector_spark import pipeline as P
+    from vector_spark.topology import run_topology
+    from vector_spark.config import load_config
+
+    corpus = datagen.ensure_corpus(0.001)
+    enrich_csv = os.path.join(datagen.DATA_ROOT, "enrich_test.csv")
+    with open(enrich_csv, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["key", "region", "tier", "from_date", "to_date"])
+        w.writerows(datagen.ENRICH_ROWS)
+    cfg = load_config(
+        os.path.join(REPO, "configs", "flagship.toml"),
+        env={"VECTOR_SPARK_CORPUS": corpus, "VECTOR_SPARK_ENRICH": enrich_csv},
+    )
+    got = run_topology(spark, cfg)["out"].collect()
+    want = P.sink_aggregates(
+        P.route_stage(P.parsed_enriched(spark, P.load_corpus(spark, 0.001)))
+    ).collect()
+    key = lambda r: (r["route_key"], r["source"])  # noqa: E731
+    got_m = {key(r): (r["n_rows"], int(r["sum_tok"])) for r in got}
+    want_m = {key(r): (r["n_rows"], int(r["sum_tok"])) for r in want}
+    assert got_m == want_m
+
+
+def test_flagship_toml_requires_env(spark):
+    with pytest.raises(TopologyError):
+        build_topology_from_toml(
+            spark, os.path.join(REPO, "configs", "flagship.toml"), env={}
+        )

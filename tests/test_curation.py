@@ -156,3 +156,49 @@ def test_weighted_sample_heavier_docs_win_more(spark):
     # light doc holds 2/36 -> ~3.3.  Wide tolerances keep this seed-stable.
     assert wins["heavy"] >= 20
     assert wins["heavy"] > 4 * wins["light"]
+
+
+def test_quality_percentile_sampled_threshold_semantics(spark):
+    """Histogram-cutoff twin: tie-free sources keep exactly
+    ceil(keep_frac*n) docs; cutoff ties are ALL kept (CCNet threshold
+    semantics); no rank window function appears in the plan."""
+    from vector_spark.curation import quality_percentile_sampled
+
+    rows = (
+        # source s0: 10 distinct scores 0.0..0.9 -> k=ceil(2.5)=3
+        [(i, "s0", float(i) / 10.0) for i in range(10)]
+        # source s1: scores [9,5,5,5,1] -> k=ceil(1.25)=2, cutoff=0.5,
+        # ties at the cutoff all kept -> 4
+        + [(100, "s1", 0.9), (101, "s1", 0.5), (102, "s1", 0.5),
+           (103, "s1", 0.5), (104, "s1", 0.1)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out_df = quality_percentile_sampled(docs, F.col("score"), keep_frac=0.25)
+    plan = out_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "percent_rank" not in plan and "row_number" not in plan
+    out = {r["source"]: r for r in out_df.collect()}
+    assert out["s0"]["n_kept"] == 3
+    assert out["s0"]["min_q_micro"] == 700_000
+    assert out["s1"]["n_kept"] == 4
+    assert out["s1"]["min_q_micro"] == 500_000
+
+
+def test_quality_percentile_sampled_real_sampling_is_deterministic(spark):
+    """sample_mod > 1 derives the cutoff from a hash-sample; the selection
+    must be deterministic and a superset-of-nothing sanity: every kept doc
+    scores >= the sampled cutoff."""
+    from vector_spark.curation import quality_percentile_sampled
+
+    rows = [(i, f"s{i % 2}", float((i * 37) % 100) / 100.0) for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    a = quality_percentile_sampled(
+        docs, F.col("score"), keep_frac=0.25, sample_mod=4
+    ).collect()
+    b = quality_percentile_sampled(
+        docs, F.col("score"), keep_frac=0.25, sample_mod=4
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    for r in a:
+        # sampled cutoff keeps roughly keep_frac of the source (within the
+        # tolerance a 1/4 sample of 200 docs allows)
+        assert 20 <= r["n_kept"] <= 90

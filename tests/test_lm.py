@@ -186,3 +186,33 @@ def test_perplexity_buckets_balanced_and_ordered(spark):
     fast = {(r["doc_id"], r["bucket"]) for r in perplexity_buckets(df, n_buckets=3, fast=True).collect()}
     slow = {(r["doc_id"], r["bucket"]) for r in out}
     assert fast == slow
+
+
+def test_perplexity_buckets_sampled_matches_exact_modulo_ties(spark):
+    """The histogram-threshold twin reproduces the exact rank formulation
+    wherever nll_avg is unique within its source; docs tying on nll_avg
+    share the FIRST rank's bucket (value thresholds cannot split a tie).
+    Also: no rank window in the optimized plan."""
+    from collections import defaultdict
+
+    from vector_spark.lm import perplexity_buckets, perplexity_buckets_sampled
+
+    rows = (
+        [(f"a{i}", [1, 2] * 6, "a") for i in range(6)]
+        + [(f"u{i}", list(range(10 + i * 12, 22 + i * 12)), "a") for i in range(6)]
+        + [(f"b{i}", [5, 6] * 4, "b") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, source string")
+    sampled_df = perplexity_buckets_sampled(df, n_buckets=3)
+    plan = sampled_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" not in plan and "percent_rank" not in plan
+    exact = {r["doc_id"]: r for r in perplexity_buckets(df, n_buckets=3).collect()}
+    sampled = {r["doc_id"]: r for r in sampled_df.collect()}
+    assert set(exact) == set(sampled)
+    groups = defaultdict(list)
+    for d, r in exact.items():
+        groups[(r["source"], r["nll_avg"])].append(d)
+    for (src, _nll), docs_in_group in groups.items():
+        want = min(exact[d]["bucket"] for d in docs_in_group)  # first-rank rule
+        for d in docs_in_group:
+            assert sampled[d]["bucket"] == want, (d, sampled[d], want)

@@ -194,6 +194,41 @@ def test_dedup_components_label_propagation(spark):
     assert got == {3: 3, 5: 3, 9: 3, 11: 3, 20: 20, 21: 20, 40: 2, 2: 2}
 
 
+def test_dedup_components_star_matches_propagation(spark):
+    """Large-star/small-star CC (Kiveris et al.) must produce exactly the
+    min-label-propagation labeling on mixed chain + clique + singleton-pair
+    topologies."""
+    from vector_spark.dedup import dedup_components, dedup_components_star
+
+    pairs = spark.createDataFrame(
+        [(3, 5), (5, 9), (9, 11), (20, 21), (40, 2),
+         (50, 51), (51, 52), (50, 52), (60, 61)],
+        ["id_a", "id_b"],
+    )
+    prop = {r["doc_id"]: r["component"] for r in dedup_components(pairs).collect()}
+    star = {r["doc_id"]: r["component"] for r in dedup_components_star(pairs).collect()}
+    assert star == prop
+
+
+def test_dedup_components_star_chain_logn_rounds(spark):
+    """The pathological case propagation cannot do: a 256-node chain
+    converges in O(log n) star rounds (propagation needs O(n) = 255).
+    Kiveris et al. bound the alternation by O(log^2 n) with the practical
+    rate ~log n; assert a generous 2*log2(n) + 4."""
+    import math
+
+    from vector_spark.dedup import dedup_components_star
+
+    n = 256
+    pairs = spark.createDataFrame(
+        [(f"d{i:04d}", f"d{i + 1:04d}") for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    labels, rounds = dedup_components_star(pairs, return_rounds=True)
+    got = {r["doc_id"]: r["component"] for r in labels.collect()}
+    assert got == {f"d{i:04d}": "d0000" for i in range(n)}
+    assert rounds <= 2 * int(math.log2(n)) + 4, rounds
+
+
 def test_dedup_select_keeps_best_quality(spark):
     """Quality-aware canonical selection: each component keeps its highest-
     score member (tie -> min id); docs in no pair are singleton keepers."""

@@ -140,7 +140,11 @@ def train_bpe(
     the stream."""
     merges: list[tuple[int, int, int]] = []
     for i in range(n_merges):
-        best = _pair_counts_after(df, merges, tok_col).orderBy(
+        # pairs touching the pre-token boundary sentinel (byte_tokenize_gpt2)
+        # are never merge candidates — merges must not cross pieces
+        best = _pair_counts_after(df, merges, tok_col).filter(
+            (F.col("t1") >= 0) & (F.col("t2") >= 0)
+        ).orderBy(
             F.desc("n_occ"), F.asc("t1"), F.asc("t2")
         ).limit(1).collect()
         if not best or int(best[0]["n_occ"]) < min_count:
@@ -233,6 +237,73 @@ def sql_byte_tokenize(text_expr: str) -> str:
         f"list_transform(regexp_extract_all(hex(encode(COALESCE({text_expr}, ''))), "
         f"'..'), x -> ('0x' || x)::INT)"
     )
+
+
+# The public GPT-2 pre-tokenization split (OpenAI gpt-2 encoder.py /
+# tiktoken's r50k pattern): contractions, space-glued letter runs, digit
+# runs, punctuation runs, then whitespace (a run keeps its last space for
+# the following token via the lookahead).  Java regex supports \p{L}/\p{N}
+# and lookahead, so the split is PURE CODEGEN on the Spark side — no
+# Python, no Arrow batch.
+GPT2_PRETOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+    r"|\s+(?!\S)|\s+"
+)
+
+PIECE_BOUNDARY = -1  # sentinel token between pre-token pieces
+
+
+def gpt2_pretokenize(
+    df: DataFrame, text_col: str = "text", out_col: str = "pieces"
+) -> DataFrame:
+    """Split text into GPT-2 pre-tokens (``array<string>``).  The pattern
+    tiles the input — every character lands in exactly one piece — so
+    ``concat(pieces) == text`` (pinned by the roundtrip oracle)."""
+    pieces = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")),
+        F.lit("(" + GPT2_PRETOKEN_PATTERN + ")"),
+        1,
+    )
+    return df.withColumn(out_col, pieces)
+
+
+def _piece_bytes(piece) -> Column:
+    hexs = F.hex(F.encode(piece, "UTF-8"))
+    return F.transform(
+        F.regexp_extract_all(hexs, F.lit("(..)"), 1),
+        lambda x: F.conv(x, 16, 10).cast("int"),
+    )
+
+
+def byte_tokenize_gpt2(
+    df: DataFrame, text_col: str = "text", out_col: str = "tokens"
+) -> DataFrame:
+    """Raw text → GPT-2 pre-split → UTF-8 byte ids with a ``-1`` boundary
+    sentinel after each piece.  BPE merge pairs are non-negative ids, so a
+    pair spanning two pieces always contains the sentinel and can never
+    merge — exactly the canonical recipe's "merges don't cross pre-token
+    boundaries" rule, with no change to the merge kernel.  Strip
+    boundaries with :func:`strip_piece_boundaries` before packing/export."""
+    pieces = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")),
+        F.lit("(" + GPT2_PRETOKEN_PATTERN + ")"),
+        1,
+    )
+    toks = F.flatten(
+        F.transform(
+            pieces,
+            lambda p: F.concat(
+                _piece_bytes(p), F.array(F.lit(PIECE_BOUNDARY).cast("int"))
+            ),
+        )
+    )
+    return df.withColumn(out_col, toks)
+
+
+def strip_piece_boundaries(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(c, lambda t: t != F.lit(PIECE_BOUNDARY))
 
 
 def expand_merges(merges: list[tuple[int, int, int]]) -> dict[int, list[int]]:

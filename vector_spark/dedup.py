@@ -571,6 +571,103 @@ def dedup_components(
     return labels.select(F.col("src").alias("doc_id"), F.col("label").alias("component"))
 
 
+def dedup_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+    return_rounds: bool = False,
+):
+    """Large-star/small-star connected components (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond", public) — the
+    production-scale twin of :func:`dedup_components` (VERDICT r3 Next #5).
+
+    Min-label propagation converges in O(diameter) rounds — fine for
+    dense near-dup clusters, pathological on chain-shaped graphs (a
+    10^6-node chain needs 10^6 rounds).  The star algorithm provably
+    converges in O(log n) rounds on ANY graph by alternating two
+    edge-rewriting steps, each one hash-aggregate + one join (the same
+    shuffle primitive as propagation, never materializing more edges
+    than 2|E|):
+
+    - large-star: for each node u, link every STRICTLY LARGER neighbor
+      to min(N(u) ∪ {u});
+    - small-star: orient edges large→small, then link every neighbor
+      (all smaller) and u itself to min(N(u) ∪ {u}).
+
+    The fixed point is the star graph rooted at each component's minimum
+    id, so the output contract is identical to dedup_components:
+    (doc_id, component = min reachable id), one row per doc in ``pairs``.
+    Ids compare with Spark/DuckDB string ordering (the repo's ids are
+    fixed-width zero-padded, so lexicographic = numeric).
+    """
+    nodes = (
+        pairs.select(F.col(id_a).alias("u"))
+        .union(pairs.select(F.col(id_b).alias("u")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(e: DataFrame):
+        row = e.agg(
+            F.sum(F.hash("u", "v").cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return (row["s"], row["n"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("nbr_min"))
+        m = F.least(F.col("nbr_min"), F.col("u")).alias("m")
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        linked = oriented.join(mins, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        self_link = mins.select("u", F.col("m").alias("v"))
+        return (
+            linked.union(self_link)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    rounds = 0
+    prev = _sig(edges)
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        rounds += 1
+        sig = _sig(edges)
+        if sig == prev:
+            break
+        prev = sig
+    labels = nodes.join(
+        edges.select(F.col("u"), F.col("v").alias("root")), "u", "left"
+    ).select(
+        F.col("u").alias("doc_id"),
+        F.coalesce(F.col("root"), F.col("u")).alias("component"),
+    )
+    if return_rounds:
+        return labels, rounds
+    return labels
+
+
 def dedup_select(
     docs: DataFrame,
     pairs: DataFrame,

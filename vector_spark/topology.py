@@ -149,6 +149,12 @@ def build_topology(spark: SparkSession, config: dict) -> Topology:
                 ends_when=_expr(spec["ends_when"]) if "ends_when" in spec else None,
             )
         elif kind == "remap_grok":
+            pattern = spec["pattern"]
+            if pattern.startswith("canned:"):
+                from vector_spark.functions.grok import CANNED
+
+                pattern = CANNED[pattern.removeprefix("canned:")]
+                spec = {**spec, "pattern": pattern}
             cols = grok_columns(spec.get("field", "message"), spec["pattern"])
             parsed = df.select("*", *cols)
             if spec.get("drop_on_error"):
@@ -163,11 +169,33 @@ def build_topology(spark: SparkSession, config: dict) -> Topology:
         elif kind == "remap_select":
             out[name] = df.selectExpr(*spec["exprs"])
         elif kind == "enrich":
+            table = spec["table"]
+            if isinstance(table, str):
+                # config front door: enrichment table as a CSV file path
+                # (reference src/enrichment_tables/file.rs reads CSV with a
+                # declared schema); spec["types"] casts columns, e.g.
+                # {"from_date": "date"} — everything else stays string.
+                table = spark.read.csv(table, header=True)
+                for col, typ in (spec.get("types") or {}).items():
+                    table = table.withColumn(col, F.col(col).cast(typ))
+            dr = spec.get("date_range")
             out[name] = enrich_find(
-                df, spec["table"], on=spec["on"],
+                df, table, on=spec["on"],
                 case_sensitive=spec.get("case_sensitive", True),
-                date_range=spec.get("date_range"), select=spec.get("select"),
+                date_range=tuple(dr) if dr else None, select=spec.get("select"),
             )
+        elif kind == "aggregate":
+            # generic hash aggregate (≅ the reference's aggregate +
+            # log_to_metric counter flush, expressed declaratively):
+            # group_by columns + {alias: SQL aggregate expr}.  Map-side
+            # partial aggregation keeps the exchange at |groups| rows.
+            aggs = [
+                F.expr(e).alias(a) for a, e in spec["aggs"].items()
+            ]
+            agged = df.groupBy(*spec.get("group_by", [])).agg(*aggs)
+            if spec.get("order_by"):
+                agged = agged.orderBy(*spec["order_by"])
+            out[name] = agged
         elif kind == "log_to_metric":
             from vector_spark.operators.metrics import log_to_metric
 
