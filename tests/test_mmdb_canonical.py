@@ -1,0 +1,69 @@
+"""Real-artifact validation for the jar-free MaxMind-DB reader
+(functions/mmdb.py): decode the CANONICAL MaxMind test databases (the
+public MaxMind-DB test suite, github.com/maxmind/MaxMind-DB test-data,
+vendored read-only by the reference checkout) and assert the documented
+lookups.  These files were produced by MaxMind's own writer — 28-bit
+records, pointer-compressed data sections, v6-embedded-v4 trees — so
+this closes the round-3 "spec codec never ran against a file produced by
+the canonical tools" gap for mmdb (the Avro twin is
+test_avro_canonical.py; a network fetch stays DNS-refused, but the
+canonical artifacts are present locally).
+
+Expected values are MaxMind's published test fixtures (e.g.
+2.125.160.216 -> Boxford GB in GeoIP2-City-Test), not copied from the
+reference's Rust code."""
+
+from __future__ import annotations
+
+import ipaddress
+import os
+
+import pytest
+
+from vector_spark.functions.mmdb import read_mmdb
+
+CITY = "/root/reference/tests/data/GeoIP2-City-Test.mmdb"
+ISP = "/root/reference/tests/data/GeoIP2-ISP-Test.mmdb"
+
+needs_artifacts = pytest.mark.skipif(
+    not os.path.exists(CITY), reason="canonical MaxMind test data not present"
+)
+
+
+def _lookup(ranges, ip):
+    n = int(ipaddress.IPv4Address(ip))
+    for s, e, d in ranges:
+        if s <= n <= e:
+            return d
+    return None
+
+
+@needs_artifacts
+def test_canonical_city_database():
+    meta, ranges = read_mmdb(CITY)
+    assert meta["database_type"] == "GeoIP2-City"
+    assert meta["record_size"] == 28  # the writer we DON'T emit ourselves
+    assert meta["ip_version"] == 6  # v4 space under ::/96
+    assert ranges, "v4 subtree must flatten to ranges"
+    boxford = _lookup(ranges, "2.125.160.216")
+    assert boxford["city"]["names"]["en"] == "Boxford"
+    assert boxford["country"]["iso_code"] == "GB"
+    london = _lookup(ranges, "81.2.69.142")
+    assert london["city"]["names"]["en"] == "London"
+    milton = _lookup(ranges, "216.160.83.56")
+    assert milton["city"]["names"]["en"] == "Milton"
+    assert milton["country"]["iso_code"] == "US"
+    assert _lookup(ranges, "8.8.8.8") is None  # not in the test set
+
+
+@needs_artifacts
+def test_canonical_isp_database():
+    meta, ranges = read_mmdb(ISP)
+    assert meta["database_type"] == "GeoIP2-ISP"
+    assert len(ranges) > 1000  # pointer-heavy data section in play
+    telstra = _lookup(ranges, "1.128.0.1")
+    assert telstra["autonomous_system_number"] == 1221
+    assert telstra["autonomous_system_organization"] == "Telstra Pty Ltd"
+    att = _lookup(ranges, "12.87.118.0")
+    assert att["autonomous_system_number"] == 7018
+    assert att["isp"] == "AT&T Services"
