@@ -45,6 +45,31 @@ SOURCE = os.environ.get("SPARK_GRAFT_SCALING_SOURCE", "parquet")
 ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "5"))
 N_LO = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
 N_HI = 4 * N_LO
+# CPU pinning policy for the child JVMs (tests the SMT-sibling
+# co-scheduling theory for the sub-0.8 2->8 pair; VERDICT r3 Next #4).
+# The sandbox exposes no sibling topology (every vCPU reports itself as
+# its only sibling), so host-level SMT pairing can only be probed by
+# hypothesis:
+#   none   — no pinning (the round-1..3 official methodology)
+#   even   — taskset to the first N EVEN vCPUs (0,2,4,..): if the host
+#            pairs adjacent vCPUs as SMT siblings, this uses N distinct
+#            physical cores
+#   low    — taskset to vCPUs 0..N-1 (adjacent; the sibling-sharing
+#            counter-hypothesis)
+#   spread — stride-32/N vCPUs (0,16 for N=2): if the host pairs i and
+#            i+16, this is the worst case for N=2
+PIN = os.environ.get("SPARK_GRAFT_SCALING_PIN", "none")
+
+
+def _pin_list(cpus: int) -> list[int]:
+    if PIN == "even":
+        return [2 * i for i in range(cpus)]
+    if PIN == "low":
+        return list(range(cpus))
+    if PIN == "spread":
+        stride = max(1, 32 // cpus)
+        return [(i * stride) % 32 for i in range(cpus)]
+    raise ValueError(PIN)
 
 CHILD = r"""
 import json, sys, time
@@ -78,8 +103,12 @@ print(json.dumps({{"cpus": cpus, "sec": dt, "iters": [round(i, 2) for i in iters
 
 def run_level(cpus: int) -> dict:
     code = CHILD.format(repo=REPO)
+    argv = [sys.executable, "-c", code, str(cpus), str(SF), SOURCE]
+    if PIN != "none":
+        cpu_list = ",".join(str(c) for c in _pin_list(cpus))
+        argv = ["taskset", "-c", cpu_list] + argv
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cpus), str(SF), SOURCE],
+        argv,
         capture_output=True, text=True, timeout=1200,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
@@ -98,19 +127,28 @@ def main() -> None:
     best_hi = max(samples[N_HI], key=lambda s: s["rows_per_sec"])
     eff = (best_hi["rows_per_sec"] / best_lo["rows_per_sec"]) / 4.0
     result = {
-        "sf": SF, "rounds": ROUNDS, "source": SOURCE,
+        "sf": SF, "rounds": ROUNDS, "source": SOURCE, "pin": PIN,
         "n": N_LO, "best_n": best_lo, "best_4n": best_hi,
         "scaling_efficiency": round(eff, 3),
         "samples": samples,
     }
     print(json.dumps(result))
+    # Official gate samples (the bench.py median) are the pin=none N=2
+    # methodology used since round 1; pinned/experimental runs get a
+    # DIFFERENT label so they are fully disclosed in BENCH.md without
+    # redefining the official estimator mid-series.
+    official = PIN == "none"
+    eff_label = (
+        "Scaling efficiency N->4N" if official
+        else f"Experimental scaling efficiency (pin={PIN}) N->4N"
+    )
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write(
-            f"\n## Scaling run (sf={SF}, source={SOURCE}, best of {ROUNDS} interleaved rounds)\n\n"
+            f"\n## Scaling run (sf={SF}, source={SOURCE}, pin={PIN}, best of {ROUNDS} interleaved rounds)\n\n"
             f"| cores | best wall sec | routed rows | best rows/sec |\n|---|---|---|---|\n"
             f"| local[{N_LO}] (N) | {best_lo['sec']:.2f} | {best_lo['rows']} | {best_lo['rows_per_sec']:.0f} |\n"
             f"| local[{N_HI}] (4N) | {best_hi['sec']:.2f} | {best_hi['rows']} | {best_hi['rows_per_sec']:.0f} |\n\n"
-            f"Scaling efficiency N->4N: **{eff:.2f}** "
+            f"{eff_label}: **{eff:.2f}** "
             f"(ideal 1.0; north-rule gate >=0.8)\n\n"
             f"All samples (sec): local[{N_LO}]="
             f"{[round(s['sec'],1) for s in samples[N_LO]]}, local[{N_HI}]="

@@ -223,3 +223,34 @@ def test_run_pipeline_per_route_mode_and_crash_resume(spark, tmp_path):
     # per_route sinks agree with the partitioned flagship's routed total
     r3 = run_pipeline(spark, 0.001, out_dir=str(tmp_path / "part"), run_id="Q")
     assert r1["routed_rows"] == r3["routed_rows"]
+
+
+def test_tap_topology_samples_component_outputs(spark):
+    """vector-tap analogue: glob-matched component outputs yield JSON
+    event samples, including route ports."""
+    import json
+
+    from vector_spark.topology import tap_topology, top_topology
+
+    df = spark.createDataFrame(
+        [("a", "ERROR", 3), ("b", "INFO", 1), ("c", "ERROR", 2)],
+        "id string, level string, n int",
+    )
+    cfg = {
+        "sources": {"in": {"kind": "memory", "df": df}},
+        "transforms": {
+            "router": {
+                "kind": "route",
+                "inputs": ["in"],
+                "routes": {"errors": "level = 'ERROR'"},
+            },
+        },
+        "sinks": {"out": {"kind": "blackhole", "inputs": ["router.errors"]}},
+    }
+    taps = tap_topology(spark, cfg, patterns=["router.*"], limit=10)
+    # route ports are real outputs: the explicit route AND _unmatched
+    assert set(taps) == {"router.errors", "router._unmatched"}
+    rows = [json.loads(s) for s in taps["router.errors"]]
+    assert {r["id"] for r in rows} == {"a", "c"}
+    counts = top_topology(spark, cfg)
+    assert counts["router.errors"] == 2 and counts["in"] == 3

@@ -267,3 +267,37 @@ def topology_dot(config: dict) -> str:
             lines.append(f'  "{base}" -> "{name}"{label};')
     lines.append("}")
     return "\n".join(lines)
+
+
+def tap_topology(
+    spark: SparkSession,
+    config: dict,
+    patterns: list[str] | None = None,
+    limit: int = 5,
+) -> dict[str, list[str]]:
+    """``vector tap`` analogue (src/tap/cmd.rs, src/api/schema/events):
+    sample up to ``limit`` events from each component OUTPUT matched by
+    the glob ``patterns`` (tap's component-pattern syntax; None = every
+    output, route ports address as ``transform.port``), rendered as JSON
+    strings — the same notification shape tap streams to the console.
+
+    Batch semantics: the reference taps a RUNNING topology's fanouts;
+    here each tap is a bounded ``take`` on the lazily-built DataFrame for
+    that output, so Catalyst prunes the plan to the sampled component
+    (no sink is executed).  Spark UI remains the live-metrics surface."""
+    import fnmatch
+
+    topo = build_topology(spark, config)
+    names = [
+        n for n in topo.outputs
+        if patterns is None or any(fnmatch.fnmatch(n, p) for p in patterns)
+    ]
+    return {n: list(topo.outputs[n].toJSON().take(limit)) for n in names}
+
+
+def top_topology(spark: SparkSession, config: dict) -> dict[str, int]:
+    """``vector top`` analogue (src/top/): per-component output row
+    counts for a batch run of the topology.  One count per component —
+    a diagnostic full pass, not the hot path."""
+    topo = build_topology(spark, config)
+    return {n: topo.outputs[n].count() for n in topo.outputs}
