@@ -67,3 +67,27 @@ def test_canonical_isp_database():
     att = _lookup(ranges, "12.87.118.0")
     assert att["autonomous_system_number"] == 7018
     assert att["isp"] == "AT&T Services"
+
+
+@needs_artifacts
+def test_geoip_enrich_through_canonical_city_db(spark):
+    """The full geoip operator path — load_geoip_mmdb -> bucketed
+    broadcast range join — driven by MaxMind's canonical City test
+    database instead of our own fixture writer."""
+    from vector_spark.enrichment import geoip_enrich, load_geoip_mmdb
+
+    geo = load_geoip_mmdb(spark, CITY)
+    events = spark.createDataFrame(
+        [("e1", "2.125.160.216"), ("e2", "81.2.69.142"),
+         ("e3", "216.160.83.56"), ("e4", "8.8.8.8")],
+        "id string, client_ip string",
+    )
+    out = {
+        r["id"]: r for r in geoip_enrich(
+            events, geo, "client_ip", select=["country_code", "city_name"]
+        ).collect()
+    }
+    assert out["e1"]["city_name"] == "Boxford" and out["e1"]["country_code"] == "GB"
+    assert out["e2"]["city_name"] == "London"
+    assert out["e3"]["city_name"] == "Milton" and out["e3"]["country_code"] == "US"
+    assert out["e4"]["city_name"] is None  # outside the test ranges
