@@ -148,6 +148,32 @@ def main() -> None:
         timings["dedup_groups_star_fast"] = -1.0
         print(f"# bench query dedup_groups_star_fast failed: {e}", file=sys.stderr)
 
+    # pathological-chain connected components: the star algorithm's
+    # O(log n) round bound on the graph shape where min-label propagation
+    # needs O(n) rounds (VERDICT r3 Next #5 "Done" evidence).  2^17-node
+    # chain built distributed from spark.range; rounds + wall recorded.
+    star_chain = None
+    t0 = time.time()
+    try:
+        from pyspark.sql import functions as F
+
+        from vector_spark.dedup import dedup_components_star
+
+        n_chain = 1 << 17
+        chain = spark.range(n_chain - 1).select(
+            F.format_string("c%08d", F.col("id")).alias("id_a"),
+            F.format_string("c%08d", F.col("id") + 1).alias("id_b"),
+        )
+        labels, rounds = dedup_components_star(chain, return_rounds=True)
+        n_roots = labels.filter(F.col("component") == "c00000000").count()
+        assert n_roots == n_chain, f"chain collapse failed: {n_roots}"
+        star_chain = {"n": n_chain, "rounds": rounds,
+                      "sec": round(time.time() - t0, 3)}
+        timings["dedup_star_chain"] = star_chain["sec"]
+    except Exception as e:
+        timings["dedup_star_chain"] = -1.0
+        print(f"# bench query dedup_star_chain failed: {e}", file=sys.stderr)
+
     # bounded-memory heavy-hitter pair scan (Misra-Gries): same corpus as
     # token_pair_stats but the exchange is k x partitions rows, not
     # O(distinct pairs) — the sketch answer to the uniform worst case
@@ -242,6 +268,7 @@ def main() -> None:
         "rows_per_sec": round(rows_per_sec, 1),
         "scaling_efficiency_median_recorded": scaling_eff,
         "cpus": CPUS,
+        "star_chain": star_chain,
     }
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
