@@ -254,3 +254,32 @@ def test_tap_topology_samples_component_outputs(spark):
     assert {r["id"] for r in rows} == {"a", "c"}
     counts = top_topology(spark, cfg)
     assert counts["router.errors"] == 2 and counts["in"] == 3
+
+
+def test_glob_inputs_expand(spark):
+    """Wildcard inputs (reference expand_globs): `router.*` fans every
+    route port into the downstream component; a no-match pattern errors."""
+    import pytest as _pytest
+
+    from vector_spark.topology import TopologyError, run_topology
+
+    df = spark.createDataFrame(
+        [("a", "ERROR"), ("b", "WARN"), ("c", "INFO")], "id string, level string"
+    )
+    cfg = {
+        "sources": {"in": {"kind": "memory", "df": df}},
+        "transforms": {
+            "router": {
+                "kind": "route",
+                "inputs": ["in"],
+                "routes": {"errors": "level = 'ERROR'",
+                           "warnings": "level = 'WARN'"},
+            },
+        },
+        "sinks": {"all_routed": {"kind": "blackhole", "inputs": ["router.*"]}},
+    }
+    # router.* -> errors + warnings + _unmatched = all 3 rows
+    assert run_topology(spark, cfg)["all_routed"] == 3
+    bad = {**cfg, "sinks": {"s": {"kind": "blackhole", "inputs": ["nope_*"]}}}
+    with _pytest.raises(TopologyError, match="matches no outputs"):
+        run_topology(spark, bad)

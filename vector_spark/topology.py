@@ -54,12 +54,70 @@ def _expr(e) -> Column:
     return F.expr(e) if isinstance(e, str) else e
 
 
+def _known_outputs(config: dict) -> list[str]:
+    """Every addressable output id: sources, transforms, and declared
+    multi-output ports (route's ``name.route``/``name._unmatched``,
+    remap_grok's ``name.dropped``)."""
+    out = list(config.get("sources", {}))
+    for name, spec in config.get("transforms", {}).items():
+        out.append(name)
+        if spec.get("kind") == "route":
+            out += [f"{name}.{r}" for r in spec.get("routes", {})]
+            out.append(f"{name}._unmatched")
+        if spec.get("kind") == "remap_grok" and spec.get("drop_on_error"):
+            out.append(f"{name}.dropped")
+    return out
+
+
+def expand_glob_inputs(config: dict) -> dict:
+    """Wildcard input expansion (``inputs = ["app_*"]`` — reference
+    ``expand_globs``, src/config/compiler.rs:127 + graph.rs input
+    resolution): each glob pattern expands to every matching component
+    output id EXCEPT the component's own outputs (no self-loops, same
+    exclusion as the reference).  A pattern matching nothing is an error.
+    Non-glob inputs pass through untouched.  Returns a new config dict;
+    idempotent."""
+    import fnmatch
+
+    known = _known_outputs(config)
+    cfg = dict(config)
+    for section in ("transforms", "sinks"):
+        if section not in cfg:
+            continue
+        newsec = {}
+        for name, spec in cfg[section].items():
+            refs = spec.get("inputs", [])
+            if not any("*" in r or "?" in r or "[" in r for r in refs):
+                newsec[name] = spec
+                continue
+            expanded: list[str] = []
+            for r in refs:
+                if "*" in r or "?" in r or "[" in r:
+                    hits = [
+                        k for k in known
+                        if fnmatch.fnmatchcase(k, r)
+                        and k != name and not k.startswith(name + ".")
+                    ]
+                    if not hits:
+                        raise TopologyError(
+                            f"{name}: input pattern {r!r} matches no outputs"
+                        )
+                    expanded += hits
+                else:
+                    expanded.append(r)
+            newsec[name] = {**spec, "inputs": expanded}
+        cfg[section] = newsec
+    return cfg
+
+
 def compile_topology(config: dict) -> list[str]:
     """Validate + topo-sort; returns build order of transform names.
 
-    Raises TopologyError on unknown inputs, cycles, or sinks with fan-in
+    Glob inputs are expanded first (``expand_glob_inputs``).  Raises
+    TopologyError on unknown inputs, cycles, or sinks with fan-in
     (≅ graph.typecheck + check_for_cycles, src/config/graph.rs:185-247).
     """
+    config = expand_glob_inputs(config)
     sources = config.get("sources", {})
     transforms = config.get("transforms", {})
     sinks = config.get("sinks", {})
@@ -95,6 +153,7 @@ def compile_topology(config: dict) -> list[str]:
 
 def build_topology(spark: SparkSession, config: dict) -> Topology:
     """Build every component; returns the Topology with all outputs bound."""
+    config = expand_glob_inputs(config)
     order = compile_topology(config)
     topo = Topology(config)
     out = topo.outputs
@@ -223,7 +282,8 @@ def run_topology(
     manifest instead)."""
     topo = build_topology(spark, config)
     results: dict[str, object] = {}
-    for name, spec in config.get("sinks", {}).items():
+    # topo.config carries the glob-expanded input refs
+    for name, spec in topo.config.get("sinks", {}).items():
         refs = spec.get("inputs", [])
         df = topo.outputs[refs[0]]
         for r in refs[1:]:
