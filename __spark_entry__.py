@@ -4411,9 +4411,13 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_dirty": _q_parse_dirty,
         "parse_user_agent": _q_parse_user_agent,
         "native_roundtrip": _q_native_roundtrip,
-        "avro_roundtrip": _q_avro_roundtrip,
         "native_json_roundtrip": _q_native_json_roundtrip,
         "bm25_topk": _q_bm25_topk,
+        # position 51 (just outside a 50-query window): avro_roundtrip is
+        # the priority entry with the strongest non-driver evidence — the
+        # codec is cross-validated against the canonical Apache Avro Java
+        # library in tests/test_avro_canonical.py
+        "avro_roundtrip": _q_avro_roundtrip,
         # -- driver-green in r01/r02 only (refresh when window allows) --
         "aggregate_histogram": _q_aggregate_histogram,
         "log_to_metric": _q_log_to_metric,
