@@ -95,3 +95,68 @@ def test_grok_parses_any_well_formed_line(spark, rows):
     }
     for line, lvl, uid, msg in lines:
         assert got[line] == (lvl, uid, msg)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_gpt2_pretokenize_tiles_any_unicode(spark, texts):
+    """Property: the GPT-2 pre-split TILES arbitrary unicode —
+    concat(pieces) == text, and the sentinel byte stream strips back to
+    the exact UTF-8 bytes."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.bpe import (
+        byte_tokenize_gpt2,
+        gpt2_pretokenize,
+        strip_piece_boundaries,
+    )
+
+    df = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], "doc_id string, text string"
+    )
+    joined = {
+        r["doc_id"]: "".join(r["pieces"])
+        for r in gpt2_pretokenize(df).collect()
+    }
+    toks = {
+        r["doc_id"]: list(r["t"])
+        for r in byte_tokenize_gpt2(df).select(
+            "doc_id", strip_piece_boundaries("tokens").alias("t")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert joined[str(i)] == t
+        assert toks[str(i)] == list(t.encode("utf-8"))
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_star_cc_equals_propagation_on_random_graphs(spark, edges):
+    """Property: large-star/small-star and min-label propagation agree on
+    arbitrary random graphs (self-loops and duplicate edges included)."""
+    from vector_spark.dedup import dedup_components, dedup_components_star
+
+    pairs = spark.createDataFrame(
+        [(f"n{a:02d}", f"n{b:02d}") for a, b in edges], ["id_a", "id_b"]
+    )
+    prop = {r["doc_id"]: r["component"] for r in dedup_components(pairs).collect()}
+    star = {r["doc_id"]: r["component"] for r in dedup_components_star(pairs).collect()}
+    assert star == prop
