@@ -1,0 +1,124 @@
+"""The `lua` transform over Spark: mapInPandas execution, schema
+inference, topology/TOML front-door wiring, and the reference's lua
+behavior corpus (tests/behavior/transforms/lua_v1.toml + lua_v2.toml)
+run through the `vector test` harness via configs/lua_tests.toml.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from vector_spark.config import load_config
+from vector_spark.config_tests import run_config_tests
+from vector_spark.operators.lua import LuaTransformConfig, lua_transform
+from vector_spark.topology import build_topology
+
+
+def test_lua_transform_extract(spark):
+    df = spark.createDataFrame(
+        [("Hello, my name is Bob.",), ("Hello, my name is Alice.",),
+         ("no match",)], "message string")
+    cfg = LuaTransformConfig(version="2", process="""function (event, emit)
+        local _, _, name = string.find(event.log.message, "Hello, my name is (%a+).")
+        if name ~= nil then
+          event.log.name = name
+          emit(event)
+        end
+    end""")
+    out = lua_transform(df, cfg, schema="message string, name string")
+    rows = sorted(tuple(r) for r in out.collect())
+    assert rows == [("Hello, my name is Alice.", "Alice"),
+                    ("Hello, my name is Bob.", "Bob")]
+
+
+def test_lua_transform_schema_inference(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "n long, s string")
+    cfg = LuaTransformConfig(
+        version="2",
+        process="function (event, emit) event.log.twice = event.log.n * 2 emit(event) end")
+    out = lua_transform(df, cfg)  # no schema: driver-side sample infers
+    assert set(out.columns) == {"n", "s", "twice"}
+    assert dict(out.select("n", "twice").collect()[0].asDict())["twice"] in (2, 4)
+    assert out.count() == 2
+
+
+def test_lua_transform_fanout_and_drop(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "v long")
+    cfg = LuaTransformConfig(version="2", process="""function (event, emit)
+        if event.log.v % 2 == 0 then
+          emit(event)
+          emit(event)
+        end
+    end""")
+    out = lua_transform(df, cfg, schema="v long")
+    assert out.count() == 10  # 5 even values, emitted twice each
+
+
+def test_lua_transform_partition_state(spark):
+    # per-partition counter flush (the single global state of the
+    # reference becomes one state per partition — coalesce(1) makes the
+    # batch deterministic)
+    df = spark.createDataFrame([(i,) for i in range(7)], "v long").coalesce(1)
+    cfg = LuaTransformConfig(
+        version="2",
+        source=("count = 0\n"
+                "function p(event, emit) count = count + 1 end\n"
+                "function f(emit) emit({metric = {name = 'n', "
+                "counter = {value = count}}}) end"),
+        process="p", shutdown="f")
+    out = lua_transform(
+        df, cfg,
+        schema="metric struct<name:string, counter:struct<value:double>>")
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["metric"]["counter"]["value"] == 7.0
+
+
+def test_lua_transform_metric_mutation(spark):
+    mdf = spark.createDataFrame(
+        [Row(metric=Row(name="example counter", kind="absolute",
+                        counter=Row(value=1.0)))])
+    cfg = LuaTransformConfig(version="2", process="""function (event, emit)
+        event.metric.counter.value = event.metric.counter.value + 1
+        emit(event)
+    end""")
+    out = lua_transform(mdf, cfg, schema=mdf.schema)
+    assert out.collect()[0]["metric"]["counter"]["value"] == 2.0
+
+
+def test_lua_v1_through_topology(spark):
+    df = spark.createDataFrame([("x",)], "a string")
+    topo = build_topology(spark, {
+        "sources": {"src": {"kind": "memory", "df": df}},
+        "transforms": {
+            "swap": {
+                "kind": "lua",  # unversioned -> v1, like the reference
+                "inputs": ["src"],
+                "source": 'event["a"], event["b"] = nil, event["a"]',
+                "schema": "a string, b string",
+            },
+        },
+    })
+    row = topo.outputs["swap"].collect()[0]
+    assert row["a"] is None and row["b"] == "x"
+
+
+def test_lua_behavior_corpus_via_config_tests(spark):
+    """The reference's lua_v1.toml + lua_v2.toml behavior tests, adapted
+    in configs/lua_tests.toml, all pass through the `vector test`
+    harness."""
+    cfg = load_config("configs/lua_tests.toml")
+    results = run_config_tests(spark, cfg)
+    failures = {r.name: r.errors for r in results if not r.passed}
+    assert not failures, failures
+    assert {r.name for r in results} == {
+        "lua_v2_log", "lua_v2_source", "lua_v2_metric",
+        "lua_v2_log_to_metric", "lua_v2_metric_to_log",
+        "lua_unversioned", "lua_v1",
+    }
+
+
+def test_lua_requires_process_for_v2():
+    with pytest.raises(ValueError):
+        LuaTransformConfig(version="2", source="x = 1")

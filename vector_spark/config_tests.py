@@ -42,10 +42,18 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Row, SparkSession
 from pyspark.sql import functions as F
 
 from vector_spark.topology import TopologyError, build_topology
+
+
+def _dict_to_row(d: dict) -> Row:
+    """Recursively convert nested dicts to Rows so createDataFrame infers
+    struct (not map) columns for event-shaped test inputs."""
+    return Row(**{
+        k: _dict_to_row(v) if isinstance(v, dict) else v for k, v in d.items()
+    })
 
 
 @dataclass
@@ -69,6 +77,22 @@ def _condition_col(cond: dict, df):
         # schema-aware facet compilation; no tags column in test events
         return compile_datadog_search(src, df, tags_col=None)
     raise TopologyError(f"unknown condition type {typ!r}")
+
+
+def _condition_col_typed(cond: dict, df):
+    """Conditions that need no source: ``is_metric``/``is_log``
+    (reference conditions/is_metric.rs, is_log.rs) — an event is a
+    metric iff its ``metric`` part is set."""
+    typ = cond.get("type", "sql")
+    if typ == "is_metric":
+        if "metric" not in df.columns:
+            return F.lit(False)
+        return F.col("metric").isNotNull()
+    if typ == "is_log":
+        if "metric" not in df.columns:
+            return F.lit(True)
+        return F.col("metric").isNull()
+    return _condition_col(cond, df)
 
 
 def _prune_reachable(transforms: dict, roots: set[str]) -> dict:
@@ -124,7 +148,13 @@ def run_config_tests(
         for target in by_target:
             cfg["transforms"][target] = dict(transforms[target])
         for target, inps in by_target.items():
-            rows = [dict(i.get("log_fields", {})) for i in inps]
+            if any("metric" in i for i in inps):
+                # metric-typed inputs ([tests.input.metric], reference
+                # unit_test/mod.rs input events) become event-shaped rows
+                # with a `metric` struct column
+                rows = [Row(metric=_dict_to_row(i["metric"])) for i in inps]
+            else:
+                rows = [dict(i.get("log_fields", {})) for i in inps]
             src_name = f"__test_input_{target}"
             cfg["sources"][src_name] = {
                 "kind": "memory",
@@ -149,7 +179,7 @@ def run_config_tests(
                     )
                     continue
                 for j, cond in enumerate(out.get("conditions", [])):
-                    if df.filter(_condition_col(cond, df)).count() == 0:
+                    if df.filter(_condition_col_typed(cond, df)).count() == 0:
                         res.errors.append(
                             f"check[{i}] condition[{j}] for {ref!r} failed: "
                             f"no event satisfied {cond['source']!r}"

@@ -255,6 +255,26 @@ def build_topology(spark: SparkSession, config: dict) -> Topology:
             if spec.get("order_by"):
                 agged = agged.orderBy(*spec["order_by"])
             out[name] = agged
+        elif kind == "lua":
+            from vector_spark.operators.lua import LuaTransformConfig, lua_transform
+
+            hooks = spec.get("hooks", {}) or {}
+            # unversioned configs are v1, like the reference's deprecated
+            # default (src/transforms/lua/mod.rs version enum)
+            version = str(spec.get("version") or ("2" if (hooks.get("process") or spec.get("process")) else "1"))
+            cfg = LuaTransformConfig(
+                version=version,
+                source=spec.get("source"),
+                process=hooks.get("process") or spec.get("process"),
+                init=hooks.get("init") or spec.get("init"),
+                shutdown=hooks.get("shutdown") or spec.get("shutdown"),
+                search_dirs=tuple(spec.get("search_dirs", ())),
+                timers=tuple(
+                    (t["interval_seconds"], t["handler"])
+                    for t in spec.get("timers", ())
+                ),
+            )
+            out[name] = lua_transform(df, cfg, schema=spec.get("schema"))
         elif kind == "log_to_metric":
             from vector_spark.operators.metrics import log_to_metric
 
