@@ -2655,6 +2655,63 @@ def _sql_native_json_roundtrip() -> str:
     return "SELECT event_id, event_type, value FROM events"
 
 
+# The lua transform's process hook — real Lua, interpreted by the
+# repo's from-scratch runtime (vector_spark/lua/), per-partition state
+# (src/transforms/lua/v2/mod.rs hook contract).  Every effect here has
+# an exact SQL twin: conditional emit ≙ WHERE, the second emit for
+# errors ≙ UNION ALL, math.floor/string.upper/sub ≙ FLOOR/UPPER/SUBSTR,
+# and the gsub count of '"' ≙ LENGTH minus LENGTH(REPLACE(...)).
+_LUA_PROCESS = """
+function (event, emit)
+  local log = event.log
+  if log.event_type == "error" or log.event_type == "purchase" then
+    local value = log.value or 0
+    local props = log.props or ""
+    log.value_bucket = math.floor(value / 100)
+    log.tag = string.upper(string.sub(log.event_type, 1, 3)) .. "-" .. log.value_bucket
+    local _, n = string.gsub(props, '"', '')
+    log.quote_count = n
+    emit(event)
+    if log.event_type == "error" then
+      emit(event)
+    end
+  end
+end
+"""
+
+
+def _q_lua_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lua transform end-to-end: a genuine Lua v2 process hook
+    (patterns, math, string lib, conditional multi-emit) interpreted by
+    vector_spark/lua/ inside mapInPandas, one interpreter per partition
+    (src/transforms/lua/v2/mod.rs:28-74)."""
+    from vector_spark.operators.lua import LuaTransformConfig, lua_transform
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value", "props")
+    cfg = LuaTransformConfig(version="2", process=_LUA_PROCESS)
+    return lua_transform(
+        ev, cfg,
+        schema="event_id long, event_type string, value_bucket long, "
+               "tag string, quote_count long")
+
+
+_SQL_LUA_TRANSFORM = """
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(COALESCE(value, 0) / 100) AS BIGINT) AS value_bucket,
+         UPPER(SUBSTR(event_type, 1, 3)) || '-' ||
+           CAST(CAST(FLOOR(COALESCE(value, 0) / 100) AS BIGINT) AS VARCHAR) AS tag,
+         CAST(LENGTH(COALESCE(props, ''))
+              - LENGTH(REPLACE(COALESCE(props, ''), '"', '')) AS BIGINT) AS quote_count
+  FROM events WHERE event_type IN ('error', 'purchase')
+)
+SELECT * FROM base
+UNION ALL
+SELECT * FROM base WHERE event_type = 'error'
+"""
+
+
 _AVRO_SCHEMA = {
     "name": "event",
     "type": "record",
@@ -4418,6 +4475,9 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # codec is cross-validated against the canonical Apache Avro Java
         # library in tests/test_avro_canonical.py
         "avro_roundtrip": _q_avro_roundtrip,
+        # position 52: the round-4 lua runtime (rotate into the driver
+        # window next round; until then gated by tests/test_lua*.py)
+        "lua_transform": _q_lua_transform,
         # -- driver-green in r01/r02 only (refresh when window allows) --
         "aggregate_histogram": _q_aggregate_histogram,
         "log_to_metric": _q_log_to_metric,
@@ -4600,6 +4660,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_dup_spans": _sql_strip_dup_spans(),
         "stratified_split": _sql_split(),
         "avro_roundtrip": _sql_avro_roundtrip(),
+        "lua_transform": _SQL_LUA_TRANSFORM,
         "native_json_roundtrip": _sql_native_json_roundtrip(),
         "bm25_topk": _sql_bm25_topk(),
         "iceberg_scan_agg": _sql_iceberg_scan_agg(),
