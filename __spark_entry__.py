@@ -2690,10 +2690,13 @@ def _q_lua_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id", "event_type", "value", "props")
     cfg = LuaTransformConfig(version="2", process=_LUA_PROCESS)
+    # per-row interpretation is CPU-bound Python: spread it over every
+    # core regardless of the input file's split count
     return lua_transform(
         ev, cfg,
         schema="event_id long, event_type string, value_bucket long, "
-               "tag string, quote_count long")
+               "tag string, quote_count long",
+        num_partitions=spark.sparkContext.defaultParallelism)
 
 
 _SQL_LUA_TRANSFORM = """

@@ -476,6 +476,7 @@ def lua_transform(
     cfg: LuaTransformConfig,
     schema: T.StructType | str | None = None,
     sample_rows: int = 100,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Run the lua transform over ``df``.
 
@@ -484,6 +485,14 @@ def lua_transform(
     input rows to infer it — convenient for configs/tests; declare it
     for production topologies (the sample costs one extra job and a
     fresh Lua state sees the sample first).
+
+    ``num_partitions``: the interpreter is CPU-bound Python, so its
+    parallelism is exactly the input partition count — a single small
+    parquet file would otherwise serialize the whole stage onto one
+    task.  Set it (usually ``spark.sparkContext.defaultParallelism``)
+    to round-robin repartition before the Lua stage; the narrow
+    pre-Lua exchange is far cheaper than an idle cluster.  None keeps
+    the input partitioning (right when upstream already fanned out).
     """
     if schema is None:
         sample = [r.asDict(recursive=True) for r in df.limit(sample_rows).collect()]
@@ -503,6 +512,8 @@ def lua_transform(
     out_schema = schema
     version = cfg.version
     names = [f.name for f in out_schema.fields]
+    if num_partitions:
+        df = df.repartition(num_partitions)
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rt, hooks = _build_runtime(cfg)
