@@ -42,6 +42,17 @@ class TopologyError(ValueError):
     pass
 
 
+# the component registry `vector list` reports (src/list.rs); each name
+# is a branch of the builders below
+KNOWN_SOURCES = ("parquet", "memory")
+KNOWN_TRANSFORMS = (
+    "filter", "route", "sample", "dedupe", "throttle", "reduce",
+    "remap_grok", "remap_select", "enrich", "aggregate", "lua",
+    "log_to_metric",
+)
+KNOWN_SINKS = ("parquet", "blackhole", "console", "memory")
+
+
 @dataclass
 class Topology:
     config: dict
