@@ -122,3 +122,49 @@ def test_lua_behavior_corpus_via_config_tests(spark):
 def test_lua_requires_process_for_v2():
     with pytest.raises(ValueError):
         LuaTransformConfig(version="2", source="x = 1")
+
+
+def test_stream_lua_state_across_batches(spark, tmp_path):
+    """Streaming lua: named globals persist per key across micro-batches
+    (maxFilesPerTrigger=1 forces two batches); timer handlers fire once
+    per batch per key and see the accumulated state."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from vector_spark.streaming import stream_from_directory, stream_lua
+
+    src = tmp_path / "lua_in"
+    src.mkdir()
+    file_a = [("u1", 10), ("u1", 5), ("u2", 1)]
+    file_b = [("u1", 2), ("u2", 3)]
+    for name, rows in (("a", file_a), ("b", file_b)):
+        spark.createDataFrame(rows, ["user", "v"]).coalesce(1).write.parquet(
+            str(src / name))
+    stream = stream_from_directory(
+        spark, str(src) + "/*", "user string, v long", maxFilesPerTrigger="1")
+    cfg = LuaTransformConfig(
+        version="2",
+        source=("total = 0\n"
+                "user = ''\n"
+                "function p(event, emit)\n"
+                "  total = total + event.log.v\n"
+                "  user = event.log.user\n"
+                "end\n"
+                "function tick(emit)\n"
+                "  emit({log = {user = user, running_total = total}})\n"
+                "end"),
+        process="p",
+        timers=((1, "tick"),))
+    out = stream_lua(
+        stream, cfg, key_fields=["user"],
+        out_schema="user string, running_total long",
+        state_globals=["total", "user"])
+    q = (out.writeStream.format("memory").queryName("lua_stream_out")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["user"], r["running_total"])
+           for r in spark.sql("SELECT * FROM lua_stream_out").collect()}
+    # batch 1 (file a): u1 total 15, u2 total 1
+    # batch 2 (file b): u1 total 15+2=17 (state carried), u2 total 1+3=4
+    assert {("u1", 15), ("u2", 1), ("u1", 17), ("u2", 4)} <= got
+    assert ("u1", 2) not in got  # state NOT reset between batches

@@ -418,3 +418,115 @@ def stream_iceberg_sink(
         .option("checkpointLocation", checkpoint_dir)
         .queryName(query_name)
     )
+
+
+def stream_lua(
+    df: DataFrame,
+    cfg,
+    key_fields: list[str],
+    out_schema: str,
+    state_globals: list[str],
+    idle_flush_secs: int | None = None,
+):
+    """Streaming `lua` (reference src/transforms/lua/v2/mod.rs): the v2
+    hooks with TRUE cross-batch state via ``applyInPandasWithState``.
+
+    The reference's lua transform keeps arbitrary state in one global
+    runtime; a distributed stream shards that state by ``key_fields``
+    (the same delta as every stateful operator here).  ``state_globals``
+    names the Lua globals that persist across micro-batches — they are
+    extracted after each batch (plain values/tables only; JSON-encoded
+    into GroupState) and restored into a fresh interpreter before the
+    next, so hook code reads/writes them exactly like the reference's
+    persistent runtime globals.
+
+    Timer semantics: each configured timer handler fires once per
+    micro-batch per active key AFTER that batch's events — the
+    processing-time analogue of the reference's interval timers (a
+    micro-batch IS the trigger interval).  ``idle_flush_secs`` arms a
+    processing-time state timeout: a key idle that long gets its
+    ``hooks.shutdown`` called (with emit) and its state dropped — the
+    stream rendering of shutdown-on-stop.
+    """
+    import json
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from vector_spark.operators.lua import (
+        LuaTransformConfig,  # noqa: F401 (type reference for callers)
+        _build_runtime,
+        _event_to_rowdict,
+        _make_event,
+        _np_plain,
+        _project,
+        lua_to_py,
+        py_to_lua,
+    )
+    from pyspark.sql.types import StructType
+
+    schema_struct = StructType.fromDDL(out_schema)
+    names = [f.name for f in schema_struct.fields]
+
+    def _lua(key, pdfs, state: GroupState):
+        rt, hooks = _build_runtime(cfg)
+        pending: list[tuple] = []
+
+        def emit(ev=None):
+            pending.append(
+                _project(_event_to_rowdict(ev, cfg.version), schema_struct, cfg.version)
+            )
+
+        if state.hasTimedOut:
+            if "shutdown" in hooks:
+                # restore state for the flush, then drop it
+                (blob,) = state.get
+                for gname, gval in json.loads(blob).items():
+                    rt.globals.set(gname, py_to_lua(gval))
+                rt.call(hooks["shutdown"], emit)
+            state.remove()
+            if pending:
+                yield pd.DataFrame(pending, columns=names, dtype=object)
+            return
+
+        if state.exists:
+            (blob,) = state.get
+            for gname, gval in json.loads(blob).items():
+                rt.globals.set(gname, py_to_lua(gval))
+        elif "init" in hooks:
+            rt.call(hooks["init"], emit)
+
+        from vector_spark.lua import LuaError
+
+        for pdf in pdfs:
+            for row in pdf.to_dict("records"):
+                try:
+                    rt.call(
+                        hooks["process"],
+                        _make_event({k: _np_plain(v) for k, v in row.items()}),
+                        emit,
+                    )
+                except LuaError:
+                    pass  # hook error drops the event, like batch
+        for t in hooks.get("timers", []):
+            rt.call(t, emit)
+
+        state.update((json.dumps(
+            {g: lua_to_py(rt.globals.get(g)) for g in state_globals}
+        ),))
+        if idle_flush_secs:
+            state.setTimeoutDuration(idle_flush_secs * 1000)
+        if pending:
+            yield pd.DataFrame(pending, columns=names, dtype=object)
+
+    return df.groupBy(*key_fields).applyInPandasWithState(
+        _lua,
+        outputStructType=out_schema,
+        stateStructType="g string",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_flush_secs
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
