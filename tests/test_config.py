@@ -96,3 +96,113 @@ def test_flagship_toml_requires_env(spark):
         build_topology_from_toml(
             spark, os.path.join(REPO, "configs", "flagship.toml"), env={}
         )
+
+
+# --- secrets (reference src/config/secret.rs + src/secrets/) ----------
+
+def test_secret_test_backend():
+    from vector_spark.config import load_config_text
+
+    cfg = load_config_text("""
+[secret.b1]
+type = "test"
+replacement = "hunter2"
+
+[sinks.out]
+type = "parquet"
+inputs = ["x"]
+path = "/data"
+token = "SECRET[b1.api_key]"
+""", env={})
+    assert cfg["sinks"]["out"]["token"] == "hunter2"
+    # dots allowed inside the key, like the reference's collector regex
+    cfg2 = load_config_text("""
+[secret.b1]
+type = "test"
+replacement = "v"
+
+[sinks.out]
+type = "parquet"
+inputs = ["x"]
+path = "/data"
+token = "SECRET[b1.secret.name]"
+""", env={})
+    assert cfg2["sinks"]["out"]["token"] == "v"
+
+
+def test_secret_exec_backend(tmp_path):
+    import json
+    import stat
+
+    from vector_spark.config import load_config_text
+
+    script = tmp_path / "backend.py"
+    script.write_text(
+        "import json, sys\n"
+        "q = json.load(sys.stdin)\n"
+        "assert q['version'] == '1.0'\n"
+        "print(json.dumps({k: {'value': 'v_' + k, 'error': None}"
+        " for k in q['secrets']}))\n")
+    cfg = load_config_text(f"""
+[secret.ex]
+type = "exec"
+command = ["python3", "{script}"]
+
+[sinks.out]
+type = "parquet"
+inputs = ["x"]
+path = "/data"
+user = "SECRET[ex.user]"
+pass = "SECRET[ex.pass]"
+""", env={})
+    assert cfg["sinks"]["out"]["user"] == "v_user"
+    assert cfg["sinks"]["out"]["pass"] == "v_pass"
+
+
+def test_secret_exec_backend_error(tmp_path):
+    from vector_spark.config import load_config_text
+
+    script = tmp_path / "backend.py"
+    script.write_text(
+        "import json, sys\n"
+        "q = json.load(sys.stdin)\n"
+        "print(json.dumps({k: {'value': None, 'error': 'denied'}"
+        " for k in q['secrets']}))\n")
+    with pytest.raises(TopologyError, match="was not retrieved: denied"):
+        load_config_text(f"""
+[secret.ex]
+type = "exec"
+command = ["python3", "{script}"]
+
+[sinks.out]
+type = "parquet"
+inputs = ["x"]
+path = "/data"
+token = "SECRET[ex.k]"
+""", env={})
+
+
+def test_secret_missing_backend():
+    from vector_spark.config import load_config_text
+
+    with pytest.raises(TopologyError, match='Backend "nope" is required'):
+        load_config_text('[sinks.o]\ntype = "parquet"\ninputs = []\n'
+                         'path = "SECRET[nope.k]"\n', env={})
+
+
+def test_secret_after_env_interpolation():
+    # placeholders are collected AFTER env interpolation, so an env var
+    # can name the secret key (loading/secret.rs prepare() order)
+    from vector_spark.config import load_config_text
+
+    cfg = load_config_text("""
+[secret.b]
+type = "test"
+replacement = "r"
+
+[sinks.o]
+type = "parquet"
+inputs = []
+path = "SECRET[b.${KEY_NAME}]"
+""", env={"KEY_NAME": "mykey"})
+    assert cfg["sinks"]["o"]["path"] == "r"

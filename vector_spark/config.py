@@ -86,6 +86,79 @@ def interpolate_env(
     return out, warnings
 
 
+# "SECRET[backend.secret_name]" (dots allowed inside the key) — the same
+# collector regex as src/config/loading/secret.rs:29-30
+_SECRET_RE = re.compile(r"SECRET\[(\w+)\.([\w.]+)\]")
+
+
+def _retrieve_secrets(backend_name: str, spec: dict, keys: set[str]) -> dict[str, str]:
+    """One backend's retrieve() (reference src/secrets/):
+
+    - ``type = "test"``: every key resolves to ``replacement``
+      (src/secrets/test.rs)
+    - ``type = "exec"``: run ``command``, write the v1.0 JSON query on
+      stdin, read a ``{key: {value, error}}`` JSON response on stdout
+      (src/secrets/exec.rs protocol)
+    """
+    typ = spec.get("type")
+    if typ == "test":
+        return {k: spec.get("replacement", "") for k in keys}
+    if typ == "exec":
+        import json
+        import subprocess
+
+        query = json.dumps({"version": "1.0", "secrets": sorted(keys)})
+        try:
+            proc = subprocess.run(
+                spec["command"], input=query.encode(), capture_output=True,
+                timeout=float(spec.get("timeout", 5)), check=True)
+        except Exception as e:
+            raise TopologyError(
+                f"Error while retrieving secret from backend "
+                f"\"{backend_name}\": {e}.") from None
+        resp = json.loads(proc.stdout.decode())
+        out: dict[str, str] = {}
+        for k in keys:
+            entry = resp.get(k)
+            if entry is None:
+                raise TopologyError(
+                    f"secret for key '{k}' was not retrieved")
+            if entry.get("error"):
+                raise TopologyError(
+                    f"secret for key '{k}' was not retrieved: {entry['error']}")
+            if not entry.get("value"):
+                raise TopologyError(f"secret for key '{k}' was empty")
+            out[k] = entry["value"]
+        return out
+    raise TopologyError(
+        f"unknown secret backend type {typ!r} for \"{backend_name}\"")
+
+
+def interpolate_secrets(text: str) -> str:
+    """Replace ``SECRET[backend.key]`` placeholders using the config's
+    own ``[secret.<backend>]`` tables (reference src/config/secret.rs +
+    loading/secret.rs: placeholders are collected AFTER env-var
+    interpolation, resolved per backend, then substituted into the raw
+    text).  No placeholders → the text passes through untouched."""
+    if "SECRET[" not in text:
+        return text
+    wanted: dict[str, set[str]] = {}
+    for backend, key in _SECRET_RE.findall(text):
+        wanted.setdefault(backend, set()).add(key)
+    if not wanted:
+        return text
+    backends = tomllib.loads(text).get("secret", {})
+    resolved: dict[tuple[str, str], str] = {}
+    for backend, keys in wanted.items():
+        if backend not in backends:
+            raise TopologyError(
+                f"Backend \"{backend}\" is required for secret retrieval "
+                f"but was not found in config.")
+        for k, v in _retrieve_secrets(backend, backends[backend], keys).items():
+            resolved[(backend, k)] = v
+    return _SECRET_RE.sub(lambda m: resolved[(m.group(1), m.group(2))], text)
+
+
 def _map_kinds(section: dict) -> dict:
     out = {}
     for name, spec in section.items():
@@ -99,8 +172,10 @@ def _map_kinds(section: dict) -> dict:
 def load_config_text(
     text: str, env: dict[str, str] | None = None
 ) -> dict:
-    """Raw TOML text → topology dict (interpolate, parse, map kinds)."""
+    """Raw TOML text → topology dict (interpolate env vars, resolve
+    secrets, parse, map kinds)."""
     interpolated, _warnings = interpolate_env(text, env)
+    interpolated = interpolate_secrets(interpolated)
     raw = tomllib.loads(interpolated)
     cfg: dict = {}
     for section in ("sources", "transforms", "sinks"):
