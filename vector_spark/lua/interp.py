@@ -1027,3 +1027,72 @@ def install_stdlib(interp: Interpreter):
         ("clock", lambda: _time.process_time()),
         ("getenv", lambda _n=None: None),  # sandboxed: no env access
     ]))
+
+    # ---- utf8 ------------------------------------------------------------
+    # (Lua 5.4 §6.5; note: this runtime's strings are Python str, i.e.
+    # already decoded — byte positions in the utf8 lib are interpreted
+    # over the UTF-8 encoding of the string, like real Lua)
+    def _utf8_char(*args):
+        return "".join(chr(int(a)) for a in args)
+
+    def _utf8_codepoint(s=None, i=1, j=None):
+        s = _s_arg(s, "codepoint")
+        b = s.encode("utf-8")
+        i = int(i)
+        j = i if j is None else int(j)
+        if i < 0:
+            i = len(b) + i + 1
+        if j < 0:
+            j = len(b) + j + 1
+        # map byte range back to characters
+        out = []
+        pos = 1
+        for ch in s:
+            w = len(ch.encode("utf-8"))
+            if pos > j:
+                break
+            if pos >= i:
+                if pos + w - 1 > j and pos < i:
+                    raise LuaError("initial position is a continuation byte")
+                out.append(ord(ch))
+            pos += w
+        return tuple(out)
+
+    def _utf8_len(s=None, i=1, j=-1):
+        s = _s_arg(s, "len")
+        b = s.encode("utf-8")
+        i, j = int(i), int(j)
+        if i < 0:
+            i = len(b) + i + 1
+        if j < 0:
+            j = len(b) + j + 1
+        n = 0
+        pos = 1
+        for ch in s:
+            w = len(ch.encode("utf-8"))
+            if pos >= i and pos + w - 1 <= j:
+                n += 1
+            pos += w
+        return n
+
+    def _utf8_offset(s=None, n=None, i=None):
+        s = _s_arg(s, "offset")
+        n = int(n)
+        # byte offset (1-based) where the n-th character starts
+        offs = [1]
+        for ch in s:
+            offs.append(offs[-1] + len(ch.encode("utf-8")))
+        if n >= 0:
+            idx = (int(i) if i is not None else 1) - 1  # simplify: from start
+            k = idx + n - 1 if n > 0 else idx
+            return offs[k] if 0 <= k < len(offs) else None
+        k = len(offs) - 1 + n
+        return offs[k] if 0 <= k < len(offs) else None
+
+    g.set("utf8", LuaTable([
+        ("char", _utf8_char),
+        ("codepoint", _utf8_codepoint),
+        ("len", _utf8_len),
+        ("offset", _utf8_offset),
+        ("charpattern", "[\x00-\x7F\xC2-\xFD][\x80-\xBF]*"),
+    ]))
