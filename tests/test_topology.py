@@ -283,3 +283,90 @@ def test_glob_inputs_expand(spark):
     bad = {**cfg, "sinks": {"s": {"kind": "blackhole", "inputs": ["nope_*"]}}}
     with _pytest.raises(TopologyError, match="matches no outputs"):
         run_topology(spark, bad)
+
+
+# --- file + exec sources (src/sources/file.rs, src/sources/exec/) -----
+
+def test_file_source_plain_and_decoded(spark, tmp_path):
+    log = tmp_path / "app.log"
+    log.write_text("line one\nline two\n")
+    topo = build_topology(spark, {
+        "sources": {"f": {"kind": "file", "include": str(log)}},
+        "transforms": {}, "sinks": {},
+    })
+    rows = topo.outputs["f"].orderBy("message").collect()
+    assert [r["message"] for r in rows] == ["line one", "line two"]
+    assert all(r["file"].endswith("app.log") for r in rows)
+
+
+def test_file_source_multiline_stacktrace(spark, tmp_path):
+    # the reference file source's multiline aggregation: continuation
+    # lines (leading whitespace) merge into the starting line
+    log = tmp_path / "trace.log"
+    log.write_text(
+        "ERROR boom\n  at foo()\n  at bar()\nINFO ok\nERROR again\n  at baz()\n")
+    topo = build_topology(spark, {
+        "sources": {"f": {
+            "kind": "file", "include": str(log),
+            "multiline": {
+                "start_pattern": "^[^\\s]",
+                "condition_pattern": "^\\s",
+                "mode": "continue_through",
+            },
+        }},
+        "transforms": {}, "sinks": {},
+    })
+    msgs = sorted(r["message"] for r in topo.outputs["f"].collect())
+    assert msgs == [
+        "ERROR again\n  at baz()",
+        "ERROR boom\n  at foo()\n  at bar()",
+        "INFO ok",
+    ]
+
+
+def test_file_source_glob_and_syslog_codec(spark, tmp_path):
+    (tmp_path / "a.log").write_text(
+        "<34>1 2024-03-01T00:00:00Z host app 1 - - hello syslog\n")
+    topo = build_topology(spark, {
+        "sources": {"f": {
+            "kind": "file",
+            "include": str(tmp_path / "*.log"),
+            "decoding": {"codec": "syslog"},
+        }},
+        "transforms": {}, "sinks": {},
+    })
+    row = topo.outputs["f"].collect()[0]
+    assert row["syslog_appname"] == "app"
+    assert "hello syslog" in row["syslog_message"]
+    assert row["syslog_facility"] == 4 and row["syslog_severity"] == 2
+
+
+def test_exec_source(spark):
+    topo = build_topology(spark, {
+        "sources": {"e": {
+            "kind": "exec",
+            "command": ["python3", "-c",
+                        "import sys; print('out1'); print('out2'); "
+                        "print('err1', file=sys.stderr)"],
+        }},
+        "transforms": {}, "sinks": {},
+    })
+    rows = topo.outputs["e"].collect()
+    bystream = {}
+    for r in rows:
+        bystream.setdefault(r["data_stream"], []).append(r["message"])
+    assert bystream["stdout"] == ["out1", "out2"]
+    assert bystream["stderr"] == ["err1"]
+    assert all(r["pid"] > 0 for r in rows)
+
+
+def test_exec_source_no_stderr(spark):
+    topo = build_topology(spark, {
+        "sources": {"e": {
+            "kind": "exec", "include_stderr": False,
+            "command": ["python3", "-c",
+                        "import sys; print('x'); print('e', file=sys.stderr)"],
+        }},
+        "transforms": {}, "sinks": {},
+    })
+    assert [r["message"] for r in topo.outputs["e"].collect()] == ["x"]

@@ -44,7 +44,7 @@ class TopologyError(ValueError):
 
 # the component registry `vector list` reports (src/list.rs); each name
 # is a branch of the builders below
-KNOWN_SOURCES = ("parquet", "memory")
+KNOWN_SOURCES = ("parquet", "memory", "file", "exec")
 KNOWN_TRANSFORMS = (
     "filter", "route", "sample", "dedupe", "throttle", "reduce",
     "remap_grok", "remap_select", "enrich", "aggregate", "lua",
@@ -162,6 +162,87 @@ def compile_topology(config: dict) -> list[str]:
     return order
 
 
+def _file_source(spark: SparkSession, name: str, spec: dict) -> DataFrame:
+    """`file` source (reference src/sources/file.rs): line events from
+    ``include`` globs, each carrying the producing ``file`` path (the
+    reference's file field); optional ``multiline`` aggregation
+    (src/line_agg.rs modes via :mod:`vector_spark.multiline`) and a
+    ``decoding.codec`` of syslog/gelf/json.
+
+    Batch semantics: the newline framing is the text reader itself.
+    With ``multiline``, per-file line ORDER is load-bearing, so files
+    are read whole (``wholetext``) and split — bounded by file size,
+    the same unit the reference's per-file line aggregator buffers.
+    Tail-and-checkpoint behavior is the pipeline manifest's job."""
+    include = spec["include"]
+    paths = [include] if isinstance(include, str) else list(include)
+    ml = spec.get("multiline")
+    if ml:
+        from vector_spark.multiline import line_agg
+
+        whole = spark.read.text(paths, wholetext=True).select(
+            F.input_file_name().alias("file"),
+            F.posexplode(F.split(F.col("value"), "\n")).alias("line_no", "line"),
+        ).filter(F.col("line") != "")
+        df = line_agg(
+            whole,
+            start_pattern=ml["start_pattern"],
+            condition_pattern=ml["condition_pattern"],
+            mode=ml["mode"],
+            key_cols=["file"],
+        )
+    else:
+        df = spark.read.text(paths).select(
+            F.col("value").alias("message"),
+            F.input_file_name().alias("file"),
+        )
+    codec = (spec.get("decoding") or {}).get("codec")
+    if codec == "syslog":
+        from vector_spark.sources import decode_syslog
+
+        df = decode_syslog(df)
+    elif codec == "gelf":
+        from vector_spark.sources import decode_gelf
+
+        df = decode_gelf(df)
+    elif codec == "json":
+        from vector_spark.sources import decode_json_field
+
+        df = decode_json_field(df, spec["decoding"]["schema"])
+    elif codec not in (None, "bytes"):
+        raise TopologyError(f"{name}: unknown decoding codec {codec!r}")
+    return df
+
+
+def _exec_source(spark: SparkSession, name: str, spec: dict) -> DataFrame:
+    """`exec` source (reference src/sources/exec/mod.rs, scheduled mode):
+    run ``command`` once driver-side and emit one event per output line
+    with the reference's metadata fields (data_stream stdout/stderr,
+    command, pid).  ``include_stderr`` mirrors the reference option."""
+    import subprocess
+
+    cmd = spec["command"]
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    try:
+        out_b, err_b = proc.communicate(timeout=float(spec.get("timeout", 60)))
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        raise TopologyError(f"{name}: exec command timed out")
+    cmd_str = cmd if isinstance(cmd, str) else " ".join(cmd)
+    rows = [
+        (line, "stdout", cmd_str, proc.pid)
+        for line in out_b.decode("utf-8", "replace").splitlines()
+    ]
+    if spec.get("include_stderr", True):
+        rows += [
+            (line, "stderr", cmd_str, proc.pid)
+            for line in err_b.decode("utf-8", "replace").splitlines()
+        ]
+    return spark.createDataFrame(
+        rows, "message string, data_stream string, command string, pid long")
+
+
 def build_topology(spark: SparkSession, config: dict) -> Topology:
     """Build every component; returns the Topology with all outputs bound."""
     config = expand_glob_inputs(config)
@@ -175,6 +256,10 @@ def build_topology(spark: SparkSession, config: dict) -> Topology:
             out[name] = spark.read.parquet(spec["path"])
         elif kind == "memory":
             out[name] = spec["df"]
+        elif kind == "file":
+            out[name] = _file_source(spark, name, spec)
+        elif kind == "exec":
+            out[name] = _exec_source(spark, name, spec)
         else:
             raise TopologyError(f"{name}: unknown source kind {kind!r}")
 
