@@ -370,3 +370,27 @@ def test_exec_source_no_stderr(spark):
         "transforms": {}, "sinks": {},
     })
     assert [r["message"] for r in topo.outputs["e"].collect()] == ["x"]
+
+
+def test_file_sink_templated_through_topology(spark, tmp_path):
+    from vector_spark.topology import run_topology
+
+    df = spark.createDataFrame(
+        [("a", "m1"), ("b", "m2"), ("a", "m3")], "svc string, message string")
+    out = tmp_path / "sink_out"
+    run_topology(spark, {
+        "sources": {"src": {"kind": "memory", "df": df}},
+        "transforms": {},
+        "sinks": {"files": {
+            "kind": "file", "inputs": ["src"],
+            "path": str(out), "template": "svc-{{ svc }}",
+            "encoding": "text",
+        }},
+    })
+    import glob
+    dirs = sorted(p.split("=")[-1] for p in glob.glob(str(out / "_path=*")))
+    assert dirs == ["svc-a", "svc-b"]
+    txt = sorted(
+        line for f in glob.glob(str(out / "_path=svc-a" / "part-*"))
+        for line in open(f).read().splitlines())
+    assert txt == ["m1", "m3"]

@@ -50,7 +50,7 @@ KNOWN_TRANSFORMS = (
     "remap_grok", "remap_select", "enrich", "aggregate", "lua",
     "log_to_metric",
 )
-KNOWN_SINKS = ("parquet", "blackhole", "console", "memory")
+KNOWN_SINKS = ("parquet", "file", "blackhole", "console", "memory")
 
 
 @dataclass
@@ -413,6 +413,24 @@ def run_topology(
             results[name] = (
                 spark.read.parquet(spec["path"]).count() if verify_counts else None
             )
+        elif kind == "file":
+            # src/sinks/file/mod.rs: encoded lines; a {{ field }}/strftime
+            # path template becomes partitioned output directories
+            from vector_spark.sinks import write_file_sink, write_templated_file_sink
+
+            if spec.get("template"):
+                write_templated_file_sink(
+                    df, spec["path"], spec["template"],
+                    ts_col=spec.get("ts_col"),
+                    encoding=spec.get("encoding", "json"),
+                    mode=spec.get("mode", "overwrite"))
+            else:
+                write_file_sink(
+                    df, spec["path"], encoding=spec.get("encoding", "json"),
+                    partition_by=spec.get("partition_by"),
+                    mode=spec.get("mode", "overwrite"),
+                    target_file_rows=spec.get("target_file_rows"))
+            results[name] = None
         elif kind == "blackhole":
             results[name] = df.count()
         elif kind == "console":
