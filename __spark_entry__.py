@@ -2715,6 +2715,41 @@ SELECT * FROM base WHERE event_type = 'error'
 """
 
 
+# The v1 lua transform: per-event chunk over the string-coercing event
+# userdata (v1/mod.rs:148-299) — reads come back as strings
+# (coerce_to_bytes), multi-assignment renames a field, typed writes
+# store ints.  SQL twin: string concat with the same decimal rendering.
+_LUA_V1_SOURCE = """
+event["tag"], event["event_type"] = event["event_type"] .. "#" .. event["event_id"], nil
+event["id_mod"] = tonumber(event["event_id"]) % 97
+if event["tag"] == nil then
+  event = nil
+end
+"""
+
+
+def _q_lua_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v1 lua transform end-to-end: global-`event` chunk semantics
+    with string-coercing reads and typed writes
+    (src/transforms/lua/v1/mod.rs:148-299)."""
+    from vector_spark.operators.lua import LuaTransformConfig, lua_transform
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type")
+    cfg = LuaTransformConfig(version="1", source=_LUA_V1_SOURCE)
+    return lua_transform(
+        ev, cfg, schema="event_id long, tag string, id_mod long",
+        num_partitions=spark.sparkContext.defaultParallelism)
+
+
+_SQL_LUA_V1 = """
+SELECT event_id,
+       event_type || '#' || CAST(event_id AS VARCHAR) AS tag,
+       event_id % 97 AS id_mod
+FROM events
+"""
+
+
 _AVRO_SCHEMA = {
     "name": "event",
     "type": "record",
@@ -4481,6 +4516,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # position 52: the round-4 lua runtime (rotate into the driver
         # window next round; until then gated by tests/test_lua*.py)
         "lua_transform": _q_lua_transform,
+        "lua_v1_transform": _q_lua_v1,
         # -- driver-green in r01/r02 only (refresh when window allows) --
         "aggregate_histogram": _q_aggregate_histogram,
         "log_to_metric": _q_log_to_metric,
@@ -4664,6 +4700,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_split": _sql_split(),
         "avro_roundtrip": _sql_avro_roundtrip(),
         "lua_transform": _SQL_LUA_TRANSFORM,
+        "lua_v1_transform": _SQL_LUA_V1,
         "native_json_roundtrip": _sql_native_json_roundtrip(),
         "bm25_topk": _sql_bm25_topk(),
         "iceberg_scan_agg": _sql_iceberg_scan_agg(),
