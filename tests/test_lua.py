@@ -584,3 +584,97 @@ def test_reference_corpus_is_covered():
         "lua_load_file", "lua_pairs", "lua_metric", "lua_multiple_events",
     }
     assert set(n for n in names if n.startswith("lua_")) <= ported
+
+
+class TestCoroutines:
+    """coroutine library (Lua §2.6/§6.2; part of mlua's ALL_SAFE set the
+    reference loads, v1/mod.rs:114)."""
+
+    def test_generator_pattern(self):
+        assert run(
+            """
+            local g = coroutine.wrap(function()
+              for i = 1, 4 do coroutine.yield(i * i) end
+            end)
+            local s = 0
+            for _ = 1, 4 do s = s + g() end
+            return s
+            """
+        ) == [30]
+
+    def test_values_both_ways_and_status(self):
+        assert run(
+            """
+            local co = coroutine.create(function(a, b)
+              local c = coroutine.yield(a + b)
+              return c * 2
+            end)
+            local ok1, v1 = coroutine.resume(co, 3, 4)
+            local st = coroutine.status(co)
+            local ok2, v2 = coroutine.resume(co, 10)
+            return ok1, v1, st, ok2, v2, coroutine.status(co)
+            """
+        ) == [True, 7, "suspended", True, 20, "dead"]
+
+    def test_dead_resume(self):
+        assert run(
+            """
+            local co = coroutine.create(function() end)
+            coroutine.resume(co)
+            return coroutine.resume(co)
+            """
+        ) == [False, "cannot resume dead coroutine"]
+
+    def test_error_propagates_as_failed_resume(self):
+        ok, err = run(
+            """
+            local co = coroutine.create(function() error('inner') end)
+            return coroutine.resume(co)
+            """
+        )
+        assert ok is False and "inner" in err
+
+    def test_generic_for_over_wrap(self):
+        assert run(
+            """
+            local function range(n)
+              return coroutine.wrap(function()
+                for i = 1, n do coroutine.yield(i) end
+              end)
+            end
+            local s = 0
+            for i in range(5) do s = s + i end
+            return s
+            """
+        ) == [15]
+
+    def test_nested_coroutines(self):
+        assert run(
+            """
+            local inner = coroutine.create(function()
+              coroutine.yield('deep')
+              return 'done'
+            end)
+            local outer = coroutine.create(function()
+              local _, v = coroutine.resume(inner)
+              coroutine.yield(v)
+              return 'outer-done'
+            end)
+            local _, a = coroutine.resume(outer)
+            local _, b = coroutine.resume(outer)
+            return a, b
+            """
+        ) == ["deep", "outer-done"]
+
+    def test_yield_outside_coroutine_errors(self):
+        assert run("return coroutine.isyieldable()") == [False]
+        ok, err = run("return pcall(coroutine.yield)")
+        assert ok is False and "outside a coroutine" in err
+
+
+class TestUtf8:
+    def test_utf8_basics(self):
+        assert run("return utf8.char(72, 105, 233)") == ["Hié"]
+        assert run("return utf8.len('héllo')") == [5]
+        assert run("return utf8.codepoint('héllo', 1, 3)") == [104, 233]
+        assert run("return utf8.offset('héllo', 3)") == [4]

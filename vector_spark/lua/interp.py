@@ -1096,3 +1096,117 @@ def install_stdlib(interp: Interpreter):
         ("offset", _utf8_offset),
         ("charpattern", "[\x00-\x7F\xC2-\xFD][\x80-\xBF]*"),
     ]))
+
+    # ---- coroutine -------------------------------------------------------
+    # (Lua 5.4 §2.6/§6.2; mlua's StdLib::ALL_SAFE includes coroutine.)
+    # Each coroutine runs on its own daemon thread with a strict
+    # resume/yield handshake — exactly one side runs at any moment, so
+    # the interpreter state needs no locking.
+    import queue as _queue
+    import threading as _threading
+
+    class _Coroutine:
+        __slots__ = ("fn", "status", "_to_co", "_from_co", "_thread")
+
+        def __init__(self, fn):
+            self.fn = fn
+            self.status = "suspended"
+            self._to_co = _queue.Queue(1)
+            self._from_co = _queue.Queue(1)
+            self._thread = None
+
+        def __repr__(self):  # pragma: no cover - debug aid
+            return f"thread: 0x{id(self):012x}"
+
+    _co_stack = _threading.local()  # per-OS-thread stack of running coroutines
+
+    def _co_current():
+        return getattr(_co_stack, "stack", None) or []
+
+    def _co_body(co):
+        # the body runs on the coroutine's OWN thread: its thread-local
+        # stack is exactly [co] (a nested coroutine gets its own thread)
+        _co_stack.stack = [co]
+        args = co._to_co.get()
+        try:
+            res = interp.call_value(co.fn, list(args), interp.current_line)
+            co._from_co.put(("return", res))
+        except LuaError as e:
+            co._from_co.put(("error", e.value))
+        except BaseException as e:  # host errors surface as messages
+            co._from_co.put(("error", f"{type(e).__name__}: {e}"))
+
+    def _co_create(fn=None):
+        if not (isinstance(fn, LuaFunction) or callable(fn)):
+            raise LuaError("bad argument #1 to 'create' (function expected)")
+        return _Coroutine(fn)
+
+    def _co_resume(co=None, *args):
+        if not isinstance(co, _Coroutine):
+            raise LuaError("bad argument #1 to 'resume' (coroutine expected)")
+        if co.status == "dead":
+            return (False, "cannot resume dead coroutine")
+        if co.status == "running":
+            return (False, "cannot resume non-suspended coroutine")
+        caller = _co_current()
+        if caller:
+            caller[-1].status = "normal"
+        co.status = "running"
+        if co._thread is None:
+            co._thread = _threading.Thread(
+                target=_co_body, args=(co,), daemon=True)
+            co._thread.start()
+        co._to_co.put(args)
+        kind, vals = co._from_co.get()
+        if caller:
+            caller[-1].status = "running"
+        if kind == "yield":
+            co.status = "suspended"
+            return (True, *vals)
+        co.status = "dead"
+        if kind == "return":
+            return (True, *vals)
+        return (False, vals)
+
+    def _co_yield(*args):
+        stack = _co_current()
+        if not stack:
+            raise LuaError("attempt to yield from outside a coroutine")
+        co = stack[-1]
+        co._from_co.put(("yield", list(args)))
+        return tuple(co._to_co.get())
+
+    def _co_status(co=None):
+        if not isinstance(co, _Coroutine):
+            raise LuaError("bad argument #1 to 'status' (coroutine expected)")
+        return co.status
+
+    def _co_wrap(fn=None):
+        co = _co_create(fn)
+
+        def wrapped(*args):
+            res = _co_resume(co, *args)
+            if res[0] is False:
+                raise LuaError(res[1])
+            return tuple(res[1:])
+
+        return wrapped
+
+    def _co_isyieldable():
+        return bool(_co_current())
+
+    def _co_running():
+        stack = _co_current()
+        if stack:
+            return (stack[-1], False)
+        return (None, True)
+
+    g.set("coroutine", LuaTable([
+        ("create", _co_create),
+        ("resume", _co_resume),
+        ("yield", _co_yield),
+        ("status", _co_status),
+        ("wrap", _co_wrap),
+        ("isyieldable", _co_isyieldable),
+        ("running", _co_running),
+    ]))
