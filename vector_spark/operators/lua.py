@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import math
-from dataclasses import dataclass, field as _field
+from dataclasses import dataclass
 from typing import Iterator
 
 import pandas as pd
