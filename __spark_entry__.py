@@ -2750,6 +2750,57 @@ FROM events
 """
 
 
+def _q_stream_lua(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming lua (streaming.py::stream_lua): v2 hooks with per-key
+    state via applyInPandasWithState over the events table read AS A
+    STREAM — the timer handler flushes each key's accumulated count and
+    integer value-sum, which must equal the plain batch group-by
+    (integer accumulation so the sum is order-exact; cross-batch state
+    carry is gated by tests/test_lua_transform.py)."""
+    from vector_spark.operators.lua import LuaTransformConfig
+    from vector_spark.streaming import stream_from_directory, stream_lua
+
+    stream = stream_from_directory(
+        spark,
+        sf_dir,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+        pathGlobFilter="events.parquet",
+    )
+    cfg = LuaTransformConfig(
+        version="2",
+        source=(
+            "n = 0\n"
+            "total = 0\n"
+            "etype = ''\n"
+            "function p(event, emit)\n"
+            "  n = n + 1\n"
+            "  total = total + math.floor(event.log.value or 0)\n"
+            "  etype = event.log.event_type\n"
+            "end\n"
+            "function tick(emit)\n"
+            "  emit({log = {event_type = etype, n = n, total = total}})\n"
+            "end"),
+        process="p",
+        timers=((1, "tick"),))
+    out = stream_lua(
+        stream, cfg, key_fields=["event_type"],
+        out_schema="event_type string, n long, total long",
+        state_globals=["n", "total", "etype"])
+    name = "stream_lua_oracle_out"
+    q = (out.writeStream.format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+_SQL_STREAM_LUA = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS total
+FROM events GROUP BY event_type
+"""
+
+
 _AVRO_SCHEMA = {
     "name": "event",
     "type": "record",
@@ -4517,6 +4568,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window next round; until then gated by tests/test_lua*.py)
         "lua_transform": _q_lua_transform,
         "lua_v1_transform": _q_lua_v1,
+        "stream_lua": _q_stream_lua,
         # -- driver-green in r01/r02 only (refresh when window allows) --
         "aggregate_histogram": _q_aggregate_histogram,
         "log_to_metric": _q_log_to_metric,
@@ -4701,6 +4753,7 @@ def oracle_sql() -> dict[str, str]:
         "avro_roundtrip": _sql_avro_roundtrip(),
         "lua_transform": _SQL_LUA_TRANSFORM,
         "lua_v1_transform": _SQL_LUA_V1,
+        "stream_lua": _SQL_STREAM_LUA,
         "native_json_roundtrip": _sql_native_json_roundtrip(),
         "bm25_topk": _sql_bm25_topk(),
         "iceberg_scan_agg": _sql_iceberg_scan_agg(),
