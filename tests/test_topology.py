@@ -394,3 +394,32 @@ def test_file_sink_templated_through_topology(spark, tmp_path):
         line for f in glob.glob(str(out / "_path=svc-a" / "part-*"))
         for line in open(f).read().splitlines())
     assert txt == ["m1", "m3"]
+
+
+def test_top_one_pass_matches_per_component_counts(spark, tmp_path):
+    """The observation-based one-pass `vector top` reports exactly the
+    same per-component row counts as the one-count-job-per-component
+    diagnostic, including route ports off the executed path."""
+    from vector_spark.topology import top_topology
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 250.0), ("a", 500.0), ("c", 90.0)],
+        "k string, v double")
+    cfg = {
+        "sources": {"events": {"kind": "memory", "df": df}},
+        "transforms": {
+            "big": {"kind": "filter", "inputs": ["events"], "condition": "v > 100"},
+            "router": {"kind": "route", "inputs": ["big"],
+                       "routes": {"a_side": "k = 'a'", "b_side": "k = 'b'"}},
+        },
+        "sinks": {
+            "out": {"kind": "memory", "inputs": ["router.a_side"]},
+            "out2": {"kind": "memory", "inputs": ["router.b_side"]},
+        },
+    }
+    fast = top_topology(spark, cfg, one_pass=True)
+    slow = top_topology(spark, cfg, one_pass=False)
+    assert fast == slow
+    assert fast["events"] == 4 and fast["big"] == 2
+    assert fast["router.a_side"] == 1 and fast["router.b_side"] == 1
+    assert fast["router._unmatched"] == 0

@@ -243,11 +243,40 @@ def _exec_source(spark: SparkSession, name: str, spec: dict) -> DataFrame:
         rows, "message string, data_stream string, command string, pid long")
 
 
-def build_topology(spark: SparkSession, config: dict) -> Topology:
-    """Build every component; returns the Topology with all outputs bound."""
+class _ObservingOutputs(dict):
+    """Topology outputs dict that wraps every component output with a
+    named Observation counting its rows — the Spark-native `vector top`:
+    metrics ride the REAL query execution instead of extra count jobs
+    (one observation per plan node; a single action per sink evaluates
+    the whole upstream chain and fills every observation on its path)."""
+
+    def __init__(self, observations: dict):
+        super().__init__()
+        self._observations = observations
+
+    def __setitem__(self, key, df):
+        import uuid
+
+        from pyspark.sql import Observation
+
+        ob = Observation(f"top_{key}_{uuid.uuid4().hex[:8]}")
+        self._observations[key] = ob
+        super().__setitem__(key, df.observe(ob, F.count(F.lit(1)).alias("rows")))
+
+
+def build_topology(
+    spark: SparkSession, config: dict, observe: dict | None = None
+) -> Topology:
+    """Build every component; returns the Topology with all outputs bound.
+
+    ``observe``: pass a dict to receive one ``pyspark.sql.Observation``
+    per component output, attached inside the built plans (see
+    :func:`top_topology`)."""
     config = expand_glob_inputs(config)
     order = compile_topology(config)
     topo = Topology(config)
+    if observe is not None:
+        topo.outputs = _ObservingOutputs(observe)
     out = topo.outputs
 
     for name, spec in config.get("sources", {}).items():
@@ -489,9 +518,84 @@ def tap_topology(
     return {n: list(topo.outputs[n].toJSON().take(limit)) for n in names}
 
 
-def top_topology(spark: SparkSession, config: dict) -> dict[str, int]:
+def top_topology(
+    spark: SparkSession, config: dict, one_pass: bool = True
+) -> dict[str, int]:
     """``vector top`` analogue (src/top/): per-component output row
-    counts for a batch run of the topology.  One count per component —
-    a diagnostic full pass, not the hot path."""
-    topo = build_topology(spark, config)
-    return {n: topo.outputs[n].count() for n in topo.outputs}
+    counts for a batch run of the topology.
+
+    ``one_pass=True`` (default) attaches a row-count Observation to
+    every component inside the built plans and drives each TERMINAL
+    output once — every component on an executed path reports from the
+    single real execution (the Spark rendering of top's live metrics:
+    counters on the running dataflow, not extra jobs).  Components on no
+    executed path fall back to an individual count.  ``one_pass=False``
+    is the old diagnostic (one count job per component)."""
+    if not one_pass:
+        topo = build_topology(spark, config)
+        return {n: topo.outputs[n].count() for n in topo.outputs}
+
+    observations: dict = {}
+    topo = build_topology(spark, config, observe=observations)
+    cfg = topo.config
+
+    # terminals: union of every sink's inputs; with no sinks, every
+    # output no component consumes (ports of a consumed transform count
+    # as consumed only if referenced)
+    consumed: set[str] = set()
+    for spec in {**cfg.get("transforms", {}), **cfg.get("sinks", {})}.values():
+        consumed.update(spec.get("inputs", []))
+    sink_inputs = [
+        r for spec in cfg.get("sinks", {}).values() for r in spec.get("inputs", [])
+    ]
+    terminals = sink_inputs or [n for n in topo.outputs if n not in consumed]
+
+    # upstream closure over exact output refs = outputs whose observed
+    # node sits on an executed path.  NOTE: a route PORT's plan contains
+    # the port's own observation plus its component's INPUT observations
+    # — not the bare route output's, nor sibling ports' — so the closure
+    # walks refs exactly as written, never adding a bare component name
+    # that wasn't itself referenced.
+    transforms = cfg.get("transforms", {})
+    reached: set[str] = set()
+    frontier = list(terminals)
+    while frontier:
+        ref = frontier.pop()
+        if ref in reached:
+            continue
+        reached.add(ref)
+        frontier += transforms.get(ref.split(".", 1)[0], {}).get("inputs", [])
+
+    for t in dict.fromkeys(terminals):  # drive each terminal once
+        topo.outputs[t].count()
+
+    counts: dict[str, int] = {}
+    for name in topo.outputs:
+        if name in reached:
+            row = _observation_get(observations[name], timeout=30.0)
+            if row is not None:
+                counts[name] = int(row["rows"])
+                continue
+        counts[name] = topo.outputs[name].count()
+    return counts
+
+
+def _observation_get(ob, timeout: float):
+    """Observation.get with a timeout guard: blocks only until the
+    metric arrives or ``timeout`` elapses (None on timeout — callers
+    fall back to a direct count rather than hanging on an observation
+    whose node turned out not to be on any executed path)."""
+    import threading
+
+    result: list = []
+
+    def _wait():
+        try:
+            result.append(ob.get)
+        except Exception:
+            pass
+
+    t = threading.Thread(target=_wait, daemon=True)
+    t.start()
+    t.join(timeout)
+    return result[0] if result else None
