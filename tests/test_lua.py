@@ -678,3 +678,11 @@ class TestUtf8:
         assert run("return utf8.len('héllo')") == [5]
         assert run("return utf8.codepoint('héllo', 1, 3)") == [104, 233]
         assert run("return utf8.offset('héllo', 3)") == [4]
+
+
+def test_load_builtin():
+    assert run("local f = load('return 1 + 1') return f()") == [2]
+    f, err = run("return load('syntax ??? error')")
+    assert f is None and "syntax error" in err
+    # loaded chunks see globals
+    assert run("n = 5 local f = load('return n * 2') return f()") == [10]

@@ -631,8 +631,26 @@ def install_stdlib(interp: Interpreter):
         j = t.length() if j is None else int(j)
         return tuple(t.get(k) for k in range(i, j + 1))
 
+    def _load(chunk=None, chunkname=None, _mode=None, _env=None):
+        """load(string [, chunkname]) -> function | (nil, errmsg).
+        Text chunks only (this runtime has no binary chunks); the
+        optional env parameter is not supported (no _ENV)."""
+        if not isinstance(chunk, str):
+            return (None, "bad argument #1 to 'load' (string expected)")
+        name = chunkname if isinstance(chunkname, str) else "=(load)"
+        try:
+            fn = interp.compile(chunk, name)
+        except LuaSyntaxError as e:
+            return (None, str(e))
+
+        def chunk_fn(*_args):
+            return tuple(fn())
+
+        return chunk_fn
+
     base = {
         "print": _print, "type": lambda v=None: lua_type(v),
+        "load": _load,
         "tostring": lambda v=None: interp.tostring(v),
         "tonumber": lua_tonumber,
         "pairs": _pairs, "ipairs": _ipairs, "next": _next,
