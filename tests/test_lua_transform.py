@@ -168,3 +168,32 @@ def test_stream_lua_state_across_batches(spark, tmp_path):
     # batch 2 (file b): u1 total 15+2=17 (state carried), u2 total 1+3=4
     assert {("u1", 15), ("u2", 1), ("u1", 17), ("u2", 4)} <= got
     assert ("u1", 2) not in got  # state NOT reset between batches
+
+
+def test_lua_error_channel_dropped_port(spark):
+    """error_channel=True: a hook error emits one _lua_error row instead
+    of a silent drop; through the topology it becomes a `name.dropped`
+    port, the remap_grok idiom."""
+    df = spark.createDataFrame(
+        [("ok", 1), (None, 2), ("ok", 3)], "s string, v long")
+    topo = build_topology(spark, {
+        "sources": {"src": {"kind": "memory", "df": df}},
+        "transforms": {
+            "up": {
+                "kind": "lua", "inputs": ["src"], "error_channel": True,
+                "schema": "s string, v long",
+                "hooks": {"process": (
+                    "function (event, emit)\n"
+                    "  event.log.s = string.upper(event.log.s)\n"  # errors on nil
+                    "  emit(event)\n"
+                    "end")},
+            },
+        },
+    })
+    good = topo.outputs["up"].orderBy("v").collect()
+    assert [r["v"] for r in good] == [1, 3]
+    assert all(r["s"] == "OK" for r in good)
+    dropped = topo.outputs["up.dropped"].collect()
+    assert len(dropped) == 1 and dropped[0]["v"] == 2
+    assert "string expected" in dropped[0]["_lua_error"] \
+        or "nil" in dropped[0]["_lua_error"]

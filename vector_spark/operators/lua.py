@@ -479,8 +479,16 @@ def lua_transform(
     schema: T.StructType | str | None = None,
     sample_rows: int = 100,
     num_partitions: int | None = None,
+    error_channel: bool = False,
 ) -> DataFrame:
     """Run the lua transform over ``df``.
+
+    ``error_channel=True`` appends a nullable ``_lua_error`` column: a
+    hook error, instead of silently dropping the event (the reference
+    emits a rate-limited LuaScriptError log and drops, v1/mod.rs:174-180
+    / v2/mod.rs:39-41), emits ONE row carrying the input fields that
+    match the schema plus the error text — the same dropped-port idiom
+    as remap_grok, so a topology can route failures to a sink.
 
     ``schema`` declares the output (DDL string or StructType).  With
     ``schema=None`` the hooks run driver-side over up to ``sample_rows``
@@ -512,6 +520,10 @@ def lua_transform(
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     out_schema = schema
+    if error_channel:
+        out_schema = T.StructType(
+            list(out_schema.fields)
+            + [T.StructField("_lua_error", T.StringType(), True)])
     version = cfg.version
     names = [f.name for f in out_schema.fields]
     if num_partitions:
@@ -521,13 +533,23 @@ def lua_transform(
         rt, hooks = _build_runtime(cfg)
         pending: list[tuple] = []
 
+        def failed(row, err):
+            if error_channel:
+                # input fields matching the schema pass through; the
+                # error text rides the _lua_error column
+                pending.append(tuple(
+                    _coerce(row.get(f.name), f.dataType)
+                    for f in out_schema.fields[:-1]
+                ) + (str(err),))
+
         if version == "1":
             def handle(row):
                 ev = V1Event(row)
                 rt.globals.set("event", ev)
                 try:
                     hooks["chunk"]()
-                except LuaError:
+                except LuaError as e:
+                    failed(row, e)
                     return
                 res = rt.globals.get("event")
                 if res is not None:
@@ -545,8 +567,8 @@ def lua_transform(
                     state["inited"] = True
                 try:
                     rt.call(hooks["process"], _make_event(row), emit)
-                except LuaError:
-                    pass  # hook error drops the event (v2/mod.rs:39-41)
+                except LuaError as e:
+                    failed(row, e)  # drop (v2/mod.rs:39-41) or error row
 
         saw_rows = False
         for pdf in batches:

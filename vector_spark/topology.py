@@ -77,6 +77,8 @@ def _known_outputs(config: dict) -> list[str]:
             out.append(f"{name}._unmatched")
         if spec.get("kind") == "remap_grok" and spec.get("drop_on_error"):
             out.append(f"{name}.dropped")
+        if spec.get("kind") == "lua" and spec.get("error_channel"):
+            out.append(f"{name}.dropped")
     return out
 
 
@@ -399,7 +401,15 @@ def build_topology(
                     for t in spec.get("timers", ())
                 ),
             )
-            out[name] = lua_transform(df, cfg, schema=spec.get("schema"))
+            if spec.get("error_channel"):
+                full = lua_transform(
+                    df, cfg, schema=spec.get("schema"), error_channel=True)
+                out[f"{name}.dropped"] = full.filter(
+                    F.col("_lua_error").isNotNull())
+                out[name] = full.filter(
+                    F.col("_lua_error").isNull()).drop("_lua_error")
+            else:
+                out[name] = lua_transform(df, cfg, schema=spec.get("schema"))
         elif kind == "log_to_metric":
             from vector_spark.operators.metrics import log_to_metric
 
