@@ -206,3 +206,35 @@ inputs = []
 path = "SECRET[b.${KEY_NAME}]"
 """, env={"KEY_NAME": "mykey"})
     assert cfg["sinks"]["o"]["path"] == "r"
+
+
+def test_file_lua_pipeline_toml(spark, tmp_path):
+    """configs/file_lua_pipeline.toml: the round-4b components composed —
+    file source -> lua parse hook -> route -> templated file sink +
+    parquet sink — driven entirely through the TOML front door."""
+    import glob
+    import json
+
+    from vector_spark.config import load_config
+    from vector_spark.topology import run_topology
+
+    log = tmp_path / "app.log"
+    log.write_text(
+        "INFO [api] took=12ms fine\n"
+        "ERROR [api] took=250ms upstream timeout\n"
+        "WARN [worker] took=180ms slow batch\n"
+        "not a log line\n")
+    out = tmp_path / "out"
+    cfg = load_config(
+        os.path.join(REPO, "configs", "file_lua_pipeline.toml"),
+        env={"APP_LOG_GLOB": str(log), "OUT_DIR": str(out)})
+    run_topology(spark, cfg)
+
+    allrows = spark.read.parquet(str(out / "all"))
+    assert allrows.count() == 3  # the non-matching line was not emitted
+    assert {r["service"] for r in allrows.collect()} == {"api", "worker"}
+
+    slow_files = glob.glob(str(out / "slow" / "_path=svc-*" / "part-*"))
+    slow = [json.loads(line) for f in slow_files for line in open(f)]
+    assert sorted(r["ms"] for r in slow) == [180, 250]
+    assert {r["level"] for r in slow} == {"ERROR", "WARN"}
