@@ -197,3 +197,60 @@ def test_lua_error_channel_dropped_port(spark):
     assert len(dropped) == 1 and dropped[0]["v"] == 2
     assert "string expected" in dropped[0]["_lua_error"] \
         or "nil" in dropped[0]["_lua_error"]
+
+
+def test_stream_lua_timeout_flush_branch():
+    """The idle-timeout branch (shutdown-flush + state drop) unit-tested
+    against a mock GroupState — the streaming-query path for timeouts
+    needs wall-clock idle time, so the state machine is driven directly."""
+    import json
+
+    import pandas as pd
+
+    from vector_spark.streaming import make_stream_lua_fn
+
+    cfg = LuaTransformConfig(
+        version="2",
+        source=("n = 0\n"
+                "function p(event, emit) n = n + 1 end\n"
+                "function bye(emit) emit({log = {final_n = n}}) end"),
+        process="p", shutdown="bye")
+    fn = make_stream_lua_fn(cfg, "final_n long", ["n"], idle_flush_secs=60)
+
+    class MockState:
+        def __init__(self, blob=None, timed_out=False):
+            self.blob = blob
+            self.hasTimedOut = timed_out
+            self.removed = False
+            self.timeout_ms = None
+
+        @property
+        def exists(self):
+            return self.blob is not None
+
+        @property
+        def get(self):
+            return (self.blob,)
+
+        def update(self, t):
+            self.blob = t[0]
+
+        def remove(self):
+            self.removed = True
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_ms = ms
+
+    # batch 1: 3 events accumulate; state persisted; timeout armed
+    st = MockState()
+    out = list(fn(("k",), [pd.DataFrame({"v": [1, 2, 3]})], st))
+    assert out == []  # process emits nothing
+    assert json.loads(st.blob) == {"n": 3}
+    assert st.timeout_ms == 60_000 and not st.removed
+
+    # idle timeout: shutdown flushes the restored count, state dropped
+    st2 = MockState(blob=st.blob, timed_out=True)
+    frames = list(fn(("k",), iter(()), st2))
+    assert st2.removed
+    assert len(frames) == 1
+    assert frames[0].iloc[0]["final_n"] == 3

@@ -420,6 +420,83 @@ def stream_iceberg_sink(
     )
 
 
+def make_stream_lua_fn(cfg, out_schema: str, state_globals, idle_flush_secs=None):
+    """Build the applyInPandasWithState group function for
+    :func:`stream_lua` — module-level so the state machine (restore ->
+    hooks -> timers -> persist, and the timeout shutdown-flush branch)
+    is unit-testable against a mock GroupState without a streaming
+    query."""
+    import json
+
+    import pandas as pd
+
+    from vector_spark.lua import LuaError
+    from vector_spark.operators.lua import (
+        _build_runtime,
+        _event_to_rowdict,
+        _make_event,
+        _np_plain,
+        _project,
+        lua_to_py,
+        py_to_lua,
+    )
+    from pyspark.sql.types import StructType
+
+    schema_struct = StructType.fromDDL(out_schema)
+    names = [f.name for f in schema_struct.fields]
+
+    def _lua(key, pdfs, state):
+        rt, hooks = _build_runtime(cfg)
+        pending: list[tuple] = []
+
+        def emit(ev=None):
+            pending.append(
+                _project(_event_to_rowdict(ev, cfg.version), schema_struct, cfg.version)
+            )
+
+        if state.hasTimedOut:
+            if "shutdown" in hooks:
+                # restore state for the flush, then drop it
+                (blob,) = state.get
+                for gname, gval in json.loads(blob).items():
+                    rt.globals.set(gname, py_to_lua(gval))
+                rt.call(hooks["shutdown"], emit)
+            state.remove()
+            if pending:
+                yield pd.DataFrame(pending, columns=names, dtype=object)
+            return
+
+        if state.exists:
+            (blob,) = state.get
+            for gname, gval in json.loads(blob).items():
+                rt.globals.set(gname, py_to_lua(gval))
+        elif "init" in hooks:
+            rt.call(hooks["init"], emit)
+
+        for pdf in pdfs:
+            for row in pdf.to_dict("records"):
+                try:
+                    rt.call(
+                        hooks["process"],
+                        _make_event({k: _np_plain(v) for k, v in row.items()}),
+                        emit,
+                    )
+                except LuaError:
+                    pass  # hook error drops the event, like batch
+        for t in hooks.get("timers", []):
+            rt.call(t, emit)
+
+        state.update((json.dumps(
+            {g: lua_to_py(rt.globals.get(g)) for g in state_globals}
+        ),))
+        if idle_flush_secs:
+            state.setTimeoutDuration(idle_flush_secs * 1000)
+        if pending:
+            yield pd.DataFrame(pending, columns=names, dtype=object)
+
+    return _lua
+
+
 def stream_lua(
     df: DataFrame,
     cfg,
@@ -448,77 +525,9 @@ def stream_lua(
     ``hooks.shutdown`` called (with emit) and its state dropped — the
     stream rendering of shutdown-on-stop.
     """
-    import json
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    from vector_spark.operators.lua import (
-        LuaTransformConfig,  # noqa: F401 (type reference for callers)
-        _build_runtime,
-        _event_to_rowdict,
-        _make_event,
-        _np_plain,
-        _project,
-        lua_to_py,
-        py_to_lua,
-    )
-    from pyspark.sql.types import StructType
-
-    schema_struct = StructType.fromDDL(out_schema)
-    names = [f.name for f in schema_struct.fields]
-
-    def _lua(key, pdfs, state: GroupState):
-        rt, hooks = _build_runtime(cfg)
-        pending: list[tuple] = []
-
-        def emit(ev=None):
-            pending.append(
-                _project(_event_to_rowdict(ev, cfg.version), schema_struct, cfg.version)
-            )
-
-        if state.hasTimedOut:
-            if "shutdown" in hooks:
-                # restore state for the flush, then drop it
-                (blob,) = state.get
-                for gname, gval in json.loads(blob).items():
-                    rt.globals.set(gname, py_to_lua(gval))
-                rt.call(hooks["shutdown"], emit)
-            state.remove()
-            if pending:
-                yield pd.DataFrame(pending, columns=names, dtype=object)
-            return
-
-        if state.exists:
-            (blob,) = state.get
-            for gname, gval in json.loads(blob).items():
-                rt.globals.set(gname, py_to_lua(gval))
-        elif "init" in hooks:
-            rt.call(hooks["init"], emit)
-
-        from vector_spark.lua import LuaError
-
-        for pdf in pdfs:
-            for row in pdf.to_dict("records"):
-                try:
-                    rt.call(
-                        hooks["process"],
-                        _make_event({k: _np_plain(v) for k, v in row.items()}),
-                        emit,
-                    )
-                except LuaError:
-                    pass  # hook error drops the event, like batch
-        for t in hooks.get("timers", []):
-            rt.call(t, emit)
-
-        state.update((json.dumps(
-            {g: lua_to_py(rt.globals.get(g)) for g in state_globals}
-        ),))
-        if idle_flush_secs:
-            state.setTimeoutDuration(idle_flush_secs * 1000)
-        if pending:
-            yield pd.DataFrame(pending, columns=names, dtype=object)
-
+    _lua = make_stream_lua_fn(cfg, out_schema, state_globals, idle_flush_secs)
     return df.groupBy(*key_fields).applyInPandasWithState(
         _lua,
         outputStructType=out_schema,
