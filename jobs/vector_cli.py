@@ -66,12 +66,21 @@ def cmd_validate(args) -> int:
     return 0
 
 
+def _load_or_exit(path: str):
+    from vector_spark.config import load_config
+
+    try:
+        return load_config(path)
+    except Exception as e:
+        print(f"x Failed to load {path!r}: {e}", file=sys.stderr)
+        raise SystemExit(EX_CONFIG) from None
+
+
 def cmd_graph(args) -> int:
     """≅ `vector graph` (src/graph.rs): DOT on stdout."""
-    from vector_spark.config import load_config
     from vector_spark.topology import topology_dot
 
-    print(topology_dot(load_config(args.config)))
+    print(topology_dot(_load_or_exit(args.config)))
     return 0
 
 
@@ -101,10 +110,9 @@ def cmd_list(args) -> int:
 def cmd_top(args) -> int:
     """≅ `vector top` (src/top/): per-component row counts for one batch
     run of the topology."""
-    from vector_spark.config import load_config
     from vector_spark.topology import top_topology
 
-    counts = top_topology(_spark(), load_config(args.config))
+    counts = top_topology(_spark(), _load_or_exit(args.config))
     width = max(len(n) for n in counts)
     print(f"{'COMPONENT':<{width}}  ROWS")
     for name, n in counts.items():
@@ -115,11 +123,10 @@ def cmd_top(args) -> int:
 def cmd_tap(args) -> int:
     """≅ `vector tap` (src/tap/cmd.rs): sample events from component
     outputs matching the glob patterns, as JSON lines."""
-    from vector_spark.config import load_config
     from vector_spark.topology import tap_topology
 
     samples = tap_topology(
-        _spark(), load_config(args.config),
+        _spark(), _load_or_exit(args.config),
         patterns=args.patterns or None, limit=args.limit)
     for name, events in samples.items():
         for e in events:
