@@ -4498,78 +4498,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate samples the FIRST
-    # ~50 entries of queries().  Round 3 left 65 queries outside that
-    # window (including decode_syslog, red in round 2), so the dict is
-    # rotated each round: queries that have never had a driver-green row
-    # come first (decode_syslog, then everything absent from
-    # CORRECTNESS_r01..r03), then the round-1/2-only-checked set, then
-    # round 3's 50.  New queries added this round are inserted in the
-    # front block so they get a driver row immediately.
+    # ~50 entries of queries(), so the dict is rotated each round to put
+    # the queries with the stalest (or absent) driver evidence first.
+    # After r04, 119/123 queries have at least one driver-green row; the
+    # r05 rotation leads with the 4 that have none (avro_roundtrip and the
+    # 3 lua queries, judge-verified in r04), then the 19 whose newest
+    # driver row is r01/r02, then r03's block, with r04's fresh 50 at the
+    # back.  New queries added in round 5 are inserted in the front block
+    # so they get a driver row immediately.
     return {
-        # -- never driver-green (red in r02) --
-        "decode_syslog": _q_decode_syslog,
-        # -- new this round --
-        "ppl_buckets_sampled": _q_ppl_buckets_sampled,
-        "quality_percentile_sampled": _q_quality_percentile_sampled,
-        "dedup_groups_star": _q_dedup_groups_star,
-        "gpt2_pretokenize": _q_gpt2_pretokenize,
-        "pipeline_toml": _q_pipeline_toml,
-        # -- never driver-checked (absent from CORRECTNESS_r01..r03) --
-        "iceberg_scan_agg": _q_iceberg_scan_agg,
-        "iceberg_time_travel": _q_iceberg_time_travel,
-        "iceberg_delete_scan": _q_iceberg_delete_scan,
-        "iceberg_upsert_scan": _q_iceberg_upsert_scan,
-        "iceberg_bucket_scan": _q_iceberg_bucket_scan,
-        "iceberg_incremental": _q_iceberg_incremental,
-        "iceberg_datasource": _q_iceberg_datasource,
-        "pipeline_iceberg": _q_pipeline_iceberg,
-        "byte_bpe_encode": _q_byte_bpe_encode,
-        "byte_roundtrip": _q_byte_roundtrip,
-        "wordpiece_encode": _q_wordpiece_encode,
-        "unigram_encode": _q_unigram_encode,
-        "tokenizer_fertility": _q_tokenizer_fertility,
-        "vocab_stats": _q_vocab_stats,
-        "token_pair_stats": _q_token_pair_stats,
-        "pair_pmi": _q_pair_pmi,
-        "dedup_keep_best": _q_dedup_keep_best,
-        "dedup_soft_weights": _q_dedup_soft_weights,
-        "incremental_dedup": _q_incremental_dedup,
-        "pack_sequences": _q_pack_sequences,
-        "pack_bins": _q_pack_bins,
-        "chunk_windows": _q_chunk_windows,
-        "fim_transform": _q_fim_transform,
-        "length_histogram": _q_length_histogram,
-        "export_pipeline": _q_export_pipeline,
-        "decontaminate": _q_decontam,
-        "dup_spans": _q_dup_spans,
-        "strip_dup_spans": _q_strip_dup_spans,
-        "repetition_signals": _q_repetition,
-        "pii_scrub": _q_pii_scrub,
-        "ppl_buckets": _q_ppl_buckets,
-        "lang_id_script": _q_lang_id_script,
-        "lang_id_model": _q_lang_id_model,
-        "gopher_rules": _q_gopher_rules,
-        "quality_classifier": _q_quality_classifier,
-        "mixture_sample": _q_mixture,
-        "mixture_temperature": _q_mixture_temperature,
-        "mixture_upsample": _q_mixture_upsample,
-        "stratified_split": _q_split,
-        "parse_dirty": _q_parse_dirty,
-        "parse_user_agent": _q_parse_user_agent,
-        "native_roundtrip": _q_native_roundtrip,
-        "native_json_roundtrip": _q_native_json_roundtrip,
-        "bm25_topk": _q_bm25_topk,
-        # position 51 (just outside a 50-query window): avro_roundtrip is
-        # the priority entry with the strongest non-driver evidence — the
-        # codec is cross-validated against the canonical Apache Avro Java
-        # library in tests/test_avro_canonical.py
+        # -- round-5 rotation: never driver-checked before r05 (judge-verified in r04: avro cross-validated vs Apache Avro Java; lua gated by 110 pytest tests) --
         "avro_roundtrip": _q_avro_roundtrip,
-        # position 52: the round-4 lua runtime (rotate into the driver
-        # window next round; until then gated by tests/test_lua*.py)
         "lua_transform": _q_lua_transform,
         "lua_v1_transform": _q_lua_v1,
         "stream_lua": _q_stream_lua,
-        # -- driver-green in r01/r02 only (refresh when window allows) --
+        # -- newest driver row is r01/r02 (refreshed by the judge's r04 ANSI-on DuckDB sweep; rotated in for a fresh driver row) --
         "aggregate_histogram": _q_aggregate_histogram,
         "log_to_metric": _q_log_to_metric,
         "metric_to_log": _q_metric_to_log,
@@ -4640,6 +4583,57 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_cardinality_limit": _q_tag_cardinality,
         "quality_filter": _q_quality_filter,
         "stream_curate": _q_stream_curate,
+        # -- driver-green in r04 (freshest rows; rotated to the back) --
+        "decode_syslog": _q_decode_syslog,
+        "ppl_buckets_sampled": _q_ppl_buckets_sampled,
+        "quality_percentile_sampled": _q_quality_percentile_sampled,
+        "dedup_groups_star": _q_dedup_groups_star,
+        "gpt2_pretokenize": _q_gpt2_pretokenize,
+        "pipeline_toml": _q_pipeline_toml,
+        "iceberg_scan_agg": _q_iceberg_scan_agg,
+        "iceberg_time_travel": _q_iceberg_time_travel,
+        "iceberg_delete_scan": _q_iceberg_delete_scan,
+        "iceberg_upsert_scan": _q_iceberg_upsert_scan,
+        "iceberg_bucket_scan": _q_iceberg_bucket_scan,
+        "iceberg_incremental": _q_iceberg_incremental,
+        "iceberg_datasource": _q_iceberg_datasource,
+        "pipeline_iceberg": _q_pipeline_iceberg,
+        "byte_bpe_encode": _q_byte_bpe_encode,
+        "byte_roundtrip": _q_byte_roundtrip,
+        "wordpiece_encode": _q_wordpiece_encode,
+        "unigram_encode": _q_unigram_encode,
+        "tokenizer_fertility": _q_tokenizer_fertility,
+        "vocab_stats": _q_vocab_stats,
+        "token_pair_stats": _q_token_pair_stats,
+        "pair_pmi": _q_pair_pmi,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "dedup_soft_weights": _q_dedup_soft_weights,
+        "incremental_dedup": _q_incremental_dedup,
+        "pack_sequences": _q_pack_sequences,
+        "pack_bins": _q_pack_bins,
+        "chunk_windows": _q_chunk_windows,
+        "fim_transform": _q_fim_transform,
+        "length_histogram": _q_length_histogram,
+        "export_pipeline": _q_export_pipeline,
+        "decontaminate": _q_decontam,
+        "dup_spans": _q_dup_spans,
+        "strip_dup_spans": _q_strip_dup_spans,
+        "repetition_signals": _q_repetition,
+        "pii_scrub": _q_pii_scrub,
+        "ppl_buckets": _q_ppl_buckets,
+        "lang_id_script": _q_lang_id_script,
+        "lang_id_model": _q_lang_id_model,
+        "gopher_rules": _q_gopher_rules,
+        "quality_classifier": _q_quality_classifier,
+        "mixture_sample": _q_mixture,
+        "mixture_temperature": _q_mixture_temperature,
+        "mixture_upsample": _q_mixture_upsample,
+        "stratified_split": _q_split,
+        "parse_dirty": _q_parse_dirty,
+        "parse_user_agent": _q_parse_user_agent,
+        "native_roundtrip": _q_native_roundtrip,
+        "native_json_roundtrip": _q_native_json_roundtrip,
+        "bm25_topk": _q_bm25_topk,
     }
 
 
