@@ -87,6 +87,51 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # Noise-robustness (VERDICT r4 Next #2): the round-4 driver sweep ran
+    # in a degraded host window and recorded seven queries 2.6-5.5x above
+    # their real warm times.  BENCH_best.json holds the best recorded warm
+    # time per query across rounds; any sample exceeding OUTLIER_FACTOR x
+    # that record is re-run once and the better sample kept, so a single
+    # host stall can no longer misrepresent the tree.  The file is
+    # tightened (min) after every sweep.
+    best_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_best.json"
+    )
+    sf_key = f"sf{sf:g}"  # records are per-scale-factor: an sf0.01 smoke
+    try:                  # must never tighten (or trip) the sf0.1 records
+        with open(best_path) as f:
+            best_all: dict[str, dict[str, float]] = json.load(f)
+    except (OSError, ValueError):
+        best_all = {}
+    best_known = best_all.setdefault(sf_key, {})
+    OUTLIER_FACTOR = 2.0
+    n_reruns = 0
+
+    def _timed(name: str, thunk) -> None:
+        """Time thunk() into timings[name] with the outlier re-run rule."""
+        nonlocal n_reruns
+        t0 = time.time()
+        try:
+            thunk()
+            sec = time.time() - t0
+            record = best_known.get(name)
+            if record and record > 0 and sec > OUTLIER_FACTOR * record:
+                print(
+                    f"# bench outlier {name}: {sec:.1f}s > "
+                    f"{OUTLIER_FACTOR:.0f}x record {record:.1f}s — re-running",
+                    file=sys.stderr,
+                )
+                n_reruns += 1
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+                t1 = time.time()
+                thunk()
+                sec = min(sec, time.time() - t1)
+            timings[name] = round(sec, 3)
+        except Exception as e:  # keep the bench line intact on one failure
+            timings[name] = -1.0
+            print(f"# bench query {name} failed: {e}", file=sys.stderr)
+
     # warm the JVM + parquet footer caches once; build the (cached) Iceberg
     # corpus table outside any timed region — a one-time migration cost,
     # not part of the steady-state scan the iceberg_* queries measure
@@ -113,40 +158,28 @@ def main() -> None:
         pipeline_sec = min(pipeline_sec, time.time() - t0)
     timings["pipeline_parse_enrich_route_aggregate"] = round(pipeline_sec, 3)
 
-    # production-path minhash (fast hash), over the documents table
-    t0 = time.time()
-    try:
-        from vector_spark.dedup import minhash_lsh_pairs
+    from vector_spark.dedup import (
+        dedup_components,
+        dedup_components_star,
+        minhash_lsh_pairs,
+    )
 
-        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        _materialize(minhash_lsh_pairs(docs, fast=True))
-        timings["minhash_lsh_fast"] = round(time.time() - t0, 3)
-    except Exception as e:
-        timings["minhash_lsh_fast"] = -1.0
-        print(f"# bench query minhash_lsh_fast failed: {e}", file=sys.stderr)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    # production-path minhash (fast hash), over the documents table
+    _timed("minhash_lsh_fast",
+           lambda: _materialize(minhash_lsh_pairs(docs, fast=True)))
 
     # production-path dedup groups: components over the fast-hash pairs
-    t0 = time.time()
-    try:
-        from vector_spark.dedup import dedup_components
-
-        _materialize(dedup_components(minhash_lsh_pairs(docs, fast=True)))
-        timings["dedup_groups_fast"] = round(time.time() - t0, 3)
-    except Exception as e:
-        timings["dedup_groups_fast"] = -1.0
-        print(f"# bench query dedup_groups_fast failed: {e}", file=sys.stderr)
+    _timed("dedup_groups_fast",
+           lambda: _materialize(
+               dedup_components(minhash_lsh_pairs(docs, fast=True))))
 
     # production-path dedup groups via large-star/small-star (Kiveris et
     # al.) over the same fast-hash pairs — the O(log n)-rounds twin
-    t0 = time.time()
-    try:
-        from vector_spark.dedup import dedup_components_star
-
-        _materialize(dedup_components_star(minhash_lsh_pairs(docs, fast=True)))
-        timings["dedup_groups_star_fast"] = round(time.time() - t0, 3)
-    except Exception as e:
-        timings["dedup_groups_star_fast"] = -1.0
-        print(f"# bench query dedup_groups_star_fast failed: {e}", file=sys.stderr)
+    _timed("dedup_groups_star_fast",
+           lambda: _materialize(
+               dedup_components_star(minhash_lsh_pairs(docs, fast=True))))
 
     # pathological-chain connected components: the star algorithm's
     # O(log n) round bound on the graph shape where min-label propagation
@@ -177,42 +210,21 @@ def main() -> None:
     # bounded-memory heavy-hitter pair scan (Misra-Gries): same corpus as
     # token_pair_stats but the exchange is k x partitions rows, not
     # O(distinct pairs) — the sketch answer to the uniform worst case
-    t0 = time.time()
-    try:
-        from vector_spark.vocab import token_pair_stats_approx
+    from vector_spark.packing import chunk_windows, fim_transform
+    from vector_spark.vocab import token_pair_stats_approx
 
-        corpus = P.load_corpus(spark, sf).select("tokens")
-        _materialize(token_pair_stats_approx(corpus, 200, k_sketch=4096))
-        timings["token_pair_stats_approx"] = round(time.time() - t0, 3)
-    except Exception as e:
-        timings["token_pair_stats_approx"] = -1.0
-        print(f"# bench query token_pair_stats_approx failed: {e}", file=sys.stderr)
+    tok_corpus = P.load_corpus(spark, sf).select("tokens")
+    _timed("token_pair_stats_approx",
+           lambda: _materialize(
+               token_pair_stats_approx(tok_corpus, 200, k_sketch=4096)))
 
-    # production-path chunking (raw token arrays; the contract twin's CSV
-    # render is the oracle gate, not the operator)
-    t0 = time.time()
-    try:
-        from vector_spark.packing import chunk_windows
-
-        corpus = P.load_corpus(spark, sf).select("doc_id", "tokens")
-        _materialize(chunk_windows(corpus, 256, 192))
-        timings["chunk_windows_fast"] = round(time.time() - t0, 3)
-    except Exception as e:
-        timings["chunk_windows_fast"] = -1.0
-        print(f"# bench query chunk_windows_fast failed: {e}", file=sys.stderr)
-
-    # production-path FIM (raw token arrays; the contract twin's CSV render
-    # is the oracle gate, not the operator)
-    t0 = time.time()
-    try:
-        from vector_spark.packing import fim_transform
-
-        corpus = P.load_corpus(spark, sf).select("doc_id", "tokens")
-        _materialize(fim_transform(corpus))
-        timings["fim_transform_fast"] = round(time.time() - t0, 3)
-    except Exception as e:
-        timings["fim_transform_fast"] = -1.0
-        print(f"# bench query fim_transform_fast failed: {e}", file=sys.stderr)
+    # production-path chunking + FIM (raw token arrays; the contract
+    # twins' CSV render is the oracle gate, not the operator)
+    doc_corpus = P.load_corpus(spark, sf).select("doc_id", "tokens")
+    _timed("chunk_windows_fast",
+           lambda: _materialize(chunk_windows(doc_corpus, 256, 192)))
+    _timed("fim_transform_fast",
+           lambda: _materialize(fim_transform(doc_corpus)))
 
     for name in bench_names:
         if name == "pipeline_sink_aggregates":
@@ -228,16 +240,24 @@ def main() -> None:
         # late in a shared one).
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
-        t0 = time.time()
-        try:
-            _materialize(qmap[name](spark, SF_DIR))
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:  # keep the bench line intact on one failure
-            timings[name] = -1.0
-            print(f"# bench query {name} failed: {e}", file=sys.stderr)
+        _timed(name, lambda q=name: _materialize(qmap[q](spark, SF_DIR)))
 
     total = time.time() - t_all
     rows_per_sec = routed_rows / pipeline_sec if pipeline_sec > 0 else 0.0
+    # tighten the cross-round record file (min of record and this sweep)
+    for name, sec in timings.items():
+        if sec > 0 and sec < best_known.get(name, float("inf")):
+            best_known[name] = sec
+    best_known["pipeline_parse_enrich_route_aggregate"] = min(
+        best_known.get("pipeline_parse_enrich_route_aggregate", float("inf")),
+        round(pipeline_sec, 3),
+    )
+    best_all[sf_key] = dict(sorted(best_known.items()))
+    try:
+        with open(best_path, "w") as f:
+            json.dump(best_all, f, indent=1)
+    except OSError as e:
+        print(f"# could not write {best_path}: {e}", file=sys.stderr)
     # surface the MEDIAN recorded N->4N scaling efficiency (BENCH.md,
     # written by bench_scaling.py) so the per-round JSON carries both
     # gates; the median of all official runs is the estimator the noise
@@ -269,6 +289,7 @@ def main() -> None:
         "scaling_efficiency_median_recorded": scaling_eff,
         "cpus": CPUS,
         "star_chain": star_chain,
+        "n_outlier_reruns": n_reruns,
     }
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
@@ -292,6 +313,7 @@ def main() -> None:
         },
         "n_queries": len(timings),
         "n_failed": n_fail,
+        "n_outlier_reruns": n_reruns,
         "sf": sf,
         "routed_rows": routed_rows,
         "rows_per_sec": round(rows_per_sec, 1),

@@ -686,3 +686,231 @@ def test_load_builtin():
     assert f is None and "syntax error" in err
     # loaded chunks see globals
     assert run("n = 5 local f = load('return n * 2') return f()") == [10]
+
+
+# ---------------------------------------------------------------------
+# round-5 additions: utf8.codes, table.move, coroutine.close + thread
+# release, pattern/lexer error shapes (ADVICE r4), state codec
+# ---------------------------------------------------------------------
+
+class TestUtf8Codes:
+    def test_manual_iteration_idiom(self):
+        # the Lua 5.4 manual's canonical loop (§6.5 utf8.codes)
+        assert run(
+            """
+            local out = {}
+            for p, c in utf8.codes("héllo") do
+              out[#out+1] = p .. ":" .. c
+            end
+            return table.concat(out, ",")
+            """
+        ) == ["1:104,2:233,4:108,5:108,6:111"]
+
+    def test_empty_and_ascii(self):
+        assert run(
+            "local n = 0 for p, c in utf8.codes('') do n = n + 1 end return n"
+        ) == [0]
+        assert run(
+            """
+            local ps, cs = {}, {}
+            for p, c in utf8.codes("ab") do ps[#ps+1]=p cs[#cs+1]=c end
+            return ps[1], ps[2], cs[1], cs[2]
+            """
+        ) == [1, 2, 97, 98]
+
+
+class TestTableMove:
+    def test_move_to_other_table(self):
+        assert run(
+            "local a={1,2,3} local b={} table.move(a,1,3,1,b)"
+            " return table.concat(b,',')"
+        ) == ["1,2,3"]
+
+    def test_overlapping_forward_move(self):
+        # memmove semantics: t={1,2,3,4,5}; move(t,1,3,2) -> {1,1,2,3,5}
+        assert run(
+            "local t={1,2,3,4,5} table.move(t,1,3,2)"
+            " return table.concat(t,',')"
+        ) == ["1,1,2,3,5"]
+
+    def test_returns_destination(self):
+        assert run(
+            "local a={7} local b=table.move(a,1,1,1,{}) return b[1]"
+        ) == [7]
+
+    def test_empty_range(self):
+        assert run(
+            "local t={1,2} table.move(t,2,1,1) return table.concat(t,',')"
+        ) == ["1,2"]
+
+
+class TestCoroutineClose:
+    def test_close_suspended(self):
+        assert run(
+            """
+            local co = coroutine.create(function()
+              coroutine.yield(1)
+              return 2
+            end)
+            local ok, v = coroutine.resume(co)
+            local closed = coroutine.close(co)
+            return ok, v, closed, coroutine.status(co)
+            """
+        ) == [True, 1, True, "dead"]
+
+    def test_close_dead_is_true(self):
+        assert run(
+            """
+            local co = coroutine.create(function() return 1 end)
+            coroutine.resume(co)
+            return coroutine.close(co)
+            """
+        ) == [True]
+
+    def test_close_running_errors(self):
+        ok, err = run(
+            """
+            return pcall(function()
+              local co
+              co = coroutine.create(function() coroutine.close(co) end)
+              local ok, e = coroutine.resume(co)
+              if not ok then error(e) end
+            end)
+            """
+        )
+        assert ok is False and "cannot close a running coroutine" in err
+
+    def test_abandoned_coroutines_release_threads(self):
+        # ADVICE r4 (medium): 50 abandoned suspended coroutines used to
+        # leak 50 daemon threads; close_coroutines() must reclaim them
+        import threading
+        import time
+
+        it = LuaRuntime()
+        it.run(
+            """
+            for i = 1, 50 do
+              local co = coroutine.create(function() coroutine.yield(i) end)
+              coroutine.resume(co)
+            end
+            """
+        )
+        assert threading.active_count() >= 50
+        it.close_coroutines()
+        deadline = time.time() + 5
+        while threading.active_count() > 5 and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= 5
+
+    def test_closed_coroutine_cannot_resume(self):
+        assert run(
+            """
+            local co = coroutine.create(function() coroutine.yield() end)
+            coroutine.resume(co)
+            coroutine.close(co)
+            local ok, e = coroutine.resume(co)
+            return ok, e
+            """
+        ) == [False, "cannot resume dead coroutine"]
+
+
+class TestPatternErrorShapes:
+    def test_percent_zero_backref_rejected(self):
+        # PUC-Lua: "invalid capture index %0" — must not alias the last
+        # capture (ADVICE r4)
+        ok, err = run("return pcall(string.match, 'aa', '(a)%0')")
+        assert ok is False and "invalid capture index" in str(err)
+
+    def test_bare_close_paren_rejected_in_gsub(self):
+        # real Lua rejects pattern ')' as "invalid pattern capture"; the
+        # literal fast path must not accept it (ADVICE r4)
+        ok, err = run("return pcall(string.gsub, 'a)b', ')', 'x')")
+        assert ok is False and "invalid pattern capture" in str(err)
+
+    def test_literal_close_bracket_still_works(self):
+        assert run("return (string.gsub('a]b', ']', 'x'))") == ["axb"]
+
+
+class TestLexerEscapeErrors:
+    def test_invalid_hex_escape_is_syntax_error(self):
+        # used to leak a host ValueError (ADVICE r4)
+        from vector_spark.lua import LuaSyntaxError
+
+        with pytest.raises(LuaSyntaxError, match="hexadecimal digit expected"):
+            run(r"return '\xzz'")
+
+    def test_decimal_escape_too_large(self):
+        from vector_spark.lua import LuaSyntaxError
+
+        with pytest.raises(LuaSyntaxError, match="decimal escape too large"):
+            run(r"return '\300'")
+
+    def test_unicode_escape_bad_digit(self):
+        from vector_spark.lua import LuaSyntaxError
+
+        with pytest.raises(LuaSyntaxError, match="hexadecimal digit expected"):
+            run(r"return '\u{zz}'")
+
+    def test_valid_escapes_still_work(self):
+        assert run(r"return '\x41\65\u{48}'") == ["AAH"]
+
+
+class TestStateCodec:
+    def test_integer_keys_survive_roundtrip(self):
+        # ADVICE r4 (medium): plain json stringified non-sequential
+        # integer table keys (t[42] -> t['42'])
+        import json
+
+        from vector_spark.lua import LuaTable
+        from vector_spark.operators.lua import state_decode, state_encode
+
+        it = LuaRuntime()
+        (t,) = it.run("local t = {} t[42] = 'a' t[7] = 'b' return t")
+        restored = state_decode(json.loads(json.dumps(state_encode(t))))
+        assert isinstance(restored, LuaTable)
+        assert restored.get(42) == "a"
+        assert restored.get(7) == "b"
+        assert restored.get("42") is None
+
+    def test_mixed_key_types(self):
+        import json
+
+        from vector_spark.operators.lua import state_decode, state_encode
+
+        it = LuaRuntime()
+        (t,) = it.run(
+            "local t = {} t[1]='one' t['1']='str-one' t[2.5]='f'"
+            " t[true]='b' return t"
+        )
+        r = state_decode(json.loads(json.dumps(state_encode(t))))
+        assert r.get(1) == "one"
+        assert r.get("1") == "str-one"
+        assert r.get(2.5) == "f"
+        assert r.get(True) == "b"
+
+    def test_nested_tables_and_scalars(self):
+        import json
+
+        from vector_spark.operators.lua import state_decode, state_encode
+
+        it = LuaRuntime()
+        (t,) = it.run(
+            "return {count = 3, inner = {[10] = 'x'}, pi = 3.5, flag = false}"
+        )
+        r = state_decode(json.loads(json.dumps(state_encode(t))))
+        assert r.get("count") == 3
+        assert isinstance(r.get("count"), int)
+        assert r.get("pi") == 3.5
+        assert r.get("flag") is False
+        assert r.get("inner").get(10) == "x"
+
+    def test_function_values_dropped(self):
+        import json
+
+        from vector_spark.operators.lua import state_decode, state_encode
+
+        it = LuaRuntime()
+        (t,) = it.run("return {f = function() end, keep = 1}")
+        r = state_decode(json.loads(json.dumps(state_encode(t))))
+        assert r.get("keep") == 1
+        assert r.get("f") is None

@@ -11,7 +11,18 @@ shared upvalues, multiple returns, metatables (__index __newindex __call
 __tostring __eq __len __concat), integer/float subtypes with 64-bit
 wrap, Lua patterns (find/match/gmatch/gsub incl. %b/%f/backrefs/position
 captures), string.format, base/string/table/math/os libraries, pcall,
-and ``require`` from configured ``search_dirs``.
+coroutines (incl. ``coroutine.close``; release via
+``Interpreter.close_coroutines()`` at partition teardown), and
+``require`` from configured ``search_dirs``.
+
+DOCUMENTED DIVERGENCE from PUC-Lua/mlua: strings are sequences of
+Unicode CODE POINTS, not bytes — ``#'héllo'`` is 5 here where mlua
+returns 6, and ``string.sub/byte/len`` index characters.  Spark hands
+event fields to hooks as decoded text, so character semantics are the
+useful default for log processing; byte-arithmetic scripts ported from
+the reference must be adjusted (``utf8.len/offset/codes`` expose
+byte-aware views).  ``string.pack/unpack`` are omitted for the same
+reason (byte-buffer semantics; unused by the reference's lua corpus).
 """
 
 from __future__ import annotations

@@ -18,6 +18,7 @@ that way in operators/lua.py.
 
 from __future__ import annotations
 
+import bisect as _bisect
 import math
 import time as _time
 
@@ -915,10 +916,27 @@ def install_stdlib(interp: Interpreter):
         t.set("n", len(args))
         return t
 
+    def _table_move(a1=None, f=None, e=None, t=None, a2=None):
+        """table.move (Lua 5.4 §6.6): move a1[f..e] to a2[t..]; returns
+        a2.  Handles the overlapping same-table case like memmove."""
+        a1 = _t_arg(a1, "move")
+        a2 = a1 if a2 is None else _t_arg(a2, "move")
+        f, e, t = int(f), int(e), int(t)
+        if e >= f:
+            if t > f and a2 is a1:
+                # overlapping forward move: copy back-to-front
+                for i in range(e - f, -1, -1):
+                    a2.set(t + i, a1.get(f + i))
+            else:
+                for i in range(0, e - f + 1):
+                    a2.set(t + i, a1.get(f + i))
+        return a2
+
     g.set("table", LuaTable([
         ("insert", _table_insert), ("remove", _table_remove),
         ("concat", _table_concat), ("sort", _table_sort),
         ("unpack", _unpack), ("pack", _table_pack),
+        ("move", _table_move),
     ]))
 
     # ---- math ------------------------------------------------------------
@@ -1107,9 +1125,33 @@ def install_stdlib(interp: Interpreter):
         k = len(offs) - 1 + n
         return offs[k] if 0 <= k < len(offs) else None
 
+    def _utf8_codes(s=None):
+        """utf8.codes (Lua 5.4 §6.5): iterator over (byte_position,
+        codepoint) pairs — the manual's canonical
+        ``for p, c in utf8.codes(s)`` idiom."""
+        s = _s_arg(s, "codes")
+        # precompute (1-based byte offset, codepoint) per character
+        pairs = []
+        pos = 1
+        for ch in s:
+            pairs.append((pos, ord(ch)))
+            pos += len(ch.encode("utf-8"))
+
+        positions = [p for p, _ in pairs]
+
+        def _iter(_s=None, ctrl=None):
+            # stateless iterator protocol: ctrl is the previous byte
+            # position (0 on the first call)
+            prev = int(ctrl) if ctrl is not None else 0
+            i = _bisect.bisect_right(positions, prev)
+            return pairs[i] if i < len(positions) else None
+
+        return (_iter, s, 0)
+
     g.set("utf8", LuaTable([
         ("char", _utf8_char),
         ("codepoint", _utf8_codepoint),
+        ("codes", _utf8_codes),
         ("len", _utf8_len),
         ("offset", _utf8_offset),
         ("charpattern", "[\x00-\x7F\xC2-\xFD][\x80-\xBF]*"),
@@ -1119,12 +1161,25 @@ def install_stdlib(interp: Interpreter):
     # (Lua 5.4 §2.6/§6.2; mlua's StdLib::ALL_SAFE includes coroutine.)
     # Each coroutine runs on its own daemon thread with a strict
     # resume/yield handshake — exactly one side runs at any moment, so
-    # the interpreter state needs no locking.
+    # the interpreter state needs no locking.  A suspended coroutine's
+    # thread blocks on _to_co.get(); to reclaim it, coroutine.close (Lua
+    # 5.4 §6.2) and interp.close_coroutines() deliver a kill sentinel
+    # that raises _CoroutineKilled inside the coroutine, unwinding its
+    # stack (running any pending error paths) and letting the thread
+    # exit — so abandoned coroutines no longer leak one OS thread each
+    # in long-lived executors.
     import queue as _queue
     import threading as _threading
+    import weakref as _weakref
+
+    _KILL = object()  # sentinel delivered on close
+
+    class _CoroutineKilled(BaseException):
+        pass
 
     class _Coroutine:
-        __slots__ = ("fn", "status", "_to_co", "_from_co", "_thread")
+        __slots__ = ("fn", "status", "_to_co", "_from_co", "_thread",
+                     "__weakref__")
 
         def __init__(self, fn):
             self.fn = fn
@@ -1137,6 +1192,10 @@ def install_stdlib(interp: Interpreter):
             return f"thread: 0x{id(self):012x}"
 
     _co_stack = _threading.local()  # per-OS-thread stack of running coroutines
+    # weak registry of every coroutine this interpreter created: a live
+    # thread pins its coroutine (it is the _co_body argument), and once
+    # the thread exits the weakref lets the object be collected
+    interp._live_coroutines = []
 
     def _co_current():
         return getattr(_co_stack, "stack", None) or []
@@ -1146,9 +1205,18 @@ def install_stdlib(interp: Interpreter):
         # stack is exactly [co] (a nested coroutine gets its own thread)
         _co_stack.stack = [co]
         args = co._to_co.get()
+        if args is _KILL:
+            co.status = "dead"
+            return
         try:
             res = interp.call_value(co.fn, list(args), interp.current_line)
             co._from_co.put(("return", res))
+        except _CoroutineKilled:
+            co.status = "dead"
+            try:  # unblock a resumer, should one be waiting
+                co._from_co.put_nowait(("error", "coroutine closed"))
+            except _queue.Full:
+                pass
         except LuaError as e:
             co._from_co.put(("error", e.value))
         except BaseException as e:  # host errors surface as messages
@@ -1157,7 +1225,9 @@ def install_stdlib(interp: Interpreter):
     def _co_create(fn=None):
         if not (isinstance(fn, LuaFunction) or callable(fn)):
             raise LuaError("bad argument #1 to 'create' (function expected)")
-        return _Coroutine(fn)
+        co = _Coroutine(fn)
+        interp._live_coroutines.append(_weakref.ref(co))
+        return co
 
     def _co_resume(co=None, *args):
         if not isinstance(co, _Coroutine):
@@ -1192,7 +1262,10 @@ def install_stdlib(interp: Interpreter):
             raise LuaError("attempt to yield from outside a coroutine")
         co = stack[-1]
         co._from_co.put(("yield", list(args)))
-        return tuple(co._to_co.get())
+        got = co._to_co.get()
+        if got is _KILL:
+            raise _CoroutineKilled()
+        return tuple(got)
 
     def _co_status(co=None):
         if not isinstance(co, _Coroutine):
@@ -1210,6 +1283,35 @@ def install_stdlib(interp: Interpreter):
 
         return wrapped
 
+    def _co_close(co=None):
+        """coroutine.close (Lua 5.4 §6.2): close a dead or suspended
+        coroutine, releasing its thread; errors on running/normal."""
+        if not isinstance(co, _Coroutine):
+            raise LuaError("bad argument #1 to 'close' (coroutine expected)")
+        if co.status == "dead":
+            return True
+        if co.status != "suspended":
+            raise LuaError(
+                f"cannot close a {co.status} coroutine")
+        co.status = "dead"
+        if co._thread is not None and co._thread.is_alive():
+            co._to_co.put(_KILL)
+            co._thread.join(timeout=5.0)
+        co._thread = None
+        return True
+
+    def _close_all_coroutines():
+        """Release every suspended coroutine's thread (interpreter
+        teardown hook — called by the lua transform when a partition's
+        interpreter is done)."""
+        for ref in interp._live_coroutines:
+            co = ref()
+            if co is not None and co.status == "suspended":
+                _co_close(co)
+        interp._live_coroutines = []
+
+    interp.close_coroutines = _close_all_coroutines
+
     def _co_isyieldable():
         return bool(_co_current())
 
@@ -1225,6 +1327,7 @@ def install_stdlib(interp: Interpreter):
         ("yield", _co_yield),
         ("status", _co_status),
         ("wrap", _co_wrap),
+        ("close", _co_close),
         ("isyieldable", _co_isyieldable),
         ("running", _co_running),
     ]))

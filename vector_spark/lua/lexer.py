@@ -160,13 +160,22 @@ def tokenize(src: str, chunkname: str = "chunk") -> list[Token]:
                             line += 1
                         i += 1
                     elif e == "x":
-                        buf.append(chr(int(src[i + 1:i + 3], 16)))
+                        # exactly two hex digits (Lua 5.4 §3.1); a bad
+                        # digit must stay a LuaSyntaxError, not leak a
+                        # host ValueError past hook compilation
+                        try:
+                            buf.append(chr(int(src[i + 1:i + 3], 16)))
+                        except ValueError:
+                            err("hexadecimal digit expected")
                         i += 3
                     elif e.isdigit():
                         j = i
                         while j < i + 3 and j < n and src[j].isdigit():
                             j += 1
-                        buf.append(chr(int(src[i:j])))
+                        code = int(src[i:j])
+                        if code > 255:
+                            err("decimal escape too large")
+                        buf.append(chr(code))
                         i = j
                     elif e == "z":
                         i += 1
@@ -175,10 +184,18 @@ def tokenize(src: str, chunkname: str = "chunk") -> list[Token]:
                                 line += 1
                             i += 1
                     elif e == "u":
-                        if src[i + 1] != "{":
+                        if i + 1 >= n or src[i + 1] != "{":
                             err("missing '{' in \\u{xxxx}")
                         j = src.find("}", i)
-                        buf.append(chr(int(src[i + 2:j], 16)))
+                        if j < 0:
+                            err("missing '}' in \\u{xxxx}")
+                        try:
+                            code = int(src[i + 2:j], 16)
+                        except ValueError:
+                            err("hexadecimal digit expected")
+                        if code > 0x7FFFFFFF:
+                            err("UTF-8 value too large")
+                        buf.append(chr(code) if code <= 0x10FFFF else "�")
                         i = j + 1
                     else:
                         err(f"invalid escape sequence '\\{e}'")

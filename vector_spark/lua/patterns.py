@@ -191,7 +191,10 @@ class _Matcher:
                     return -1
                 if nxt.isdigit():  # back-reference
                     idx = int(nxt) - 1
-                    if idx >= len(self.caps) or self.caps[idx][1] < 0:
+                    # %0 is not a valid back-reference (PUC-Lua:
+                    # "invalid capture index %0"); without the idx < 0
+                    # check it would silently alias the LAST capture
+                    if idx < 0 or idx >= len(self.caps) or self.caps[idx][1] < 0:
                         raise LuaPatternError(f"invalid capture index %{nxt}")
                     st, ln = self.caps[idx]
                     cap = s[st:st + ln]
@@ -330,7 +333,9 @@ def gmatch_iter(s: str, pat: str):
         si = en + 1 if en == st else en  # never loop on empty match
 
 
-_MAGIC = set("^$*+?.([%-")
+#  ')' and ']' are included so patterns real Lua REJECTS (a bare ')' is
+# "invalid pattern capture") cannot slip through the literal fast path
+_MAGIC = set("^$*+?.([%-)]")
 
 
 def gsub(s: str, pat: str, repl, n=None):

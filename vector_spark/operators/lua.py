@@ -165,6 +165,47 @@ def lua_to_py(v):
     return str(v)
 
 
+def state_encode(v):
+    """Lua value -> JSON-able with type-tagged table keys.
+
+    The stream_lua cross-batch state persist cannot go through
+    lua_to_py/json: a table with non-sequential integer keys would
+    round-trip with STRING keys (t[42] -> t['42']), silently corrupting
+    state.  This codec tags every table entry's key so integer, float,
+    boolean and string keys all survive exactly.  Function values are
+    dropped (not serializable), matching the v1 invalid-type rule."""
+    if isinstance(v, LuaTable):
+        items = []
+        for k in v.lua_keys():
+            val = v.get(k)
+            if isinstance(val, LuaFunction) or callable(val):
+                continue
+            items.append([state_encode(k), state_encode(val)])
+        return {"t": "tbl", "v": items}
+    if isinstance(v, bool):
+        return {"t": "b", "v": v}
+    if isinstance(v, int):
+        return {"t": "i", "v": v}
+    if isinstance(v, float):
+        return {"t": "f", "v": v}
+    if isinstance(v, str):
+        return {"t": "s", "v": v}
+    if v is None or isinstance(v, LuaFunction) or callable(v):
+        return {"t": "nil"}
+    return {"t": "s", "v": str(v)}
+
+
+def state_decode(d):
+    """Inverse of :func:`state_encode`."""
+    t = d["t"]
+    if t == "tbl":
+        return LuaTable([(state_decode(k), state_decode(val))
+                         for k, val in d["v"]])
+    if t == "nil":
+        return None
+    return d["v"]
+
+
 def _table_to_datetime(t) -> _dt.datetime | None:
     if isinstance(t, LuaTable) and t.get("year") is not None:
         return _dt.datetime(
@@ -387,43 +428,46 @@ def run_lua_events(
     rt, hooks = _build_runtime(cfg)
     out: list[dict] = []
 
-    if cfg.version == "1":
+    try:
+        if cfg.version == "1":
+            for row in rows:
+                ev = V1Event(row)
+                rt.globals.set("event", ev)
+                try:
+                    hooks["chunk"]()
+                except LuaError:
+                    if strict:
+                        raise
+                    continue  # script error: event dropped (v1/mod.rs:174-180)
+                res = rt.globals.get("event")
+                if res is None:
+                    continue  # event = nil drops the event
+                out.append(_event_to_rowdict(res, "1"))
+            return out
+
+        def emit(ev=None):
+            out.append(_event_to_rowdict(ev, cfg.version))
+
+        inited = False
         for row in rows:
-            ev = V1Event(row)
-            rt.globals.set("event", ev)
+            if not inited:
+                if "init" in hooks:
+                    rt.call(hooks["init"], emit)
+                inited = True
             try:
-                hooks["chunk"]()
+                rt.call(hooks["process"], _make_event(row), emit)
             except LuaError:
                 if strict:
                     raise
-                continue  # script error: event dropped (v1/mod.rs:174-180)
-            res = rt.globals.get("event")
-            if res is None:
-                continue  # event = nil drops the event
-            out.append(_event_to_rowdict(res, "1"))
+                continue
+        if rows:
+            for t in hooks["timers"]:
+                rt.call(t, emit)
+            if "shutdown" in hooks:
+                rt.call(hooks["shutdown"], emit)
         return out
-
-    def emit(ev=None):
-        out.append(_event_to_rowdict(ev, cfg.version))
-
-    inited = False
-    for row in rows:
-        if not inited:
-            if "init" in hooks:
-                rt.call(hooks["init"], emit)
-            inited = True
-        try:
-            rt.call(hooks["process"], _make_event(row), emit)
-        except LuaError:
-            if strict:
-                raise
-            continue
-    if rows:
-        for t in hooks["timers"]:
-            rt.call(t, emit)
-        if "shutdown" in hooks:
-            rt.call(hooks["shutdown"], emit)
-    return out
+    finally:
+        rt.close_coroutines()
 
 
 def _infer_schema(events: list[dict]) -> T.StructType:
@@ -570,21 +614,28 @@ def lua_transform(
                 except LuaError as e:
                     failed(row, e)  # drop (v2/mod.rs:39-41) or error row
 
-        saw_rows = False
-        for pdf in batches:
-            for row in pdf.to_dict("records"):
-                saw_rows = True
-                handle({k: _np_plain(v) for k, v in row.items()})
+        try:
+            saw_rows = False
+            for pdf in batches:
+                for row in pdf.to_dict("records"):
+                    saw_rows = True
+                    handle({k: _np_plain(v) for k, v in row.items()})
+                if pending:
+                    yield pd.DataFrame(pending, columns=names, dtype=object)
+                    pending = []
+            if version != "1" and saw_rows:
+                for t in hooks.get("timers", []):
+                    rt.call(t, emit)
+                if "shutdown" in hooks:
+                    rt.call(hooks["shutdown"], emit)
             if pending:
                 yield pd.DataFrame(pending, columns=names, dtype=object)
-                pending = []
-        if version != "1" and saw_rows:
-            for t in hooks.get("timers", []):
-                rt.call(t, emit)
-            if "shutdown" in hooks:
-                rt.call(hooks["shutdown"], emit)
-        if pending:
-            yield pd.DataFrame(pending, columns=names, dtype=object)
+        finally:
+            # release suspended-coroutine threads before the worker is
+            # reused for the next partition (ADVICE r4: abandoned
+            # coroutines each pinned one OS thread for the executor's
+            # lifetime)
+            rt.close_coroutines()
 
     return df.mapInPandas(_run, schema=out_schema)
 

@@ -437,8 +437,8 @@ def make_stream_lua_fn(cfg, out_schema: str, state_globals, idle_flush_secs=None
         _make_event,
         _np_plain,
         _project,
-        lua_to_py,
-        py_to_lua,
+        state_decode,
+        state_encode,
     )
     from pyspark.sql.types import StructType
 
@@ -454,45 +454,52 @@ def make_stream_lua_fn(cfg, out_schema: str, state_globals, idle_flush_secs=None
                 _project(_event_to_rowdict(ev, cfg.version), schema_struct, cfg.version)
             )
 
-        if state.hasTimedOut:
-            if "shutdown" in hooks:
-                # restore state for the flush, then drop it
+        try:
+            if state.hasTimedOut:
+                if "shutdown" in hooks:
+                    # restore state for the flush, then drop it
+                    (blob,) = state.get
+                    for gname, gval in json.loads(blob).items():
+                        rt.globals.set(gname, state_decode(gval))
+                    rt.call(hooks["shutdown"], emit)
+                state.remove()
+                if pending:
+                    yield pd.DataFrame(pending, columns=names, dtype=object)
+                return
+
+            if state.exists:
                 (blob,) = state.get
                 for gname, gval in json.loads(blob).items():
-                    rt.globals.set(gname, py_to_lua(gval))
-                rt.call(hooks["shutdown"], emit)
-            state.remove()
+                    rt.globals.set(gname, state_decode(gval))
+            elif "init" in hooks:
+                rt.call(hooks["init"], emit)
+
+            for pdf in pdfs:
+                for row in pdf.to_dict("records"):
+                    try:
+                        rt.call(
+                            hooks["process"],
+                            _make_event({k: _np_plain(v) for k, v in row.items()}),
+                            emit,
+                        )
+                    except LuaError:
+                        pass  # hook error drops the event, like batch
+            for t in hooks.get("timers", []):
+                rt.call(t, emit)
+
+            # type-tagged persist: integer/float/bool table keys survive
+            # the round trip exactly (plain json stringifies them)
+            state.update((json.dumps(
+                {g: state_encode(rt.globals.get(g)) for g in state_globals}
+            ),))
+            if idle_flush_secs:
+                state.setTimeoutDuration(idle_flush_secs * 1000)
             if pending:
                 yield pd.DataFrame(pending, columns=names, dtype=object)
-            return
-
-        if state.exists:
-            (blob,) = state.get
-            for gname, gval in json.loads(blob).items():
-                rt.globals.set(gname, py_to_lua(gval))
-        elif "init" in hooks:
-            rt.call(hooks["init"], emit)
-
-        for pdf in pdfs:
-            for row in pdf.to_dict("records"):
-                try:
-                    rt.call(
-                        hooks["process"],
-                        _make_event({k: _np_plain(v) for k, v in row.items()}),
-                        emit,
-                    )
-                except LuaError:
-                    pass  # hook error drops the event, like batch
-        for t in hooks.get("timers", []):
-            rt.call(t, emit)
-
-        state.update((json.dumps(
-            {g: lua_to_py(rt.globals.get(g)) for g in state_globals}
-        ),))
-        if idle_flush_secs:
-            state.setTimeoutDuration(idle_flush_secs * 1000)
-        if pending:
-            yield pd.DataFrame(pending, columns=names, dtype=object)
+        finally:
+            # release any suspended-coroutine threads this group's
+            # interpreter spawned (one OS thread each)
+            rt.close_coroutines()
 
     return _lua
 
