@@ -743,3 +743,118 @@ def test_incremental_scan(spark, tmp_path):
     # but a cursor at/after the replace works again
     t.append_df(mk(300, 320, 1), subdir="a3", commit_ts_ms=6)
     assert t.incremental_scan(spark, 4).count() == 20
+
+
+def test_schema_evolution_rename_across_files(spark, tmp_path):
+    """Rename keeps the field id: files written under the OLD name still
+    resolve in one scan with files written under the new name, filters on
+    the new name prune via the id-keyed bounds of old manifests."""
+    loc = str(tmp_path / "ren")
+    df1 = spark.range(10).select(F.col("id").alias("n"),
+                                 F.concat(F.lit("v"), F.col("id")).alias("val"))
+    t = IcebergTable.create(loc, df1.schema, commit_ts_ms=1)
+    t.append_df(df1, subdir="a", commit_ts_ms=2)
+    t.rename_column("val", "value", commit_ts_ms=3)
+    assert [f["name"] for f in t.schema["fields"]] == ["n", "value"]
+    df2 = spark.range(10, 20).select(
+        F.col("id").alias("n"), F.concat(F.lit("v"), F.col("id")).alias("value"))
+    t.append_df(df2, subdir="b", commit_ts_ms=4)
+    got = {(r["n"], r["value"]) for r in t.scan(spark).collect()}
+    assert got == {(i, f"v{i}") for i in range(20)}
+    # filter on the NEW name must hit old files too (id-keyed bounds)
+    assert t.scan(spark, filters=[("n", "<", 5)]).count() == 5
+    # reload from disk
+    got2 = {(r["n"], r["value"]) for r in IcebergTable(loc).scan(spark).collect()}
+    assert got2 == got
+
+
+def test_schema_evolution_drop_column(spark, tmp_path):
+    loc = str(tmp_path / "drop")
+    df1 = spark.range(5).select(F.col("id").alias("n"),
+                                F.lit("x").alias("junk"),
+                                (F.col("id") * 2).alias("keep"))
+    t = IcebergTable.create(loc, df1.schema, commit_ts_ms=1)
+    t.append_df(df1, subdir="a", commit_ts_ms=2)
+    t.drop_column("junk", commit_ts_ms=3)
+    assert [f["name"] for f in t.schema["fields"]] == ["n", "keep"]
+    df2 = spark.range(5, 10).select(F.col("id").alias("n"),
+                                    (F.col("id") * 2).alias("keep"))
+    t.append_df(df2, subdir="b", commit_ts_ms=4)
+    rows = t.scan(spark).collect()
+    assert set(rows[0].asDict()) == {"n", "keep"}
+    assert {(r["n"], r["keep"]) for r in rows} == {(i, 2 * i) for i in range(10)}
+    # the id is never reused: re-adding a column of the same name must not
+    # resurrect the dropped values
+    t.add_column("junk", "string", commit_ts_ms=5)
+    assert all(r["junk"] is None for r in t.scan(spark).collect())
+
+
+def test_schema_evolution_type_promotion(spark, tmp_path):
+    """int->long promotion: old 4-byte files cast wide on read, and old
+    manifests' 4-byte bounds still prune under the promoted type."""
+    loc = str(tmp_path / "promo")
+    df1 = spark.range(10).select(F.col("id").cast("int").alias("n"),
+                                 F.col("id").cast("float").alias("score"))
+    t = IcebergTable.create(loc, df1.schema, commit_ts_ms=1)
+    t.append_df(df1, subdir="a", commit_ts_ms=2)
+    t.promote_column("n", "long", commit_ts_ms=3)
+    t.promote_column("score", "double", commit_ts_ms=4)
+    df2 = spark.range(10, 20).select(F.col("id").alias("n"),
+                                     F.col("id").cast("double").alias("score"))
+    t.append_df(df2, subdir="b", commit_ts_ms=5)
+    out = t.scan(spark)
+    assert dict(out.dtypes)["n"] == "bigint"
+    assert dict(out.dtypes)["score"] == "double"
+    assert {r["n"] for r in out.collect()} == set(range(20))
+    # bounds pruning across the promotion (old manifest bounds are 4-byte)
+    assert out.count() == 20
+    assert t.scan(spark, filters=[("n", "<", 5)]).count() == 5
+    with pytest.raises(ValueError):
+        t.promote_column("score", "float")  # narrowing rejected
+
+
+def test_schema_evolution_full_lifecycle_one_scan(spark, tmp_path):
+    """add + rename + promote + drop commits interleaved with appends;
+    one final scan unifies files from every schema version (the VERDICT
+    r4 'Done' shape)."""
+    loc = str(tmp_path / "life")
+    df1 = spark.range(5).select(F.col("id").cast("int").alias("k"),
+                                F.lit("one").alias("tag"))
+    t = IcebergTable.create(loc, df1.schema, commit_ts_ms=1)
+    t.append_df(df1, subdir="s1", commit_ts_ms=2)
+    t.add_column("extra", "long", commit_ts_ms=3)
+    df2 = spark.range(5, 10).select(F.col("id").cast("int").alias("k"),
+                                    F.lit("two").alias("tag"),
+                                    (F.col("id") + 100).alias("extra"))
+    t.append_df(df2, subdir="s2", commit_ts_ms=4)
+    t.rename_column("tag", "label", commit_ts_ms=5)
+    t.promote_column("k", "long", commit_ts_ms=6)
+    df3 = spark.range(10, 15).select(F.col("id").alias("k"),
+                                     F.lit("three").alias("label"),
+                                     (F.col("id") + 100).alias("extra"))
+    t.append_df(df3, subdir="s3", commit_ts_ms=7)
+    t.drop_column("extra", commit_ts_ms=8)
+    out = t.scan(spark)
+    assert [f.name for f in out.schema.fields] == ["k", "label"]
+    got = {(r["k"], r["label"]) for r in out.collect()}
+    want = ({(i, "one") for i in range(5)}
+            | {(i, "two") for i in range(5, 10)}
+            | {(i, "three") for i in range(10, 15)})
+    assert got == want
+    # time travel to snapshot 2 reads under the CURRENT schema (spec:
+    # scans use the table schema, not the snapshot's)
+    old = t.scan(spark, snapshot_id=2)
+    assert {(r["k"], r["label"]) for r in old.collect()} == (
+        {(i, "one") for i in range(5)} | {(i, "two") for i in range(5, 10)})
+
+
+def test_schema_evolution_partition_guards(spark, tmp_path):
+    loc = str(tmp_path / "guard")
+    df = spark.range(10).select(F.col("id").alias("n"),
+                                F.lit("a").alias("source"))
+    t = IcebergTable.create(loc, df.schema, partition_by=["source"],
+                            commit_ts_ms=1)
+    with pytest.raises(ValueError, match="identity partition source"):
+        t.rename_column("source", "src")
+    with pytest.raises(ValueError, match="identity partition source"):
+        t.drop_column("source")

@@ -168,8 +168,15 @@ def deser_bound(raw: bytes, ice_type: str):
     if ice_type == "int":
         return _s.unpack("<i", raw)[0]
     if ice_type == "long":
+        # spec "Schema Evolution": after int->long promotion old manifests
+        # still carry 4-byte int bounds; readers must accept both widths
+        if len(raw) == 4:
+            return _s.unpack("<i", raw)[0]
         return _s.unpack("<q", raw)[0]
     if ice_type == "double":
+        # float->double promotion: old bounds are 4-byte floats
+        if len(raw) == 4:
+            return _s.unpack("<f", raw)[0]
         return _s.unpack("<d", raw)[0]
     if ice_type == "float":
         return _s.unpack("<f", raw)[0]
@@ -888,6 +895,107 @@ class IcebergTable:
         self._write_metadata(self.meta["_version"] + 1)
         return new_schema
 
+    def _schema_by_id(self, schema_id: int) -> dict:
+        """Historical schema version (schema-id == list position, the
+        invariant every evolution commit preserves)."""
+        schemas = self.meta["schemas"]
+        if 0 <= schema_id < len(schemas):
+            return schemas[schema_id]
+        return self.schema
+
+    def _identity_source_ids(self) -> set[int]:
+        """Field ids that are identity-partition sources under ANY spec
+        version — renaming/dropping these would detach the hive layout's
+        directory keys from the table schema, so evolution refuses."""
+        out: set[int] = set()
+        for s in self.meta["partition-specs"]:
+            for f in s["fields"]:
+                if _transform_of(f)[0] == "identity":
+                    out.add(f["source-id"])
+        return out
+
+    def _commit_schema(self, new_fields: list[dict],
+                       commit_ts_ms: int | None = None) -> dict:
+        import copy
+
+        new_schema = copy.deepcopy(self.schema)
+        new_schema["fields"] = new_fields
+        new_schema["schema-id"] = self.meta["current-schema-id"] + 1
+        self.meta["schemas"] = self.meta["schemas"] + [new_schema]
+        self.meta["current-schema-id"] = new_schema["schema-id"]
+        self.meta["last-updated-ms"] = (
+            commit_ts_ms if commit_ts_ms is not None else _now_ms()
+        )
+        self._write_metadata(self.meta["_version"] + 1)
+        return new_schema
+
+    def rename_column(
+        self, old: str, new: str, commit_ts_ms: int | None = None
+    ) -> dict:
+        """Schema evolution (spec "Schema Evolution"): rename keeps the
+        FIELD ID, so old data files (written under the old name) still
+        resolve — the scan reads each file group under the schema it was
+        written with and re-aliases by id.  Filters and column bounds
+        also keep working across the rename because manifest bounds are
+        keyed by field id, never by name."""
+        import copy
+
+        fields = copy.deepcopy(self.schema["fields"])
+        target = next((f for f in fields if f["name"] == old), None)
+        if target is None:
+            raise KeyError(old)
+        if any(f["name"] == new for f in fields):
+            raise ValueError(f"column {new!r} already exists")
+        if target["id"] in self._identity_source_ids():
+            raise ValueError(
+                f"cannot rename {old!r}: it is an identity partition source "
+                "(the hive layout keys directories by this name)")
+        target["name"] = new
+        return self._commit_schema(fields, commit_ts_ms)
+
+    def drop_column(self, name: str, commit_ts_ms: int | None = None) -> dict:
+        """Schema evolution: drop a column.  Data files are untouched
+        (the column's values remain on disk under its field id and are
+        simply no longer projected); the id is never reused, so a later
+        add_column cannot resurrect the old values."""
+        import copy
+
+        fields = copy.deepcopy(self.schema["fields"])
+        target = next((f for f in fields if f["name"] == name), None)
+        if target is None:
+            raise KeyError(name)
+        if target["id"] in self._identity_source_ids():
+            raise ValueError(
+                f"cannot drop {name!r}: it is an identity partition source")
+        if any(target["id"] == sf["source-id"]
+               for s in self.meta["partition-specs"] for sf in s["fields"]):
+            raise ValueError(
+                f"cannot drop {name!r}: it is a partition transform source")
+        fields.remove(target)
+        return self._commit_schema(fields, commit_ts_ms)
+
+    _PROMOTIONS = {("int", "long"), ("float", "double")}
+
+    def promote_column(
+        self, name: str, new_type: str, commit_ts_ms: int | None = None
+    ) -> dict:
+        """Schema evolution: widen a primitive type (spec allows
+        int->long and float->double).  Old data files keep the narrow
+        physical type; the scan casts per file group, and deser_bound
+        accepts the narrow bound encoding from old manifests."""
+        import copy
+
+        fields = copy.deepcopy(self.schema["fields"])
+        target = next((f for f in fields if f["name"] == name), None)
+        if target is None:
+            raise KeyError(name)
+        if (target["type"], new_type) not in self._PROMOTIONS:
+            raise ValueError(
+                f"invalid type promotion {target['type']} -> {new_type} "
+                "(spec allows int->long, float->double)")
+        target["type"] = new_type
+        return self._commit_schema(fields, commit_ts_ms)
+
     # -- scan planning
 
     def plan_files(
@@ -932,7 +1040,17 @@ class IcebergTable:
             flt, part_idx, part_types = _ctx(spec_id)
             if not _manifest_survives(m, flt, part_idx, part_types):
                 continue
-            _, _, entries = read_ocf(m["manifest_path"])
+            _, mmeta, entries = read_ocf(m["manifest_path"])
+            # schema evolution: each manifest embeds the table schema at
+            # manifest-write time; its schema-id tells the read side which
+            # NAMES/TYPES the files carry so it can resolve by field id
+            # (carried-forward manifests keep their original embedding,
+            # so this survives snapshot expiry)
+            try:
+                w_sid = json.loads(mmeta["schema"].decode()).get(
+                    "schema-id", self.meta["current-schema-id"])
+            except (KeyError, ValueError, AttributeError):
+                w_sid = self.meta["current-schema-id"]
             for e in entries:
                 if e["status"] == 2:  # DELETED
                     continue
@@ -940,6 +1058,7 @@ class IcebergTable:
                     d = dict(e["data_file"])
                     d["_seq"] = e["sequence_number"]
                     d["_spec_id"] = spec_id
+                    d["_schema_id"] = w_sid
                     out.append(d)
         return out
 
@@ -1097,48 +1216,73 @@ class IcebergTable:
             except KeyError:
                 return self.identity_part_cols
 
-        def _ddl_without(id_cols: list[str]) -> str:
-            ddl_fields = []
+        def _spark_type_of(t) -> str:
+            if isinstance(t, dict):
+                return f"array<{_ICE_TO_SPARK[t['element']]}>"
+            return _ICE_TO_SPARK[t]
+
+        cur_sid = self.meta["current-schema-id"]
+
+        def _read_projection(w_sid: int, id_cols: list[str]):
+            """(read_ddl, select_exprs) for files written under schema
+            version ``w_sid`` — field-id-based resolution (spec "Schema
+            Evolution"): renamed columns re-attach under their current
+            name, promoted types cast wide, later-added columns come
+            back NULL, dropped columns are simply not projected."""
+            w_by_id = {f["id"]: f
+                       for f in self._schema_by_id(w_sid)["fields"]}
+            ddl_fields, exprs = [], []
             for f in self.schema["fields"]:
                 if f["name"] in id_cols:
                     continue
-                t = f["type"]
-                if isinstance(t, dict):
-                    ddl_fields.append(
-                        f"{f['name']} array<{_ICE_TO_SPARK[t['element']]}>"
-                    )
-                else:
-                    ddl_fields.append(f"{f['name']} {_ICE_TO_SPARK[t]}")
-            return ", ".join(ddl_fields)
+                spark_t = _spark_type_of(f["type"])
+                w = w_by_id.get(f["id"])
+                if w is None:  # column added after these files were written
+                    exprs.append(F.lit(None).cast(spark_t).alias(f["name"]))
+                    continue
+                w_spark_t = _spark_type_of(w["type"])
+                ddl_fields.append(f"{w['name']} {w_spark_t}")
+                col = F.col(w["name"])
+                if w_spark_t != spark_t:  # int->long / float->double
+                    col = col.cast(spark_t)
+                exprs.append(col.alias(f["name"]))
+            return ", ".join(ddl_fields), exprs
 
-        def _read(paths: list[str], ddl: str) -> DataFrame:
+        def _read(paths: list[str], w_sid: int, id_cols: list[str]) -> DataFrame:
+            ddl, exprs = _read_projection(w_sid, id_cols)
             df = spark.read.schema(ddl).parquet(*paths)
             if with_meta:
                 df = df.select(
-                    "*",
+                    *exprs,
                     _strip_scheme(F.col("_metadata.file_path")).alias("_file"),
                     F.col("_metadata.row_index").alias("_pos"),
                 )
+            elif w_sid != cur_sid:
+                df = df.select(*exprs)
             return df
 
         extras = ("_file", "_pos") if with_meta else ()
         id_cols = self.identity_part_cols
         if not files:
-            ddl = _ddl_without(id_cols)
+            ddl, _ = _read_projection(cur_sid, id_cols)
             empty = spark.createDataFrame([], ddl + (", _file string, _pos bigint" if with_meta else ""))
             return _attach_parts(empty, {c: None for c in id_cols}, self.schema, extras) \
                 if (with_partition_cols and id_cols) else empty
         spec_ids = sorted({f.get("_spec_id", self.default_spec_id) for f in files})
+        schema_ids = sorted({f.get("_schema_id", cur_sid) for f in files})
         if len(spec_ids) == 1:
             id_cols = _id_cols_of(spec_ids[0])
-        if len(spec_ids) == 1 and not (with_partition_cols and id_cols):
+        if (len(spec_ids) == 1 and len(schema_ids) == 1
+                and not (with_partition_cols and id_cols)):
             return _apply_residual(
-                _read([f["file_path"] for f in files], _ddl_without(id_cols)), filters
+                _read([f["file_path"] for f in files], schema_ids[0], id_cols),
+                filters,
             )
         groups: dict[tuple, list[str]] = {}
         for f in files:
             sid = f.get("_spec_id", self.default_spec_id)
-            key = (sid,) + tuple(f["partition"][c] for c in _id_cols_of(sid))
+            key = (sid, f.get("_schema_id", cur_sid)) + tuple(
+                f["partition"][c] for c in _id_cols_of(sid))
             groups.setdefault(key, []).append(f["file_path"])
         # Plan-size note: the union is O(|distinct partition tuples in the
         # PRUNED file set|) relation nodes — identity partitions are
@@ -1149,11 +1293,11 @@ class IcebergTable:
         # the reference implementation.
         dfs = []
         for key, paths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv))):
-            sid, vals = key[0], key[1:]
+            sid, w_sid, vals = key[0], key[1], key[2:]
             g_id_cols = _id_cols_of(sid)
             part_vals = dict(zip(g_id_cols, vals))
             dfs.append(
-                _attach_parts(_read(paths, _ddl_without(g_id_cols)), part_vals, self.schema, extras)
+                _attach_parts(_read(paths, w_sid, g_id_cols), part_vals, self.schema, extras)
             )
         df = dfs[0]
         for other in dfs[1:]:
@@ -1780,6 +1924,45 @@ def ensure_iceberg_corpus(spark: SparkSession, sf: float) -> IcebergTable:
     bucket = portable_bucket("doc_id", 2)
     t.append_df(src.filter(bucket == 0), subdir="a1", commit_ts_ms=2)
     t.append_df(src.filter(bucket == 1), subdir="a2", commit_ts_ms=3)
+    return t
+
+
+def ensure_iceberg_evolved(spark: SparkSession, sf_dir: str) -> IcebergTable:
+    """Build (once, cached) a deliberately schema-evolved Iceberg table
+    over the documents corpus: create(int n_chars) -> append even-doc_id
+    half -> add_column(lang) -> promote(n_chars int->long) ->
+    rename(n_chars->chars) -> append odd half -> drop(junk).  A single
+    scan then unifies files written under three schema versions —
+    the contract gate for field-id-based schema evolution (spec
+    "Schema Evolution").  Commit timestamps pinned for reproducibility."""
+    from pyspark.sql import functions as F
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    loc = os.path.join(ICEBERG_ROOT, base, "docs_evolved")
+    if os.path.exists(os.path.join(loc, "metadata", "version-hint.text")):
+        return IcebergTable(loc)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    v0 = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source"),
+        F.col("n_chars").cast("int").alias("n_chars"),
+        F.lit("tmp").alias("junk"),
+    )
+    t = IcebergTable.create(loc, v0.schema, commit_ts_ms=1)
+    t.append_df(v0.filter(F.col("doc_id") % 2 == 0), subdir="even",
+                commit_ts_ms=2)
+    t.add_column("lang", "string", commit_ts_ms=3)
+    t.promote_column("n_chars", "long", commit_ts_ms=4)
+    t.rename_column("n_chars", "chars", commit_ts_ms=5)
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source"),
+        F.col("n_chars").cast("long").alias("chars"),
+        F.lit("tmp").alias("junk"),
+        F.col("lang"),
+    )
+    t.append_df(v2, subdir="odd", commit_ts_ms=6)
+    t.drop_column("junk", commit_ts_ms=7)
     return t
 
 
