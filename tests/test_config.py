@@ -238,3 +238,54 @@ def test_file_lua_pipeline_toml(spark, tmp_path):
     slow = [json.loads(line) for f in slow_files for line in open(f)]
     assert sorted(r["ms"] for r in slow) == [180, 250]
     assert {r["level"] for r in slow} == {"ERROR", "WARN"}
+
+
+def test_reference_syslog_regex_logs2metric_topology(spark, tmp_path):
+    """The reference regression topology (regression/cases/
+    syslog_regex_logs2metric_ddmetrics/vector/vector.toml) ported through
+    the TOML front door: syslog decode -> remap parse_regex! (VRL idiom,
+    byte-identical source string) -> log_to_metric [[metrics]] gauge with
+    {{ field }} tag templates -> metric rows, asserted against a plain-
+    Python oracle over the same capture (VERDICT r4 Next #8)."""
+    from vector_spark.config import load_config
+    from vector_spark.topology import build_topology, run_topology
+
+    # deterministic syslog capture: RFC5424 lines; hosts alternate between
+    # regex-matching (lower.tld) and non-matching (UPPER9) forms
+    lines = []
+    expected = []   # (value, hostname, facility, severity)
+    n_abort = 0
+    for i in range(120):
+        pri = (i * 7) % 192
+        if i % 4 == 3:
+            host = f"NODE{i}"          # parse_regex! aborts -> dropped
+            n_abort += 1
+        else:
+            host = ["alpha.example", "beta.test", "gamma.io"][i % 3]
+            expected.append(
+                (float(1000 + i), host.split(".")[0], pri // 8, pri % 8))
+        lines.append(
+            f"<{pri}>1 2024-03-0{i % 9 + 1}T10:00:{i % 60:02d}Z {host} "
+            f"app{i % 5} {1000 + i} MSG{i} event number {i}")
+    cap = tmp_path / "capture.log"
+    cap.write_text("\n".join(lines) + "\n")
+    out_dir = str(tmp_path / "metrics_out")
+
+    cfg = load_config(
+        "configs/syslog_regex_logs2metric.toml",
+        env={"SYSLOG_CAPTURE": str(cap), "METRICS_OUT": out_dir})
+    run_topology(spark, cfg)
+
+    got = spark.read.parquet(out_dir).collect()
+    assert all(r["name"] == "procid" for r in got)            # gauge name = field
+    assert all(r["value_type"] == "gauge" and r["kind"] == "absolute"
+               for r in got)
+    got_set = {(r["value"], r["tags"]["hostname"],
+                int(r["tags"]["facility"]), int(r["tags"]["severity"]))
+               for r in got}
+    assert got_set == set(expected)
+    assert len(got) == len(expected)
+
+    # the abort port carries exactly the non-matching hosts
+    topo = build_topology(spark, cfg)
+    assert topo.outputs["remap.dropped"].count() == n_abort

@@ -28,6 +28,7 @@ ours) and no buffering/backpressure (shuffle + AQE).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -245,6 +246,96 @@ def _exec_source(spark: SparkSession, name: str, spec: dict) -> DataFrame:
         rows, "message string, data_stream string, command string, pid long")
 
 
+def _syslog_source(spark: SparkSession, name: str, spec: dict) -> DataFrame:
+    """``syslog`` source (reference src/sources/syslog.rs): a TCP/UDP
+    listener decoding RFC3164/5424 frames into events with the
+    reference's field names (host, appname, procid, facility, severity,
+    timestamp, message).  Batch twin: the captured stream is read from
+    ``include`` files (newline framing ≙ the listener's octet framing);
+    the listener options (``address``/``mode``/``max_length``) are
+    accepted so a reference-shaped config loads unchanged, but are inert
+    in batch — there is no socket to bind."""
+    include = spec.get("include")
+    if include is None:
+        raise TopologyError(
+            f"{name}: the batch syslog source needs `include` file globs "
+            "(the captured stream; address/mode are listener-only options)")
+    paths = [include] if isinstance(include, str) else list(include)
+    from vector_spark.sources import decode_syslog
+
+    df = decode_syslog(
+        spark.read.text(paths).select(F.col("value").alias("message")))
+    # reference field names (src/sources/syslog.rs enrich_syslog_event):
+    # hostname -> host, appname/procid/msgid verbatim, facility+severity
+    # keywords; the raw line stays in `message` like the reference's
+    # message body
+    return df.select(
+        F.col("syslog_message").alias("message"),
+        F.col("syslog_hostname").alias("host"),
+        F.col("syslog_appname").alias("appname"),
+        F.col("syslog_procid").alias("procid"),
+        F.col("syslog_msgid").alias("msgid"),
+        F.col("syslog_facility").alias("facility"),
+        F.col("syslog_severity").alias("severity"),
+        F.col("syslog_timestamp").alias("timestamp"),
+        F.col("_decode_error"),
+    )
+
+
+_VRL_PARSE_REGEX = re.compile(
+    r"\s*\.\s*\|=\s*parse_regex(!?)\(\s*\.([A-Za-z_][\w.]*)\s*,\s*"
+    r"r'(.*)'\s*\)\s*", re.S)
+
+
+def _remap_parse_regex(name: str, df: DataFrame, spec: dict, out: dict) -> DataFrame:
+    """``remap`` transform, VRL subset: the ``. |= parse_regex!(.field,
+    r'...')`` merge idiom the reference's regression configs use
+    (regression/cases/syslog_regex_logs2metric_ddmetrics/vector/
+    vector.toml).  Named captures merge into the event as new columns;
+    the ``!`` (abort) form drops non-matching events to ``name.dropped``
+    like the reference's drop_on_abort default.  Anything outside this
+    subset raises — the general-purpose hook path is the ``lua`` kind."""
+    src = spec["source"]
+    m = _VRL_PARSE_REGEX.fullmatch(src)
+    if not m:
+        raise TopologyError(
+            f"{name}: unsupported remap source (the front door compiles the "
+            "`. |= parse_regex!(.field, r'...')` VRL idiom; use kind=lua "
+            f"for general hooks): {src!r}")
+    abort, field, pattern = m.group(1) == "!", m.group(2), m.group(3)
+    fields = re.findall(r"\(\?P<(\w+)>", pattern)
+    java_pattern = re.sub(r"\(\?P<(\w+)>", "(", pattern)  # Java regex has no ?P
+    cols = [
+        F.regexp_extract(F.col(field), java_pattern, i + 1).alias(f)
+        for i, f in enumerate(fields)
+    ]
+    matched = F.col(field).rlike(java_pattern)
+    if abort:
+        out[f"{name}.dropped"] = df.filter(~matched).select(
+            "*",
+            F.lit("parse_regex abort").alias("dropped_reason"),
+            F.lit(name).alias("dropped_component_id"),
+        )
+        return df.filter(matched).select("*", *cols)
+    # non-abort form: unmatched events keep flowing with empty captures
+    return df.select("*", *cols)
+
+
+def _template_col(text: str) -> Column:
+    """``{{ field }}`` template string -> Column (the reference's tag
+    template rendering, src/template.rs)."""
+    parts = re.split(r"\{\{\s*([\w.]+)\s*\}\}", text)
+    cols: list[Column] = []
+    for i, p in enumerate(parts):
+        if i % 2:
+            cols.append(F.col(p).cast("string"))
+        elif p:
+            cols.append(F.lit(p))
+    if not cols:
+        return F.lit("")
+    return F.concat(*cols) if len(cols) > 1 else cols[0]
+
+
 class _ObservingOutputs(dict):
     """Topology outputs dict that wraps every component output with a
     named Observation counting its rows — the Spark-native `vector top`:
@@ -291,6 +382,8 @@ def build_topology(
             out[name] = _file_source(spark, name, spec)
         elif kind == "exec":
             out[name] = _exec_source(spark, name, spec)
+        elif kind == "syslog":
+            out[name] = _syslog_source(spark, name, spec)
         else:
             raise TopologyError(f"{name}: unknown source kind {kind!r}")
 
@@ -352,6 +445,8 @@ def build_topology(
                     F.lit(name).alias("dropped_component_id"),
                 )
             out[name] = parsed
+        elif kind == "remap":
+            out[name] = _remap_parse_regex(name, df, spec, out)
         elif kind == "remap_select":
             out[name] = df.selectExpr(*spec["exprs"])
         elif kind == "enrich":
@@ -413,13 +508,37 @@ def build_topology(
         elif kind == "log_to_metric":
             from vector_spark.operators.metrics import log_to_metric
 
-            out[name] = log_to_metric(
-                df, name=spec["name"], metric_type=spec.get("metric_type", "counter"),
-                field=spec.get("field"),
-                tags={k: _expr(v) for k, v in spec.get("tags", {}).items()},
-                ts_col=spec.get("ts_col", "ts"),
-                increment_by_value=spec.get("increment_by_value", False),
-            )
+            if "metrics" in spec:
+                # reference config shape (src/transforms/log_to_metric.rs
+                # MetricConfig): a [[transforms.X.metrics]] LIST, each with
+                # type/field/optional name (defaults to the field) and
+                # {{ field }} tag templates; one event fans out to one
+                # metric row per list entry (union)
+                parts = []
+                for mc in spec["metrics"]:
+                    parts.append(log_to_metric(
+                        df,
+                        name=mc.get("name", mc.get("field", "count")),
+                        metric_type=mc.get("type", mc.get("metric_type", "counter")),
+                        field=mc.get("field"),
+                        namespace=mc.get("namespace", ""),
+                        tags={k: _template_col(v)
+                              for k, v in (mc.get("tags") or {}).items()},
+                        ts_col=spec.get("ts_col", "ts"),
+                        increment_by_value=mc.get("increment_by_value", False),
+                    ))
+                merged = parts[0]
+                for p in parts[1:]:
+                    merged = merged.unionByName(p)
+                out[name] = merged
+            else:
+                out[name] = log_to_metric(
+                    df, name=spec["name"], metric_type=spec.get("metric_type", "counter"),
+                    field=spec.get("field"),
+                    tags={k: _expr(v) for k, v in spec.get("tags", {}).items()},
+                    ts_col=spec.get("ts_col", "ts"),
+                    increment_by_value=spec.get("increment_by_value", False),
+                )
         else:
             raise TopologyError(f"{name}: unknown transform kind {kind!r}")
 
