@@ -190,3 +190,37 @@ def test_stream_reads_commit_deltas(spark, tmp_path):
         assert _canon(got).exceptAll(want).count() == 0
     finally:
         q.stop()
+
+
+def test_schema_evolution_through_datasource(spark, tmp_path):
+    """Files written before a rename/promote/add must resolve by field id
+    through spark.read.format("vector_iceberg") exactly as through
+    t.scan(): renamed columns re-attach, promoted ints widen, added
+    columns read NULL (round 5: the DataSource read path previously
+    resolved by name only)."""
+    loc = str(tmp_path / "evo_ds")
+    df1 = spark.range(10).select(
+        F.col("id").cast("int").alias("n"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"))
+    t = IcebergTable.create(loc, df1.schema, commit_ts_ms=1)
+    t.append_df(df1, subdir="a", commit_ts_ms=2)
+    t.rename_column("val", "value", commit_ts_ms=3)
+    t.promote_column("n", "long", commit_ts_ms=4)
+    t.add_column("extra", "string", commit_ts_ms=5)
+    df2 = spark.range(10, 20).select(
+        F.col("id").alias("n"),
+        F.concat(F.lit("v"), F.col("id")).alias("value"),
+        F.lit("new").alias("extra"))
+    t.append_df(df2, subdir="b", commit_ts_ms=6)
+
+    got = spark.read.format("vector_iceberg").option("path", loc).load()
+    assert dict(got.dtypes) == {"n": "bigint", "value": "string",
+                                "extra": "string"}
+    rows = {(r["n"], r["value"], r["extra"]) for r in got.collect()}
+    want = ({(i, f"v{i}", None) for i in range(10)}
+            | {(i, f"v{i}", "new") for i in range(10, 20)})
+    assert rows == want
+    # parity with the layer's own scan
+    scan_rows = {(r["n"], r["value"], r["extra"])
+                 for r in t.scan(spark).collect()}
+    assert scan_rows == rows

@@ -133,6 +133,11 @@ class _FileSlice(InputPartition):
     eq_deletes: tuple  # ((paths...), (key_col...), delete_seq) entries
     column_order: tuple  # final output column names, schema order
     col_types: tuple  # matching iceberg types (str, or dict for lists)
+    # field-id schema-evolution resolution (spec "Schema Evolution"):
+    # ((name_in_this_file_or_None, current_name), ...) — None means the
+    # column was added after this file was written (reads NULL); a
+    # differing pair means the column was renamed since (rename on read)
+    col_map: tuple = ()
 
 
 def _read_slice(part: _FileSlice) -> Iterator["pa.RecordBatch"]:
@@ -141,6 +146,17 @@ def _read_slice(part: _FileSlice) -> Iterator["pa.RecordBatch"]:
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(part.path).combine_chunks()
+
+    # field-id resolution across schema evolution: files written before a
+    # rename carry the OLD column name — re-attach it under the current
+    # name before anything downstream touches columns.  (Type promotion
+    # is handled by the final cast-to-declared-schema; added columns are
+    # null-filled just before the ordered select.)
+    for file_name, cur_name in part.col_map:
+        if (file_name is not None and file_name != cur_name
+                and file_name in tbl.column_names):
+            idx = tbl.column_names.index(file_name)
+            tbl = tbl.set_column(idx, cur_name, tbl.column(idx))
 
     if part.pos_delete_paths:
         dels = pq.read_table(
@@ -176,6 +192,11 @@ def _read_slice(part: _FileSlice) -> Iterator["pa.RecordBatch"]:
         else:
             col = pa.array([val] * n, t)
         tbl = tbl.append_column(name, col)
+    # columns added to the schema after this file was written read NULL
+    for name, t_ice in zip(part.column_order, part.col_types):
+        if name not in tbl.column_names:
+            tbl = tbl.append_column(
+                name, pa.nulls(tbl.num_rows, _arrow_type(t_ice)))
     tbl = tbl.select(list(part.column_order))
     # Parquet physical types drift from the declared schema (timestamps read
     # back as ns, ints may narrow); Spark's Arrow bridge requires the exact
@@ -243,6 +264,20 @@ def _plan_slices(
     }
     column_order = tuple(f["name"] for f in t.schema["fields"])
     col_types = tuple(f["type"] for f in t.schema["fields"])
+    cur_sid = t.meta["current-schema-id"]
+    col_maps: dict[int, tuple] = {}
+
+    def _col_map(w_sid: int) -> tuple:
+        """(name_at_write_time_or_None, current_name) per current field —
+        id-based resolution for files written under older schemas."""
+        if w_sid not in col_maps:
+            w_by_id = {wf["id"]: wf["name"]
+                       for wf in t._schema_by_id(w_sid)["fields"]}
+            col_maps[w_sid] = tuple(
+                (w_by_id.get(cf["id"]), cf["name"])
+                for cf in t.schema["fields"])
+        return col_maps[w_sid]
+
     out = []
     for f in files:
         sid = f.get("_spec_id", t.default_spec_id)
@@ -264,6 +299,10 @@ def _plan_slices(
                 eq_deletes=eq_deletes,
                 column_order=column_order,
                 col_types=col_types,
+                col_map=(
+                    _col_map(f["_schema_id"])
+                    if f.get("_schema_id", cur_sid) != cur_sid else ()
+                ),
             )
         )
     return out
