@@ -104,24 +104,31 @@ def main() -> None:
     except (OSError, ValueError):
         best_all = {}
     best_known = best_all.setdefault(sf_key, {})
-    OUTLIER_FACTOR = 2.0
+    OUTLIER_FACTOR = 1.5
+    MAX_RERUNS_PER_QUERY = 2
     n_reruns = 0
 
     def _timed(name: str, thunk) -> None:
-        """Time thunk() into timings[name] with the outlier re-run rule."""
+        """Time thunk() into timings[name] with the outlier re-run rule:
+        a sample above OUTLIER_FACTOR x the cross-round record re-runs
+        (up to MAX_RERUNS_PER_QUERY times) and the best sample is kept —
+        so one degraded host window cannot misrepresent the tree."""
         nonlocal n_reruns
         t0 = time.time()
         try:
             thunk()
             sec = time.time() - t0
             record = best_known.get(name)
-            if record and record > 0 and sec > OUTLIER_FACTOR * record:
+            tries = 0
+            while (record and record > 0 and sec > OUTLIER_FACTOR * record
+                   and tries < MAX_RERUNS_PER_QUERY):
                 print(
                     f"# bench outlier {name}: {sec:.1f}s > "
-                    f"{OUTLIER_FACTOR:.0f}x record {record:.1f}s — re-running",
+                    f"{OUTLIER_FACTOR}x record {record:.1f}s — re-running",
                     file=sys.stderr,
                 )
                 n_reruns += 1
+                tries += 1
                 spark.catalog.clearCache()
                 spark.sparkContext._jvm.System.gc()
                 t1 = time.time()
