@@ -786,6 +786,9 @@ class TestCoroutineClose:
         import threading
         import time
 
+        # delta-based: the full suite runs with Spark/py4j background
+        # threads alive, so absolute counts are meaningless
+        before = threading.active_count()
         it = LuaRuntime()
         it.run(
             """
@@ -795,12 +798,12 @@ class TestCoroutineClose:
             end
             """
         )
-        assert threading.active_count() >= 50
+        assert threading.active_count() >= before + 50
         it.close_coroutines()
         deadline = time.time() + 5
-        while threading.active_count() > 5 and time.time() < deadline:
+        while threading.active_count() > before + 2 and time.time() < deadline:
             time.sleep(0.05)
-        assert threading.active_count() <= 5
+        assert threading.active_count() <= before + 2
 
     def test_closed_coroutine_cannot_resume(self):
         assert run(
