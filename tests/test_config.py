@@ -289,3 +289,76 @@ def test_reference_syslog_regex_logs2metric_topology(spark, tmp_path):
     # the abort port carries exactly the non-matching hosts
     topo = build_topology(spark, cfg)
     assert topo.outputs["remap.dropped"].count() == n_abort
+
+
+def test_reference_splunk_hec_route_s3_topology(spark, tmp_path):
+    """The reference's splunk_hec_route_s3 regression topology
+    (regression/cases/splunk_hec_route_s3/vector/vector.toml) through
+    the front door: HEC JSON capture -> route on the byte-identical VRL
+    conditions (.attrs.c2cContainerType == "service") -> two aws_s3
+    sinks with the byte-identical templated key_prefix ({{ field }} +
+    strftime), newline-delimited json encode, except_fields drop."""
+    import json as _json
+
+    from vector_spark.config import load_config
+    from vector_spark.topology import run_topology
+
+    lines = []
+    n_service = n_sidecar = 0
+    for i in range(60):
+        ctype = "service" if i % 3 == 0 else "sidecar"
+        if ctype == "service":
+            n_service += 1
+        else:
+            n_sidecar += 1
+        lines.append(_json.dumps({
+            "time": 1704067200 + i * 3600,     # 2024-01-01T00:00Z + i hours
+            "attrs": {
+                "c2cContainerType": ctype,
+                "aws_account": f"acct{i % 2}",
+                "systemid": "sys1",
+                "c2cService": f"svc{i % 4}",
+                "c2cPartition": "p0",
+                "c2cStage": "prod",
+            },
+            "event": f"payload {i}",
+        }))
+    cap = tmp_path / "hec.jsonl"
+    cap.write_text("\n".join(lines) + "\n")
+    sidecar_out = str(tmp_path / "s3_sidecar")
+    service_out = str(tmp_path / "s3_service")
+
+    cfg = load_config(
+        "configs/splunk_hec_route_s3.toml",
+        env={"HEC_CAPTURE": str(cap), "S3_SIDECAR_OUT": sidecar_out,
+             "S3_SERVICE_OUT": service_out})
+    run_topology(spark, cfg)
+
+    def _read_lines(base):
+        out = []
+        for root, _dirs, files in __import__("os").walk(base):
+            for f in files:
+                if f.startswith(("_", ".")) or not f.endswith(".txt"):
+                    continue
+                p = __import__("os").path.join(root, f)
+                out.extend((p, l) for l in open(p).read().splitlines() if l)
+        return out
+
+    service_rows = _read_lines(service_out)
+    sidecar_rows = _read_lines(sidecar_out)
+    assert len(service_rows) == n_service
+    assert len(sidecar_rows) == n_sidecar
+    # key_prefix rendered into the directory: fields + strftime pieces
+    p0 = service_rows[0][0]
+    assert "v1/source_type/app/system_id/sys1/service/svc" in p0.replace("%2F", "/")
+    assert "/year/2024/month/01/" in p0.replace("%2F", "/")
+    assert "v1/source_type/sidecar/aws_account_id/acct" in sidecar_rows[0][0].replace("%2F", "/")
+    # except_fields: timestamp dropped from the encoded event
+    ev = _json.loads(service_rows[0][1])
+    assert "timestamp" not in ev
+    assert ev["attrs"]["c2cContainerType"] == "service"
+    # every routed event landed on the right side of the VRL condition
+    assert all(_json.loads(l)["attrs"]["c2cContainerType"] == "service"
+               for _, l in service_rows)
+    assert all(_json.loads(l)["attrs"]["c2cContainerType"] != "service"
+               for _, l in sidecar_rows)

@@ -60,10 +60,24 @@ class Topology:
     outputs: dict[str, DataFrame] = field(default_factory=dict)  # component(.port) -> DF
 
 
+_VRL_PATH = re.compile(r"(^|[^\w\d'\"])\.([A-Za-z_][\w]*(?:\.[A-Za-z_]\w*)*)")
+
+
 def _expr(e) -> Column:
-    """Conditions in configs are SQL strings (≅ VRL boolean conditions) or
-    prepared Columns."""
-    return F.expr(e) if isinstance(e, str) else e
+    """Conditions in configs are SQL strings (≅ VRL boolean conditions),
+    VRL path comparisons, or prepared Columns.
+
+    The VRL dialect the reference's regression configs use —
+    ``.attrs.c2cContainerType == "service"`` — translates structurally:
+    leading-dot paths become column references (dots are struct access
+    in Spark SQL too) and ``==`` becomes SQL ``=``.  A condition with no
+    leading-dot path passes through as SQL unchanged."""
+    if not isinstance(e, str):
+        return e
+    if _VRL_PATH.search(e):
+        e = _VRL_PATH.sub(r"\1\2", e).replace("==", "=")
+        e = e.replace("&&", " AND ").replace("||", " OR ")
+    return F.expr(e)
 
 
 def _known_outputs(config: dict) -> list[str]:
@@ -74,7 +88,8 @@ def _known_outputs(config: dict) -> list[str]:
     for name, spec in config.get("transforms", {}).items():
         out.append(name)
         if spec.get("kind") == "route":
-            out += [f"{name}.{r}" for r in spec.get("routes", {})]
+            out += [f"{name}.{r}"
+                    for r in (spec.get("routes") or spec.get("route") or {})]
             out.append(f"{name}._unmatched")
         if spec.get("kind") == "remap_grok" and spec.get("drop_on_error"):
             out.append(f"{name}.dropped")
@@ -282,6 +297,36 @@ def _syslog_source(spark: SparkSession, name: str, spec: dict) -> DataFrame:
     )
 
 
+def _splunk_hec_source(spark: SparkSession, name: str, spec: dict) -> DataFrame:
+    """``splunk_hec`` source (reference src/sources/splunk_hec/mod.rs):
+    an HTTP listener accepting HEC JSON event POSTs.  Batch twin: the
+    captured request bodies are read as JSON lines from ``include`` with
+    a declared ``schema`` for the event payload (a batch engine needs
+    types up front); the listener options (``address``/``token``) are
+    accepted so a reference-shaped config loads unchanged, but are inert.
+    An epoch-seconds ``time`` field becomes ``timestamp`` like the
+    reference's event enrichment."""
+    include = spec.get("include")
+    if include is None:
+        raise TopologyError(
+            f"{name}: the batch splunk_hec source needs `include` file "
+            "globs (the captured HEC bodies; address/token are "
+            "listener-only options)")
+    if "schema" not in spec:
+        raise TopologyError(f"{name}: the batch splunk_hec source needs a "
+                            "declared `schema` for the event JSON")
+    paths = [include] if isinstance(include, str) else list(include)
+    from vector_spark.sources import decode_json_field
+
+    df = decode_json_field(
+        spark.read.text(paths).select(F.col("value").alias("message")),
+        spec["schema"])
+    if "time" in df.columns:
+        df = df.withColumn(
+            "timestamp", F.col("time").cast("double").cast("timestamp"))
+    return df
+
+
 _VRL_PARSE_REGEX = re.compile(
     r"\s*\.\s*\|=\s*parse_regex(!?)\(\s*\.([A-Za-z_][\w.]*)\s*,\s*"
     r"r'(.*)'\s*\)\s*", re.S)
@@ -384,6 +429,8 @@ def build_topology(
             out[name] = _exec_source(spark, name, spec)
         elif kind == "syslog":
             out[name] = _syslog_source(spark, name, spec)
+        elif kind == "splunk_hec":
+            out[name] = _splunk_hec_source(spark, name, spec)
         else:
             raise TopologyError(f"{name}: unknown source kind {kind!r}")
 
@@ -404,7 +451,10 @@ def build_topology(
         if kind == "filter":
             out[name] = filter_events(df, _expr(spec["condition"]))
         elif kind == "route":
-            r = route(df, {k: _expr(v) for k, v in spec["routes"].items()})
+            # the reference's TOML spells the table [transforms.X.route]
+            # (singular); repo-authored configs use "routes" — accept both
+            routes_spec = spec.get("routes") or spec["route"]
+            r = route(df, {k: _expr(v) for k, v in routes_spec.items()})
             for rname, rdf in r.routes.items():
                 out[f"{name}.{rname}"] = rdf
             out[name] = r.labeled  # bare name = labeled union (for metrics)
@@ -571,6 +621,30 @@ def run_topology(
             results[name] = (
                 spark.read.parquet(spec["path"]).count() if verify_counts else None
             )
+        elif kind == "aws_s3":
+            # src/sinks/aws_s3: batch twin = the templated file sink over a
+            # local/DFS ``path`` (the cluster's object store mount) — the
+            # reference's key_prefix template ({{ field }} + strftime)
+            # becomes the partition directory, newline_delimited framing is
+            # the line writer, encoding.codec/except_fields apply before
+            # encode; bucket/region/endpoint/auth load unchanged and are
+            # inert (no S3 endpoint in batch scope).
+            from vector_spark.sinks import write_file_sink
+            from vector_spark.template import render_template
+
+            enc = spec.get("encoding", {})
+            if isinstance(enc, str):
+                enc = {"codec": enc}
+            # render the key template BEFORE except_fields: the prefix's
+            # strftime specifiers read the timestamp the encoder drops
+            keyed = df.withColumn("_path", render_template(
+                spec.get("key_prefix", ""),
+                ts_col=spec.get("ts_col", "timestamp")))
+            keyed = keyed.drop(*enc.get("except_fields", []))
+            write_file_sink(
+                keyed, spec["path"], encoding=enc.get("codec", "json"),
+                partition_by=["_path"], mode=spec.get("mode", "overwrite"))
+            results[name] = None
         elif kind == "file":
             # src/sinks/file/mod.rs: encoded lines; a {{ field }}/strftime
             # path template becomes partitioned output directories
