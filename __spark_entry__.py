@@ -4589,6 +4589,60 @@ GROUP BY 1, 2, 3
 """
 
 
+def _q_pipeline_hec_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's splunk_hec_route_s3 regression topology
+    (regression/cases/splunk_hec_route_s3/vector/vector.toml) through
+    the TOML front door (configs/splunk_hec_route_s3.toml — the route
+    block's VRL conditions and the aws_s3 key_prefix templates are
+    byte-identical to the reference config).  The HEC capture is
+    synthesized deterministically from the events table; the query
+    aggregates both route ports per service tag, exercising the VRL
+    leading-dot-path condition compiler and the route fan-out."""
+    from vector_spark.config import load_config
+    from vector_spark.topology import build_topology
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    lines = events.select(F.concat(
+        F.lit('{"time": '), (F.col("event_id") % 1000000 + 1704067200).cast("string"),
+        F.lit(', "attrs": {"c2cContainerType": "'),
+        F.when(F.col("user_id") % 3 == 0, F.lit("service")).otherwise(F.lit("sidecar")),
+        F.lit('", "aws_account": "a'), (F.col("user_id") % 2).cast("string"),
+        F.lit('", "systemid": "sys1", "c2cService": "'), F.col("event_type"),
+        F.lit('", "c2cPartition": "p0", "c2cStage": "prod"}, "event": "e'),
+        F.col("event_id").cast("string"), F.lit('"}')).alias("value"))
+    cap_dir = os.path.join(
+        _tempdir_root(), f"hec_capture_{os.path.basename(os.path.normpath(sf_dir))}")
+    lines.write.mode("overwrite").text(cap_dir)
+    toml_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "configs", "splunk_hec_route_s3.toml")
+    cfg = load_config(toml_path, env={
+        "HEC_CAPTURE": os.path.join(cap_dir, "*.txt"),
+        "S3_SIDECAR_OUT": os.path.join(cap_dir, "_unused_sidecar"),
+        "S3_SERVICE_OUT": os.path.join(cap_dir, "_unused_service"),
+    })
+    topo = build_topology(spark, cfg)
+    parts = []
+    for port in ("service", "sidecar"):
+        d = topo.outputs[f"container_type.{port}"]
+        parts.append(d.select(
+            F.lit(port).alias("route"),
+            F.col("attrs.c2cService").alias("service"),
+            F.col("attrs.aws_account").alias("account")))
+    both = parts[0].unionByName(parts[1])
+    return both.groupBy("route", "service", "account").agg(
+        F.count(F.lit(1)).alias("n_rows"))
+
+
+_SQL_PIPELINE_HEC_ROUTE = """
+SELECT CASE WHEN user_id % 3 = 0 THEN 'service' ELSE 'sidecar' END AS route,
+       event_type AS service,
+       'a' || CAST(user_id % 2 AS VARCHAR) AS account,
+       count(*) AS n_rows
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 def _tempdir_root() -> str:
     import tempfile
 
@@ -4615,6 +4669,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 5 --
         "iceberg_schema_evolution": _q_iceberg_schema_evolution,
         "pipeline_syslog_metrics": _q_pipeline_syslog_metrics,
+        "pipeline_hec_route": _q_pipeline_hec_route,
         # -- round-5 rotation: never driver-checked before r05 (judge-verified in r04: avro cross-validated vs Apache Avro Java; lua gated by 110 pytest tests) --
         "avro_roundtrip": _q_avro_roundtrip,
         "lua_transform": _q_lua_transform,
@@ -4861,6 +4916,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_scan_agg": _sql_iceberg_scan_agg(),
         "iceberg_schema_evolution": _SQL_ICEBERG_SCHEMA_EVOLUTION,
         "pipeline_syslog_metrics": _SQL_PIPELINE_SYSLOG_METRICS,
+        "pipeline_hec_route": _SQL_PIPELINE_HEC_ROUTE,
         "iceberg_time_travel": _sql_iceberg_time_travel(),
         "iceberg_delete_scan": _sql_iceberg_delete_scan(),
         "iceberg_upsert_scan": _sql_iceberg_upsert_scan(),
