@@ -165,28 +165,32 @@ def main() -> None:
         pipeline_sec = min(pipeline_sec, time.time() - t0)
     timings["pipeline_parse_enrich_route_aggregate"] = round(pipeline_sec, 3)
 
-    from vector_spark.dedup import (
-        dedup_components,
-        dedup_components_star,
-        minhash_lsh_pairs,
-    )
+    # production-path dedup stages over the documents table: imports and
+    # the input frame build stay INSIDE the per-query thunks so a broken
+    # module records one -1.0 entry instead of aborting the whole sweep
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    def _minhash_fast():
+        from vector_spark.dedup import minhash_lsh_pairs
 
-    # production-path minhash (fast hash), over the documents table
-    _timed("minhash_lsh_fast",
-           lambda: _materialize(minhash_lsh_pairs(docs, fast=True)))
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return minhash_lsh_pairs(docs, fast=True)
 
-    # production-path dedup groups: components over the fast-hash pairs
-    _timed("dedup_groups_fast",
-           lambda: _materialize(
-               dedup_components(minhash_lsh_pairs(docs, fast=True))))
+    _timed("minhash_lsh_fast", lambda: _materialize(_minhash_fast()))
 
-    # production-path dedup groups via large-star/small-star (Kiveris et
-    # al.) over the same fast-hash pairs — the O(log n)-rounds twin
-    _timed("dedup_groups_star_fast",
-           lambda: _materialize(
-               dedup_components_star(minhash_lsh_pairs(docs, fast=True))))
+    def _groups_fast():
+        from vector_spark.dedup import dedup_components
+
+        return dedup_components(_minhash_fast())
+
+    _timed("dedup_groups_fast", lambda: _materialize(_groups_fast()))
+
+    # large-star/small-star (Kiveris et al.) — the O(log n)-rounds twin
+    def _groups_star_fast():
+        from vector_spark.dedup import dedup_components_star
+
+        return dedup_components_star(_minhash_fast())
+
+    _timed("dedup_groups_star_fast", lambda: _materialize(_groups_star_fast()))
 
     # pathological-chain connected components: the star algorithm's
     # O(log n) round bound on the graph shape where min-label propagation
@@ -217,21 +221,30 @@ def main() -> None:
     # bounded-memory heavy-hitter pair scan (Misra-Gries): same corpus as
     # token_pair_stats but the exchange is k x partitions rows, not
     # O(distinct pairs) — the sketch answer to the uniform worst case
-    from vector_spark.packing import chunk_windows, fim_transform
-    from vector_spark.vocab import token_pair_stats_approx
+    def _pair_approx():
+        from vector_spark.vocab import token_pair_stats_approx
 
-    tok_corpus = P.load_corpus(spark, sf).select("tokens")
-    _timed("token_pair_stats_approx",
-           lambda: _materialize(
-               token_pair_stats_approx(tok_corpus, 200, k_sketch=4096)))
+        return token_pair_stats_approx(
+            P.load_corpus(spark, sf).select("tokens"), 200, k_sketch=4096)
+
+    _timed("token_pair_stats_approx", lambda: _materialize(_pair_approx()))
 
     # production-path chunking + FIM (raw token arrays; the contract
     # twins' CSV render is the oracle gate, not the operator)
-    doc_corpus = P.load_corpus(spark, sf).select("doc_id", "tokens")
-    _timed("chunk_windows_fast",
-           lambda: _materialize(chunk_windows(doc_corpus, 256, 192)))
-    _timed("fim_transform_fast",
-           lambda: _materialize(fim_transform(doc_corpus)))
+    def _chunks():
+        from vector_spark.packing import chunk_windows
+
+        return chunk_windows(
+            P.load_corpus(spark, sf).select("doc_id", "tokens"), 256, 192)
+
+    _timed("chunk_windows_fast", lambda: _materialize(_chunks()))
+
+    def _fim():
+        from vector_spark.packing import fim_transform
+
+        return fim_transform(P.load_corpus(spark, sf).select("doc_id", "tokens"))
+
+    _timed("fim_transform_fast", lambda: _materialize(_fim()))
 
     for name in bench_names:
         if name == "pipeline_sink_aggregates":

@@ -84,11 +84,14 @@ def _run_config(label: str, jvms: list[tuple[int, list[str]]]) -> dict:
     barrier = tempfile.mkdtemp(prefix="mj_barrier_")
     code = CHILD.format(repo=REPO)
     procs = []
+    err_files = []
     for i, (cpus, files) in enumerate(jvms):
+        ef = open(os.path.join(barrier, f"stderr_{label}_{i}"), "w")
+        err_files.append(ef)
         procs.append(subprocess.Popen(
             [sys.executable, "-c", code, str(cpus), json.dumps(files),
              barrier, f"{label}_{i}", str(WINDOW)],
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True))
+            stdout=subprocess.PIPE, stderr=ef, text=True))
     deadline = time.time() + 900
     while time.time() < deadline:
         ready = glob.glob(os.path.join(barrier, "ready_*"))
@@ -99,10 +102,17 @@ def _run_config(label: str, jvms: list[tuple[int, list[str]]]) -> dict:
         time.sleep(0.2)
     open(os.path.join(barrier, "go"), "w").close()
     results = []
-    for p in procs:
+    for i, p in enumerate(procs):
         out, _ = p.communicate(timeout=WINDOW + 600)
-        line = [l for l in out.splitlines() if l.startswith("{")][-1]
-        results.append(json.loads(line))
+        err_files[i].close()
+        lines = [l for l in out.splitlines() if l.startswith("{")]
+        if not lines:  # child died mid-window: surface ITS error, not ours
+            tail = open(os.path.join(
+                barrier, f"stderr_{label}_{i}")).read()[-2000:]
+            raise RuntimeError(
+                f"{label} child {i} produced no result (rc={p.returncode}); "
+                f"stderr tail:\n{tail}")
+        results.append(json.loads(lines[-1]))
     total = sum(r["rows_per_sec"] for r in results)
     return {"label": label, "children": results,
             "agg_rows_per_sec": round(total, 1)}

@@ -362,3 +362,62 @@ def test_reference_splunk_hec_route_s3_topology(spark, tmp_path):
                for _, l in service_rows)
     assert all(_json.loads(l)["attrs"]["c2cContainerType"] != "service"
                for _, l in sidecar_rows)
+
+
+def test_vrl_condition_translation_edge_cases(spark):
+    """The VRL->SQL condition rewrite is quote-aware: '==', '&&', '||'
+    and '.word' INSIDE double-quoted literals survive; mixed named and
+    unnamed regex groups extract the right captures; NULL source fields
+    abort to the dropped port instead of vanishing (round-5 review)."""
+    from vector_spark.topology import build_topology
+
+    df = spark.createDataFrame(
+        [("error .timeout reached", 1), ("x && y", 2), ("other", 3), (None, 4)],
+        "msg string, v long")
+    topo = build_topology(spark, {
+        "sources": {"src": {"kind": "memory", "df": df}},
+        "transforms": {
+            "r": {
+                "kind": "route", "inputs": ["src"],
+                "route": {
+                    "lit_dot": '.msg == "error .timeout reached"',
+                    "lit_amp": '.msg == "x && y"',
+                },
+            },
+        },
+    })
+    assert [r["v"] for r in topo.outputs["r.lit_dot"].collect()] == [1]
+    assert [r["v"] for r in topo.outputs["r.lit_amp"].collect()] == [2]
+    # boolean operators OUTSIDE literals translate
+    topo2 = build_topology(spark, {
+        "sources": {"src": {"kind": "memory", "df": df}},
+        "transforms": {
+            "r": {"kind": "route", "inputs": ["src"],
+                  "route": {"both": '.v == 1 || .v == 3'}},
+        },
+    })
+    assert sorted(r["v"] for r in topo2.outputs["r.both"].collect()) == [1, 3]
+
+
+def test_remap_parse_regex_mixed_groups_and_null(spark):
+    from vector_spark.topology import build_topology
+
+    df = spark.createDataFrame(
+        [("ab-prod-42",), ("cd-dev-7",), ("nope",), (None,)], "host string")
+    topo = build_topology(spark, {
+        "sources": {"src": {"kind": "memory", "df": df}},
+        "transforms": {
+            "remap": {
+                "kind": "remap", "inputs": ["src"],
+                # a plain (...) group BEFORE the named groups: indices
+                # must not shift
+                "source": r". |= parse_regex!(.host, r'^(ab|cd)-(?P<env>\w+)-(?P<id>\d+)')",
+            },
+        },
+    })
+    rows = {r["host"]: (r["env"], r["id"])
+            for r in topo.outputs["remap"].collect()}
+    assert rows == {"ab-prod-42": ("prod", "42"), "cd-dev-7": ("dev", "7")}
+    dropped = topo.outputs["remap.dropped"].collect()
+    # 'nope' (no match) AND the NULL host both land on the dropped port
+    assert len(dropped) == 2

@@ -224,3 +224,25 @@ def test_schema_evolution_through_datasource(spark, tmp_path):
     scan_rows = {(r["n"], r["value"], r["extra"])
                  for r in t.scan(spark).collect()}
     assert scan_rows == rows
+
+
+def test_drop_then_readd_not_resurrected_through_datasource(spark, tmp_path):
+    """A dropped-then-re-added column has a NEW field id: the DataSource
+    must NOT resurrect the stale physical column of the same name from
+    old files (round-5 review finding: name-based selection did)."""
+    loc = str(tmp_path / "resurrect")
+    df1 = spark.range(5).select(F.col("id").alias("n"),
+                                F.lit("old").alias("junk"))
+    t = IcebergTable.create(loc, df1.schema, commit_ts_ms=1)
+    t.append_df(df1, subdir="a", commit_ts_ms=2)
+    t.drop_column("junk", commit_ts_ms=3)
+    t.add_column("junk", "string", commit_ts_ms=4)
+    got = spark.read.format("vector_iceberg").option("path", loc).load()
+    rows = got.collect()
+    assert all(r["junk"] is None for r in rows)
+    assert {r["n"] for r in rows} == set(range(5))
+    # also with a TYPE change (used to crash with ArrowInvalid)
+    t.drop_column("junk", commit_ts_ms=5)
+    t.add_column("junk", "long", commit_ts_ms=6)
+    got2 = spark.read.format("vector_iceberg").option("path", loc).load()
+    assert all(r["junk"] is None for r in got2.collect())

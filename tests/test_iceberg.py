@@ -858,3 +858,27 @@ def test_schema_evolution_partition_guards(spark, tmp_path):
         t.rename_column("source", "src")
     with pytest.raises(ValueError, match="identity partition source"):
         t.drop_column("source")
+
+
+def test_rename_drop_refused_on_live_equality_delete_key(spark, tmp_path):
+    """Equality-delete parquet keys by the column NAME current at delete
+    time; renaming/dropping a live eq-delete key would silently break
+    delete application, so evolution refuses until compaction."""
+    loc = str(tmp_path / "eqguard")
+    df = spark.range(10).select(F.col("id").alias("k"),
+                                F.concat(F.lit("v"), F.col("id")).alias("val"))
+    t = IcebergTable.create(loc, df.schema, commit_ts_ms=1)
+    t.append_df(df, subdir="a", commit_ts_ms=2)
+    t.delete_by_key(spark, spark.range(3).select(F.col("id").alias("k")),
+                    ["k"], commit_ts_ms=3)
+    with pytest.raises(ValueError, match="equality-delete"):
+        t.rename_column("k", "key")
+    with pytest.raises(ValueError, match="equality-delete"):
+        t.drop_column("k")
+    # non-key columns still evolve freely
+    t.rename_column("val", "value", commit_ts_ms=4)
+    assert t.scan(spark).count() == 7
+    # compaction clears the delete files and unblocks the rename
+    t.rewrite_data_files(spark, commit_ts_ms=5)
+    t.rename_column("k", "key", commit_ts_ms=6)
+    assert {r["key"] for r in t.scan(spark).collect()} == set(range(3, 10))

@@ -917,3 +917,17 @@ class TestStateCodec:
         r = state_decode(json.loads(json.dumps(state_encode(t))))
         assert r.get("keep") == 1
         assert r.get("f") is None
+
+
+class TestStateCodecLegacyCompat:
+    def test_legacy_plain_values_restore(self):
+        """Checkpoints written before the tagged format stored plain
+        lua_to_py JSON; state_decode must restore them, not crash."""
+        from vector_spark.operators.lua import state_decode
+
+        assert state_decode(5) == 5
+        assert state_decode("x") == "x"
+        assert state_decode(None) is None
+        t = state_decode({"a": 1, "b": [1, 2]})
+        assert t.get("a") == 1
+        assert t.get("b").get(1) == 1 and t.get("b").get(2) == 2

@@ -147,16 +147,19 @@ def _read_slice(part: _FileSlice) -> Iterator["pa.RecordBatch"]:
 
     tbl = pq.read_table(part.path).combine_chunks()
 
-    # field-id resolution across schema evolution: files written before a
-    # rename carry the OLD column name — re-attach it under the current
-    # name before anything downstream touches columns.  (Type promotion
-    # is handled by the final cast-to-declared-schema; added columns are
-    # null-filled just before the ordered select.)
-    for file_name, cur_name in part.col_map:
-        if (file_name is not None and file_name != cur_name
-                and file_name in tbl.column_names):
-            idx = tbl.column_names.index(file_name)
-            tbl = tbl.set_column(idx, cur_name, tbl.column(idx))
+    # field-id resolution across schema evolution: PRUNE the physical
+    # columns down to exactly the fields the col_map resolves, renaming
+    # old names to current ones.  Pruning (not just renaming) matters:
+    # a dropped-then-re-added column leaves a stale physical column
+    # under the same NAME but a dead field id — selecting by name would
+    # resurrect the dropped values (or crash on a type change).  (Type
+    # promotion is handled by the final cast-to-declared-schema; added
+    # columns are null-filled just before the ordered select.)
+    if part.col_map:
+        keep = [(fn, cn) for fn, cn in part.col_map
+                if fn is not None and fn in tbl.column_names]
+        tbl = tbl.select([fn for fn, _ in keep])
+        tbl = tbl.rename_columns([cn for _, cn in keep])
 
     if part.pos_delete_paths:
         dels = pq.read_table(

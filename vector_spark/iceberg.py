@@ -914,6 +914,19 @@ class IcebergTable:
                     out.add(f["source-id"])
         return out
 
+    def _live_equality_delete_ids(self) -> set[int]:
+        """Field ids referenced by any live equality-delete file.  Delete
+        parquet on disk carries the column NAMES current at delete time,
+        and both scan paths read them by current name — so renaming or
+        dropping a live eq-delete key would silently break delete
+        application.  Evolution refuses instead (compact first:
+        rewrite_data_files clears delete files)."""
+        out: set[int] = set()
+        for d in self.plan_delete_files():
+            if d.get("content") == 2:
+                out.update(d.get("equality_ids") or [])
+        return out
+
     def _commit_schema(self, new_fields: list[dict],
                        commit_ts_ms: int | None = None) -> dict:
         import copy
@@ -950,6 +963,10 @@ class IcebergTable:
             raise ValueError(
                 f"cannot rename {old!r}: it is an identity partition source "
                 "(the hive layout keys directories by this name)")
+        if target["id"] in self._live_equality_delete_ids():
+            raise ValueError(
+                f"cannot rename {old!r}: live equality-delete files key on "
+                "it by name (compact with rewrite_data_files first)")
         target["name"] = new
         return self._commit_schema(fields, commit_ts_ms)
 
@@ -967,6 +984,10 @@ class IcebergTable:
         if target["id"] in self._identity_source_ids():
             raise ValueError(
                 f"cannot drop {name!r}: it is an identity partition source")
+        if target["id"] in self._live_equality_delete_ids():
+            raise ValueError(
+                f"cannot drop {name!r}: live equality-delete files key on "
+                "it (compact with rewrite_data_files first)")
         if any(target["id"] == sf["source-id"]
                for s in self.meta["partition-specs"] for sf in s["fields"]):
             raise ValueError(
@@ -1937,10 +1958,18 @@ def ensure_iceberg_evolved(spark: SparkSession, sf_dir: str) -> IcebergTable:
     "Schema Evolution").  Commit timestamps pinned for reproducibility."""
     from pyspark.sql import functions as F
 
+    import shutil
+
     base = os.path.basename(os.path.normpath(sf_dir))
     loc = os.path.join(ICEBERG_ROOT, base, "docs_evolved")
-    if os.path.exists(os.path.join(loc, "metadata", "version-hint.text")):
+    done = os.path.join(loc, "_EVOLUTION_DONE")
+    if os.path.exists(done):
         return IcebergTable(loc)
+    if os.path.exists(loc):
+        # a crash mid-build (7 commits) must not cache a half-evolved
+        # table: version-hint exists after commit 1, so completion is
+        # tracked by the marker written after the LAST commit
+        shutil.rmtree(loc)
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     v0 = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -1963,6 +1992,7 @@ def ensure_iceberg_evolved(spark: SparkSession, sf_dir: str) -> IcebergTable:
     )
     t.append_df(v2, subdir="odd", commit_ts_ms=6)
     t.drop_column("junk", commit_ts_ms=7)
+    open(done, "w").close()
     return t
 
 

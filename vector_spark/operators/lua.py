@@ -196,7 +196,16 @@ def state_encode(v):
 
 
 def state_decode(d):
-    """Inverse of :func:`state_encode`."""
+    """Inverse of :func:`state_encode`.
+
+    Backward compatible with checkpoints written before the type-tagged
+    format (plain ``lua_to_py`` JSON values): anything that is not a
+    tagged dict decodes through :func:`py_to_lua`, so a resumed stream
+    restores legacy state instead of crashing its worker."""
+    tagged = (isinstance(d, dict) and set(d) <= {"t", "v"}
+              and d.get("t") in ("tbl", "b", "i", "f", "s", "nil"))
+    if not tagged:
+        return py_to_lua(d)
     t = d["t"]
     if t == "tbl":
         return LuaTable([(state_decode(k), state_decode(val))

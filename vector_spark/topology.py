@@ -61,6 +61,9 @@ class Topology:
 
 
 _VRL_PATH = re.compile(r"(^|[^\w\d'\"])\.([A-Za-z_][\w]*(?:\.[A-Za-z_]\w*)*)")
+# double-quoted string literal with escapes — kept verbatim during the
+# VRL->SQL rewrite so '==' / '&&' / '.word' INSIDE literals survive
+_DQ_LITERAL = re.compile(r'"(?:[^"\\]|\\.)*"')
 
 
 def _expr(e) -> Column:
@@ -70,13 +73,24 @@ def _expr(e) -> Column:
     The VRL dialect the reference's regression configs use —
     ``.attrs.c2cContainerType == "service"`` — translates structurally:
     leading-dot paths become column references (dots are struct access
-    in Spark SQL too) and ``==`` becomes SQL ``=``.  A condition with no
-    leading-dot path passes through as SQL unchanged."""
+    in Spark SQL too), ``==``/``&&``/``||`` become SQL ``=``/AND/OR.
+    The rewrite is quote-aware: double-quoted literal CONTENT passes
+    through untouched.  A condition with no leading-dot path outside a
+    literal passes through as SQL unchanged."""
     if not isinstance(e, str):
         return e
-    if _VRL_PATH.search(e):
-        e = _VRL_PATH.sub(r"\1\2", e).replace("==", "=")
-        e = e.replace("&&", " AND ").replace("||", " OR ")
+    parts = _DQ_LITERAL.split(e)          # code segments
+    lits = _DQ_LITERAL.findall(e)         # literal segments, in order
+    if any(_VRL_PATH.search(p) for p in parts):
+        parts = [
+            _VRL_PATH.sub(r"\1\2", p).replace("==", "=")
+            .replace("&&", " AND ").replace("||", " OR ")
+            for p in parts
+        ]
+        out = [parts[0]]
+        for lit, code in zip(lits, parts[1:]):
+            out += [lit, code]
+        e = "".join(out)
     return F.expr(e)
 
 
@@ -348,37 +362,57 @@ def _remap_parse_regex(name: str, df: DataFrame, spec: dict, out: dict) -> DataF
             "`. |= parse_regex!(.field, r'...')` VRL idiom; use kind=lua "
             f"for general hooks): {src!r}")
     abort, field, pattern = m.group(1) == "!", m.group(2), m.group(3)
-    fields = re.findall(r"\(\?P<(\w+)>", pattern)
+    # assign each NAMED group its true capturing-group index: plain (...)
+    # groups also count, so a pattern mixing named and unnamed groups
+    # must not shift the extraction indices
+    fields: list[tuple[str, int]] = []
+    gidx = 0
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "[":  # character class: '(' inside is literal
+            j = i + 1
+            if j < len(pattern) and pattern[j] == "^":
+                j += 1
+            if j < len(pattern) and pattern[j] == "]":
+                j += 1
+            while j < len(pattern) and pattern[j] != "]":
+                j += 2 if pattern[j] == "\\" else 1
+            i = j + 1
+            continue
+        if c == "(":
+            gm = re.match(r"\(\?P<(\w+)>", pattern[i:])
+            if gm:
+                gidx += 1
+                fields.append((gm.group(1), gidx))
+                i += gm.end()
+                continue
+            if not pattern.startswith("(?", i):
+                gidx += 1  # plain capturing group
+            i += 1
+            continue
+        i += 1
     java_pattern = re.sub(r"\(\?P<(\w+)>", "(", pattern)  # Java regex has no ?P
     cols = [
-        F.regexp_extract(F.col(field), java_pattern, i + 1).alias(f)
-        for i, f in enumerate(fields)
+        F.regexp_extract(F.col(field), java_pattern, idx).alias(f)
+        for f, idx in fields
     ]
     matched = F.col(field).rlike(java_pattern)
     if abort:
-        out[f"{name}.dropped"] = df.filter(~matched).select(
+        # NULL field: rlike is NULL, which the reference's abort treats
+        # as a failed parse — route to .dropped, never silently vanish
+        kept = F.coalesce(matched, F.lit(False))
+        out[f"{name}.dropped"] = df.filter(~kept).select(
             "*",
             F.lit("parse_regex abort").alias("dropped_reason"),
             F.lit(name).alias("dropped_component_id"),
         )
-        return df.filter(matched).select("*", *cols)
+        return df.filter(kept).select("*", *cols)
     # non-abort form: unmatched events keep flowing with empty captures
     return df.select("*", *cols)
-
-
-def _template_col(text: str) -> Column:
-    """``{{ field }}`` template string -> Column (the reference's tag
-    template rendering, src/template.rs)."""
-    parts = re.split(r"\{\{\s*([\w.]+)\s*\}\}", text)
-    cols: list[Column] = []
-    for i, p in enumerate(parts):
-        if i % 2:
-            cols.append(F.col(p).cast("string"))
-        elif p:
-            cols.append(F.lit(p))
-    if not cols:
-        return F.lit("")
-    return F.concat(*cols) if len(cols) > 1 else cols[0]
 
 
 class _ObservingOutputs(dict):
@@ -564,6 +598,9 @@ def build_topology(
                 # type/field/optional name (defaults to the field) and
                 # {{ field }} tag templates; one event fans out to one
                 # metric row per list entry (union)
+                from vector_spark.template import render_template
+
+                ts_col = spec.get("ts_col", "ts")
                 parts = []
                 for mc in spec["metrics"]:
                     parts.append(log_to_metric(
@@ -572,9 +609,9 @@ def build_topology(
                         metric_type=mc.get("type", mc.get("metric_type", "counter")),
                         field=mc.get("field"),
                         namespace=mc.get("namespace", ""),
-                        tags={k: _template_col(v)
+                        tags={k: render_template(v, ts_col=ts_col)
                               for k, v in (mc.get("tags") or {}).items()},
-                        ts_col=spec.get("ts_col", "ts"),
+                        ts_col=ts_col,
                         increment_by_value=mc.get("increment_by_value", False),
                     ))
                 merged = parts[0]
