@@ -4643,6 +4643,76 @@ GROUP BY 1, 2, 3
 """
 
 
+def _q_pipeline_datadog_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's datadog_agent_remap_blackhole regression topology
+    (regression/cases/datadog_agent_remap_blackhole/vector/vector.toml)
+    through the TOML front door (configs/datadog_agent_remap_blackhole
+    .toml — the remap VRL program is byte-identical to the reference
+    config and compiles to pure Column expressions via
+    vector_spark/vrl_program.py: sequential assignment, branch-exclusive
+    if/else fields, object literal, error-capturing fallible concat).
+    The agent capture is synthesized deterministically from the events
+    table; rows with a missing message exercise the fallible-assignment
+    error path."""
+    from vector_spark.config import load_config
+    from vector_spark.topology import build_topology
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    status = (F.when(F.col("user_id") % 3 == 0, F.lit("warning"))
+               .when(F.col("user_id") % 3 == 1, F.lit("notice"))
+               .otherwise(F.col("event_type")))
+    msg_part = F.when(
+        F.col("event_id") % 7 != 0,
+        F.concat(F.lit(', "message": "m'), F.col("event_id").cast("string"),
+                 F.lit('"'))).otherwise(F.lit(""))
+    lines = events.select(F.concat(
+        F.lit('{"status": "'), status, F.lit('"'), msg_part,
+        F.lit(', "ddsource": "agent", "service": "s'),
+        (F.col("user_id") % 4).cast("string"), F.lit('"}')).alias("value"))
+    cap_dir = os.path.join(
+        _tempdir_root(), f"agent_capture_{os.path.basename(os.path.normpath(sf_dir))}")
+    lines.write.mode("overwrite").text(cap_dir)
+    toml_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "configs", "datadog_agent_remap_blackhole.toml")
+    cfg = load_config(toml_path, env={
+        "AGENT_CAPTURE": os.path.join(cap_dir, "*.txt")})
+    topo = build_topology(spark, cfg)
+    r = topo.outputs["remap"]
+    return r.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("thing").alias("n_thing"),
+        F.count("thung").alias("n_thung"),
+        F.count("nong").alias("n_nong"),
+        F.count("origin").alias("n_origin"),
+        F.count("err").alias("n_err"),
+        F.min("origin").alias("min_origin"),
+        F.max("origin").alias("max_origin"),
+    )
+
+
+_SQL_PIPELINE_DATADOG_REMAP = """
+WITH ev AS (
+  SELECT CASE WHEN user_id % 3 = 0 THEN 'warning'
+              WHEN user_id % 3 = 1 THEN 'notice'
+              ELSE event_type END AS status,
+         CASE WHEN event_id % 7 <> 0
+              THEN 'm' || CAST(event_id AS VARCHAR) END AS message
+  FROM events
+)
+SELECT status,
+       count(*) AS n_rows,
+       CAST(count(CASE WHEN status = 'warning' THEN 1 END) AS BIGINT) AS n_thing,
+       CAST(count(CASE WHEN status = 'notice' THEN 1 END) AS BIGINT) AS n_thung,
+       CAST(count(CASE WHEN status NOT IN ('warning','notice') THEN 1 END) AS BIGINT) AS n_nong,
+       CAST(count(message) AS BIGINT) AS n_origin,
+       CAST(count(CASE WHEN message IS NULL THEN 1 END) AS BIGINT) AS n_err,
+       min('vector/' || message || '/2') AS min_origin,
+       max('vector/' || message || '/2') AS max_origin
+FROM ev
+GROUP BY status
+"""
+
+
 def _tempdir_root() -> str:
     import tempfile
 
@@ -4670,6 +4740,7 @@ def _QUERY_FNS() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_schema_evolution": _q_iceberg_schema_evolution,
         "pipeline_syslog_metrics": _q_pipeline_syslog_metrics,
         "pipeline_hec_route": _q_pipeline_hec_route,
+        "pipeline_datadog_remap": _q_pipeline_datadog_remap,
         # -- round-5 rotation: never driver-checked before r05 (judge-verified in r04: avro cross-validated vs Apache Avro Java; lua gated by 110 pytest tests) --
         "avro_roundtrip": _q_avro_roundtrip,
         "lua_transform": _q_lua_transform,
@@ -4917,6 +4988,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_schema_evolution": _SQL_ICEBERG_SCHEMA_EVOLUTION,
         "pipeline_syslog_metrics": _SQL_PIPELINE_SYSLOG_METRICS,
         "pipeline_hec_route": _SQL_PIPELINE_HEC_ROUTE,
+        "pipeline_datadog_remap": _SQL_PIPELINE_DATADOG_REMAP,
         "iceberg_time_travel": _sql_iceberg_time_travel(),
         "iceberg_delete_scan": _sql_iceberg_delete_scan(),
         "iceberg_upsert_scan": _sql_iceberg_upsert_scan(),

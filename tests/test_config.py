@@ -421,3 +421,47 @@ def test_remap_parse_regex_mixed_groups_and_null(spark):
     dropped = topo.outputs["remap.dropped"].collect()
     # 'nope' (no match) AND the NULL host both land on the dropped port
     assert len(dropped) == 2
+
+
+def test_reference_datadog_agent_remap_topology(spark, tmp_path):
+    """The reference's datadog_agent_remap_blackhole regression topology
+    through the front door with its remap VRL program BYTE-IDENTICAL:
+    sequential assignment, if/else-if/else branch-exclusive fields,
+    object literal, and the error-capturing fallible concat — compiled
+    to pure Column expressions, asserted against a plain-Python
+    oracle."""
+    import json as _json
+
+    from vector_spark.config import load_config
+    from vector_spark.topology import build_topology, run_topology
+
+    rows = [
+        {"status": "warning", "message": "m1", "ddsource": "agent", "service": "s1"},
+        {"status": "notice", "message": "m2", "ddsource": "agent", "service": "s1"},
+        {"status": "info", "message": "m3", "ddsource": "agent", "service": "s2"},
+        {"status": "warning", "ddsource": "agent", "service": "s2"},  # no message
+    ]
+    cap = tmp_path / "agent.jsonl"
+    cap.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+
+    cfg = load_config(
+        "configs/datadog_agent_remap_blackhole.toml",
+        env={"AGENT_CAPTURE": str(cap)})
+    res = run_topology(spark, cfg)
+    assert res["blackhole"] == 4  # blackhole counts every event
+
+    got = {r["message"]: r
+           for r in build_topology(spark, cfg).outputs["remap"].collect()}
+    m1, m2, m3, m4 = got["m1"], got["m2"], got["m3"], got[None]
+    assert all(r["hostname"] == "vector" for r in got.values())
+    # branch-exclusive field assignment
+    assert (m1["thing"], m1["thung"], m1["nong"]) == ("VECTOR", None, None)
+    assert (m2["thing"], m2["thung"], m2["nong"]) == (None, "vector", None)
+    assert (m3["thing"], m3["thung"], m3["nong"]) == (None, None, "VECTOR")
+    # object literal + sequential scope + infallible path
+    assert m1["matches"].asDict() == {"name": "m1", "num": "2"}
+    assert m1["origin"] == "vector/m1/2" and m1["err"] is None
+    assert m2["origin"] == "vector/m2/2"
+    # fallible concat: missing message -> NULL origin + error captured
+    assert m4["origin"] is None
+    assert m4["err"] is not None and "expected string" in m4["err"]

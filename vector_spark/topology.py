@@ -332,9 +332,11 @@ def _splunk_hec_source(spark: SparkSession, name: str, spec: dict) -> DataFrame:
     paths = [include] if isinstance(include, str) else list(include)
     from vector_spark.sources import decode_json_field
 
+    # the raw body parses into the event and is then dropped — keeping
+    # it as "message" would collide with a declared `message` field
     df = decode_json_field(
-        spark.read.text(paths).select(F.col("value").alias("message")),
-        spec["schema"])
+        spark.read.text(paths).select(F.col("value").alias("_raw")),
+        spec["schema"], src="_raw").drop("_raw")
     if "time" in df.columns:
         df = df.withColumn(
             "timestamp", F.col("time").cast("double").cast("timestamp"))
@@ -347,20 +349,29 @@ _VRL_PARSE_REGEX = re.compile(
 
 
 def _remap_parse_regex(name: str, df: DataFrame, spec: dict, out: dict) -> DataFrame:
-    """``remap`` transform, VRL subset: the ``. |= parse_regex!(.field,
-    r'...')`` merge idiom the reference's regression configs use
-    (regression/cases/syslog_regex_logs2metric_ddmetrics/vector/
-    vector.toml).  Named captures merge into the event as new columns;
-    the ``!`` (abort) form drops non-matching events to ``name.dropped``
-    like the reference's drop_on_abort default.  Anything outside this
-    subset raises — the general-purpose hook path is the ``lua`` kind."""
+    """``remap`` transform, two compiled VRL subsets: the ``. |=
+    parse_regex!(.field, r'...')`` merge idiom
+    (regression/cases/syslog_regex_logs2metric_ddmetrics) and the
+    statement-program subset — assignments, if/else chains, object
+    literals, error-capturing fallible assignment —
+    (regression/cases/datadog_agent_remap_*), both compiled to pure
+    Column expressions (vrl_program.py).  Named captures merge into the
+    event as new columns; the ``!`` (abort) form drops non-matching
+    events to ``name.dropped`` like the reference's drop_on_abort
+    default.  Anything outside both subsets raises — the
+    general-purpose hook path is the ``lua`` kind."""
     src = spec["source"]
     m = _VRL_PARSE_REGEX.fullmatch(src)
     if not m:
-        raise TopologyError(
-            f"{name}: unsupported remap source (the front door compiles the "
-            "`. |= parse_regex!(.field, r'...')` VRL idiom; use kind=lua "
-            f"for general hooks): {src!r}")
+        from vector_spark.vrl_program import VrlCompileError, compile_vrl_program
+
+        try:
+            return compile_vrl_program(df, src)
+        except VrlCompileError as e:
+            raise TopologyError(
+                f"{name}: unsupported remap source (the front door compiles "
+                "the parse_regex! idiom and the VRL statement subset; use "
+                f"kind=lua for general hooks): {e}") from e
     abort, field, pattern = m.group(1) == "!", m.group(2), m.group(3)
     # assign each NAMED group its true capturing-group index: plain (...)
     # groups also count, so a pattern mixing named and unnamed groups
@@ -463,7 +474,11 @@ def build_topology(
             out[name] = _exec_source(spark, name, spec)
         elif kind == "syslog":
             out[name] = _syslog_source(spark, name, spec)
-        elif kind == "splunk_hec":
+        elif kind in ("splunk_hec", "datadog_agent"):
+            # both are HTTP JSON-event listeners in the reference
+            # (src/sources/splunk_hec, src/sources/datadog_agent); the
+            # batch twin is identical: captured JSON bodies + declared
+            # schema, listener options inert
             out[name] = _splunk_hec_source(spark, name, spec)
         else:
             raise TopologyError(f"{name}: unknown source kind {kind!r}")
